@@ -1,38 +1,59 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship query (title_reigns — the reference's hardest
+  model) on /root/testdata/sf0.001.
+- ``queries()``: one entry per implemented operator/model from SURVEY.md §2.
+  UFC models run over the synthetic UFC raw layer derived deterministically
+  from the testdata (see ufc_data_warehouse_spark/synth.py).
+- ``oracle_sql()``: the DuckDB-equivalent SQL for every query.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ufc_data_warehouse_spark.api import build_model  # noqa: E402
+from ufc_data_warehouse_spark.oracle import model_names, oracle_for  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: champion-lineage reconstruction (title_reigns)."""
+    return build_model(spark, "/root/testdata/sf0.001", "title_reigns")
+
+
+def _model_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return build_model(spark, sf_dir, name)
+
+    run.__name__ = f"query_{name}"
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name in model_names():
+        out[name] = _model_query(name)
+    try:
+        from ufc_data_warehouse_spark.extra_queries import EXTRA_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        out.update(EXTRA_QUERIES)
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = {name: oracle_for(name) for name in model_names()}
+    try:
+        from ufc_data_warehouse_spark.extra_queries import EXTRA_ORACLES
+
+        out.update(EXTRA_ORACLES)
+    except ImportError:
+        pass
+    return out

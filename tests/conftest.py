@@ -48,11 +48,26 @@ def normalize_frame(df: pd.DataFrame) -> pd.DataFrame:
     for col in out.columns:
         s = out[col]
         if pd.api.types.is_datetime64_any_dtype(s):
-            out[col] = s.dt.strftime("%Y-%m-%d %H:%M:%S")
-        elif s.dtype == object:
-            out[col] = s.map(
-                lambda v: v.isoformat() if hasattr(v, "isoformat") else v
+            # date-typed cols come back as midnight timestamps from DuckDB
+            nonnull = s.dropna()
+            fmt = (
+                "%Y-%m-%d"
+                if (nonnull.dt.normalize() == nonnull).all()
+                else "%Y-%m-%d %H:%M:%S"
             )
+            out[col] = s.dt.strftime(fmt)
+            out[col] = out[col].where(s.notna(), None)
+        elif s.dtype == object:
+            import decimal
+
+            def _norm_obj(v):
+                if hasattr(v, "isoformat"):
+                    return v.isoformat()
+                if isinstance(v, decimal.Decimal):
+                    return float(v)
+                return v
+
+            out[col] = s.map(_norm_obj)
         elif pd.api.types.is_float_dtype(s):
             out[col] = s.map(
                 lambda v: None

@@ -1,0 +1,513 @@
+"""Beyond-parity queries: training-data operators, TPC-H-style analytics on
+the native testdata tables, as-of joins, and sessionization.
+
+Each entry pairs a Spark callable (spark, sf_dir) → DataFrame with a DuckDB
+oracle statement over the same parquet views. Float-valued outputs avoid
+accumulation-order sensitivity: sums are DECIMAL (exact, order-free) or
+single-division ratios of integers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import dedup, simsearch, text
+from .session import apply_runtime_confs
+
+Query = Callable[[SparkSession, str], DataFrame]
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS) which the Spark parquet
+        # reader rejects; read nanos as long and rebuild the (micros-aligned,
+        # so lossless) timestamp.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# dedup family (documents table)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.exact_duplicate_groups(docs).orderBy("text_hash")
+
+
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.fingerprint(docs).orderBy("id")
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs, n=3)
+    sigs = dedup.minhash_signatures(sh, num_hashes=16)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    return dedup.jaccard_pairs(sh, min_jaccard=0.2, candidates=cands).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs, n=3)
+    return dedup.jaccard_pairs(sh, min_jaccard=0.2).orderBy("id_a", "id_b")
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.simhash(docs).orderBy("id")
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(dedup.simhash(docs), max_hamming=6).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
+
+_SHINGLES_SQL = f"""
+doc_toks AS (
+  SELECT doc_id AS id, {_TOKS_SQL} AS toks FROM documents
+),
+shingles AS (
+  SELECT DISTINCT id, array_to_string(toks[pos:pos+2], ' ') AS shingle
+  FROM doc_toks, unnest(generate_series(1, len(toks) - 2)) AS t(pos)
+  WHERE len(toks) >= 3
+)"""
+
+_MINHASH_SQL = (
+    "SELECT id, "
+    + ", ".join(f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(16))
+    + " FROM shingles GROUP BY id"
+)
+
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT id, {b} AS band, md5(sig_{b * 4} || '|' || sig_{b * 4 + 1} || '|' "
+    f"|| sig_{b * 4 + 2} || '|' || sig_{b * 4 + 3}) AS bucket FROM sigs"
+    for b in range(4)
+)
+
+_JACCARD_CORE_SQL = """
+sizes AS (SELECT id, count(*) AS n FROM shingles GROUP BY id),
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+jac AS (
+  SELECT s.id_a, s.id_b, s.shared,
+    (na.n + nb.n - s.shared) AS union_size,
+    s.shared::DOUBLE / (na.n + nb.n - s.shared) AS jaccard
+  FROM shared s JOIN sizes na ON s.id_a = na.id JOIN sizes nb ON s.id_b = nb.id
+)"""
+
+_SIMHASH_SQL = f"""
+doc_toks AS (
+  SELECT doc_id AS id, {_TOKS_SQL} AS toks FROM documents
+),
+tok_hash AS (
+  SELECT id, ('0x' || substr(md5(t.tok), 1, 15))::BIGINT AS h
+  FROM doc_toks, unnest(toks) AS t(tok)
+),
+bit_deltas AS (
+  SELECT id, b.bit,
+    CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS delta
+  FROM tok_hash, unnest(generate_series(0, {dedup.SIMHASH_BITS - 1})) AS b(bit)
+),
+bit_sums AS (SELECT id, bit, sum(delta) AS s FROM bit_deltas GROUP BY id, bit),
+simhashes AS (
+  SELECT id, sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+  FROM bit_sums GROUP BY id
+)"""
+
+# ---------------------------------------------------------------------------
+# text analysis family
+# ---------------------------------------------------------------------------
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_stats(_read(spark, sf_dir, "documents")).orderBy("id")
+
+
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.language_id(_read(spark, sf_dir, "documents")).orderBy("id")
+
+
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(_read(spark, sf_dir, "documents")).orderBy("id")
+
+
+_STOPLIST_SQL = "[" + ", ".join(f"'{s}'" for s in text.EN_STOPWORDS) + "]"
+
+# ---------------------------------------------------------------------------
+# similarity search family (embeddings table)
+# ---------------------------------------------------------------------------
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return (
+        simsearch.cosine_topk(emb, queries, k=10)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return simsearch.lsh_bucket_signatures(emb, num_planes=8).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style analytics on the native tables (DECIMAL-exact aggregation)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: pricing summary. DECIMAL sums — exact and
+    accumulation-order-independent, so hash-safe across engines."""
+    li = _read(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("decimal(38,4)").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("decimal(38,4)").alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+                .cast("decimal(38,8)")
+            ).cast("decimal(38,8)").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped-order revenue (join + agg + top-k)."""
+    cust = _read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    ).cast("decimal(38,8)")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("decimal(38,8)").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation through a 5-way star join; small
+    dims broadcast."""
+    region = _read(spark, sf_dir, "region")
+    nation = _read(spark, sf_dir, "nation")
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    sup = _read(spark, sf_dir, "supplier")
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    ).cast("decimal(38,8)")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(sup.withColumnRenamed("s_nationkey", "sn"), li["l_suppkey"] == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("sn"))
+        .join(F.broadcast(nation), F.col("sn") == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("decimal(38,8)").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# as-of join + sessionization (events table)
+# ---------------------------------------------------------------------------
+
+
+def q_asof_orders_before_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the user's most recent order at
+    event time. Spark-native pattern: equi-join on user + theta filter +
+    row_number pick (Catalyst hashes the equi side; the as-of pick is one
+    window over the matched pairs)."""
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    joined = ev.join(
+        orders,
+        (ev["user_id"] == orders["o_custkey"]) & (orders["o_orderdate"] <= ev["ts"]),
+        "inner",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+        .orderBy("event_id")
+    )
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: 30-minute-gap sessions per user
+    (gaps-and-islands over event times), session length + event count."""
+    ev = _read(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gaps = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sessions = gaps.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+def q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed event rollup with FILTER-agg + exact decimal sums."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(38,4)").alias("sum_value"),
+            F.count(F.when(F.col("value") > 50, 1)).alias("n_high"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+EXTRA_QUERIES: dict[str, Query] = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_fingerprint": q_dedup_fingerprint,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "text_token_stats": q_text_token_stats,
+    "text_language_id": q_text_language_id,
+    "text_quality_score": q_text_quality_score,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+    "asof_orders_before_events": q_asof_orders_before_events,
+    "sessionization": q_sessionization,
+    "event_type_stats": q_event_type_stats,
+}
+
+EXTRA_ORACLES: dict[str, str] = {
+    "dedup_exact": """
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM documents GROUP BY md5(text) HAVING count(*) > 1 ORDER BY text_hash""",
+    "dedup_fingerprint": f"""
+SELECT doc_id AS id, md5({_NORM_SQL}) AS fingerprint
+FROM documents ORDER BY id""",
+    "dedup_minhash_lsh": f"""
+WITH {_SHINGLES_SQL.strip().lstrip(',')},
+sigs AS ({_MINHASH_SQL}),
+buckets AS ({_BANDS_SQL}),
+cands AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM buckets l JOIN buckets r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+),
+{_JACCARD_CORE_SQL.strip().lstrip(',')}
+SELECT j.id_a, j.id_b, j.shared, j.union_size, j.jaccard
+FROM jac j JOIN cands c ON j.id_a = c.id_a AND j.id_b = c.id_b
+WHERE j.jaccard >= 0.2 ORDER BY j.id_a, j.id_b""",
+    "dedup_ngram_jaccard": f"""
+WITH {_SHINGLES_SQL.strip().lstrip(',')},
+{_JACCARD_CORE_SQL.strip().lstrip(',')}
+SELECT id_a, id_b, shared, union_size, jaccard
+FROM jac WHERE jaccard >= 0.2 ORDER BY id_a, id_b""",
+    "dedup_simhash": f"""
+WITH {_SIMHASH_SQL.strip().lstrip(',')}
+SELECT id, simhash FROM simhashes ORDER BY id""",
+    "dedup_simhash_pairs": f"""
+WITH {_SIMHASH_SQL.strip().lstrip(',')}
+SELECT a.id AS id_a, b.id AS id_b,
+  bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM simhashes a JOIN simhashes b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+ORDER BY id_a, id_b""",
+    "text_token_stats": f"""
+SELECT doc_id AS id, len({_TOKS_SQL})::INT AS n_tokens,
+  len(list_distinct({_TOKS_SQL}))::INT AS n_unique_tokens,
+  length({_NORM_SQL})::INT AS n_chars_norm
+FROM documents ORDER BY id""",
+    "text_language_id": f"""
+SELECT doc_id AS id, len({_TOKS_SQL})::INT AS n_tokens,
+  len(list_filter({_TOKS_SQL}, t -> list_contains({_STOPLIST_SQL}, t)))::INT AS stop_tokens,
+  CASE WHEN len(list_filter({_TOKS_SQL}, t -> list_contains({_STOPLIST_SQL}, t))) * 20
+            >= len({_TOKS_SQL}) THEN 'en' ELSE 'und' END AS lang_guess
+FROM documents ORDER BY id""",
+    "text_quality_score": f"""
+WITH q AS (
+  SELECT doc_id AS id,
+    CASE WHEN length({_NORM_SQL}) BETWEEN 100 AND 20000 THEN 1 ELSE 0 END AS len_ok,
+    CASE WHEN len(list_distinct({_TOKS_SQL})) * 5 >= len({_TOKS_SQL}) THEN 1 ELSE 0 END AS diversity_ok,
+    CASE WHEN length(regexp_replace({_NORM_SQL}, '[^a-z]', '', 'g')) * 5
+              >= length({_NORM_SQL}) * 3 THEN 1 ELSE 0 END AS alpha_ok
+  FROM documents
+)
+SELECT id, len_ok, diversity_ok, alpha_ok,
+  (len_ok + diversity_ok + alpha_ok) AS quality
+FROM q ORDER BY id""",
+    "ann_cosine_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    list_dot_product(e.embedding::DOUBLE[], q.qvec)
+      / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(q.qvec, q.qvec))) AS cosine
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank::INT AS rank FROM ranked
+WHERE rank <= 10 ORDER BY query_id, rank""",
+    "ann_lsh_buckets": """
+WITH weights AS (
+  SELECT p.plane, d.dim,
+    ((('0x' || substr(md5(p.plane || ':' || d.dim), 1, 15))::BIGINT % 2000) - 1000) / 1000.0 AS w
+  FROM (SELECT unnest(generate_series(0, 7)) AS plane) p,
+       (SELECT unnest(generate_series(0, 63)) AS dim) d
+),
+comps AS (
+  SELECT e.vec_id AS id, w.plane, sum(e.x::DOUBLE * w.w) AS dot
+  FROM (SELECT vec_id, embedding[d.dim + 1]::DOUBLE AS x, d.dim
+        FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS dim) d) e
+  JOIN weights w ON e.dim = w.dim
+  GROUP BY e.vec_id, w.plane
+)
+SELECT id, sum(CASE WHEN dot > 0 THEN (1::BIGINT << plane::INT) ELSE 0 END)::BIGINT AS bucket
+FROM comps GROUP BY id ORDER BY id""",
+    "tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+  sum(l_quantity::DECIMAL(18,4))::DECIMAL(38,4) AS sum_qty,
+  sum(l_extendedprice::DECIMAL(18,4))::DECIMAL(38,4) AS sum_base_price,
+  sum((l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4)))::DECIMAL(38,8))::DECIMAL(38,8) AS sum_disc_price,
+  count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""",
+    "tpch_q3": """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  sum((l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4)))::DECIMAL(38,8))::DECIMAL(38,8) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND l_shipdate > o_orderdate
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "tpch_q5": """
+SELECT n_name,
+  sum((l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4)))::DECIMAL(38,8))::DECIMAL(38,8) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "asof_orders_before_events": """
+WITH joined AS (
+  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+    row_number() OVER (PARTITION BY e.event_id
+      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e JOIN orders o
+    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+)
+SELECT event_id, user_id, ts, o_orderkey, o_orderdate
+FROM joined WHERE rn = 1 ORDER BY event_id""",
+    "sessionization": """
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM gaps
+),
+sessions AS (
+  SELECT user_id, ts,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq::BIGINT AS session_seq, count(*) AS n_events,
+  min(ts) AS session_start, max(ts) AS session_end
+FROM sessions GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
+    "event_type_stats": """
+SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+  sum(value::DECIMAL(18,4))::DECIMAL(38,4) AS sum_value,
+  count(*) FILTER (WHERE value > 50) AS n_high
+FROM events GROUP BY event_type ORDER BY event_type""",
+}
+
+# Heavier extra queries worth timing at sf0.1
+BENCH_EXTRA = [
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "sessionization",
+    "asof_orders_before_events",
+]

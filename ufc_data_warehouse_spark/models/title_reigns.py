@@ -1,0 +1,377 @@
+"""The champion-lineage family — title_reigns and dependents.
+
+- title_reigns         ← /root/reference/ufc/models/analytics/title_reigns.sql:1-317
+  (13 CTEs: lag/lead reign chains W2/W3, interim fallback U2, fuzzy
+  name-match join J4, reign-interval attachment J5, global row_number W1)
+- multi_division_champs ← multi_division_champs.sql:1-53
+- total_champ_days      ← total_champ_days.sql:1-25 (current_date pinned to
+  AS_OF_DATE for determinism — SURVEY X9)
+
+Determinism refinements over the reference (applied on BOTH engines): the
+unique fight ``url`` breaks ties wherever the reference orders windows by
+non-unique ``(event_date, event)`` keys; without it tie order is
+engine-arbitrary.
+
+Scale notes: status_changes (the Wikipedia-scraper table) is tiny and
+broadcast everywhere; its global row_number (W1, single partition) is safe
+because the input is KBs even at 100 TB fight volume. The fuzzy J4 join
+hash-partitions on the weight_category equi-key and evaluates the OR'd
+name-containment arms as a post-join residual — exactly the plan Catalyst
+picks for equi+residual conditions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..exprs import last_word, not_null_or_empty, to_date_cascade, weight_category
+from ..registry import model
+
+# Pinned "as of" date replacing the reference's nondeterministic
+# current_date (total_champ_days.sql:8) so both engines agree.
+AS_OF_DATE = "2026-01-01"
+
+
+def _normalized_title_fights(d: dict[str, DataFrame], interim: bool) -> DataFrame:
+    """Shared CTE: (non-)interim title fights joined to events with the
+    weight_category normalizer applied (title_reigns.sql:3-76)."""
+    events = d["stg_event_details"].select("event", "event_date")
+    base = (
+        d["stg_fight_results"]
+        .filter(
+            F.col("weightclass").ilike("%Title Bout%")
+            & ~F.col("weightclass").ilike("%tournament%")
+            & (
+                F.col("weightclass").ilike("%interim%")
+                if interim
+                else ~F.col("weightclass").ilike("%interim%")
+            )
+            & F.col("winner").isNotNull()
+        )
+        .join(F.broadcast(events), "event", "inner")
+    )
+    return base.filter(not_null_or_empty("weightclass")).select(
+        "event",
+        "event_date",
+        "winner",
+        "fighter_1",
+        "fighter_2",
+        F.col("url"),
+        weight_category("weightclass", strip_interim=interim).alias("weight_category"),
+    )
+
+
+@model(
+    "title_reigns",
+    deps=["stg_fight_results", "stg_event_details", "title_status_changes_outside_octagon"],
+    schema="goat_status",
+    alias="mv_title_reigns",
+)
+def title_reigns(d: dict[str, DataFrame]) -> DataFrame:
+    ntf = _normalized_title_fights(d, interim=False)
+    nif = _normalized_title_fights(d, interim=True)
+
+    # --- champion_events: lag detects title changes (title_reigns.sql:78-105)
+    w_champ = Window.partitionBy("weight_category").orderBy(
+        F.asc_nulls_last("event_date"), F.asc("event"), F.asc("url")
+    )
+    champion_events = ntf.select(
+        "weight_category",
+        F.col("winner").alias("fighter"),
+        F.col("event_date").alias("start_date"),
+        "event",
+        "url",
+        F.lag("winner").over(w_champ).alias("previous_champion"),
+    )
+
+    # --- latest undisputed / interim (title_reigns.sql:86-121)
+    latest_undisputed = ntf.groupBy("weight_category").agg(
+        F.max("event_date").alias("last_undisputed_date")
+    )
+    w_interim = Window.partitionBy("weight_category").orderBy(
+        F.desc_nulls_first("event_date"), F.desc("event"), F.desc("url")
+    )
+    latest_interim = nif.select(
+        "weight_category",
+        F.col("winner").alias("fighter"),
+        F.col("event_date").alias("start_date"),
+        F.row_number().over(w_interim).alias("interim_rank"),
+    )
+    interim_fallback = (
+        latest_interim.filter(F.col("interim_rank") == 1)
+        .join(F.broadcast(latest_undisputed), "weight_category", "left")
+        .filter(
+            F.col("last_undisputed_date").isNull()
+            | (F.col("last_undisputed_date") < F.col("start_date"))
+        )
+        .select(
+            "weight_category",
+            "fighter",
+            "start_date",
+            F.lit(None).cast("date").alias("next_champion_date"),
+        )
+    )
+
+    # --- new_champion_events: change rows + lead = reign end (sql:122-140)
+    w_lead = Window.partitionBy("weight_category").orderBy(
+        F.asc_nulls_last("start_date"), F.asc("event"), F.asc("url")
+    )
+    new_champion_events = (
+        champion_events.filter(
+            F.col("previous_champion").isNull()
+            | (F.col("fighter") != F.col("previous_champion"))
+        )
+        .select(
+            "weight_category",
+            "fighter",
+            "start_date",
+            F.lead("start_date").over(w_lead).alias("next_champion_date"),
+        )
+        .unionByName(interim_fallback)
+    )
+
+    # --- fighter_name_lookup (sql:142-160)
+    lookup = (
+        ntf.select("weight_category", F.col("fighter_1").alias("fighter_name"))
+        .unionByName(ntf.select("weight_category", F.col("fighter_2").alias("fighter_name")))
+        .filter(not_null_or_empty("fighter_name"))
+        .select(
+            "weight_category",
+            "fighter_name",
+            F.split("fighter_name", " ").getItem(0).alias("first_name"),
+            last_word("fighter_name").alias("last_name"),
+        )
+        .distinct()
+    )
+
+    # --- status_changes: parse + normalize + global id (sql:161-205)
+    raw = d["title_status_changes_outside_octagon"].select(
+        to_date_cascade(F.col("date")).alias("change_date"),
+        "fighter",
+        "weight_category",
+        "reason",
+    )
+    w_status = Window.orderBy(
+        F.asc("change_date"), F.asc("fighter"), F.asc("weight_category")
+    )
+    status_changes = (
+        raw.filter(
+            F.col("change_date").isNotNull()
+            & not_null_or_empty("fighter")
+            & not_null_or_empty("weight_category")
+        )
+        .select(
+            F.row_number().over(w_status).alias("status_id"),
+            "change_date",
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("weight_category"), r"(?i)\s+Championship\s*$", ""),
+                    r"(?i)^UFC\s+",
+                    "",
+                )
+            ).alias("weight_category"),
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace(F.col("fighter"), r"(?i)^Both\s+", ""),
+                        r"(?i)\s*\(.*\)\s*",
+                        "",
+                    ),
+                    r"(?i)\s+retired\s*$",
+                    "",
+                )
+            ).alias("fighter_token"),
+            "reason",
+        )
+    )
+
+    # --- fuzzy match join J4 (sql:208-248): equi on weight_category,
+    # OR'd name conditions as residual; scored then best-pick.
+    tok = F.lower(F.col("fighter_token"))
+    match_cond = (
+        (tok == F.lower(F.col("fighter_name")))
+        | (tok == F.lower(F.col("first_name")))
+        | (tok == F.lower(F.col("last_name")))
+        | F.lower(F.col("fighter_name")).contains(tok)
+    )
+    matches = (
+        status_changes.join(F.broadcast(lookup), "weight_category", "inner")
+        .filter(match_cond)
+        .select(
+            "status_id",
+            "fighter_name",
+            F.when(tok == F.lower(F.col("fighter_name")), 3)
+            .when(tok == F.lower(F.col("last_name")), 2)
+            .when(tok == F.lower(F.col("first_name")), 2)
+            .when(F.lower(F.col("fighter_name")).contains(tok), 1)
+            .otherwise(0)
+            .alias("match_score"),
+        )
+    )
+    w_match = Window.partitionBy("status_id").orderBy(
+        F.desc("match_score"), F.asc("fighter_name")
+    )
+    best_match = (
+        matches.withColumn("match_rank", F.row_number().over(w_match))
+        .filter(F.col("match_rank") == 1)
+        .select("status_id", "fighter_name")
+    )
+    status_resolved = (
+        status_changes.join(F.broadcast(best_match), "status_id", "left")
+        .select(
+            "status_id",
+            "change_date",
+            "weight_category",
+            F.coalesce(F.col("fighter_name"), F.col("fighter_token")).alias(
+                "fighter_full_name"
+            ),
+            "reason",
+        )
+    )
+
+    # --- J5 interval attachment: status falls inside the reign (sql:260-301)
+    sr = status_resolved.select(
+        F.col("weight_category").alias("s_weight_category"),
+        F.col("change_date"),
+        F.col("fighter_full_name"),
+        F.col("reason").alias("s_reason"),
+    )
+    reign_name = F.lower(F.col("fighter"))
+    reign_last = F.lower(last_word("fighter"))
+    attached = new_champion_events.join(
+        F.broadcast(sr),
+        (F.col("s_weight_category") == F.col("weight_category"))
+        & (
+            (F.lower(F.col("fighter_full_name")) == reign_name)
+            | (F.lower(F.col("fighter_full_name")) == reign_last)
+        )
+        & (F.col("change_date") >= F.col("start_date"))
+        & (
+            F.col("next_champion_date").isNull()
+            | (F.col("change_date") < F.col("next_champion_date"))
+        ),
+        "left",
+    )
+    # next_champion_date tiebreak: the same (division, fighter, start_date)
+    # can repeat in new_champion_events (re-win on the same date); rows with
+    # no attached status sort entirely by it, so without it the rank-1 pick
+    # is engine-arbitrary.
+    w_first_status = Window.partitionBy(
+        "weight_category", "fighter", "start_date"
+    ).orderBy(
+        F.asc_nulls_last("change_date"),
+        F.asc_nulls_last("s_reason"),
+        F.asc_nulls_last("next_champion_date"),
+    )
+    reigns = (
+        attached.withColumn("status_rank", F.row_number().over(w_first_status))
+        .filter(F.col("status_rank") == 1)
+        .select(
+            "weight_category",
+            "fighter",
+            "start_date",
+            F.coalesce(F.col("change_date"), F.col("next_champion_date")).alias("end_date"),
+            F.when(F.col("change_date").isNotNull(), F.col("s_reason"))
+            .when(F.col("next_champion_date").isNotNull(), F.lit("lost title"))
+            .alias("end_reason"),
+        )
+    )
+
+    # --- final projection (sql:303-317)
+    return reigns.select(
+        "weight_category",
+        "fighter",
+        "start_date",
+        "end_date",
+        "end_reason",
+        F.when(
+            F.col("end_date").isNull(), F.lit(None).cast("long")
+        )
+        .otherwise(F.datediff("end_date", "start_date").cast("long"))
+        .alias("reign_days"),
+        F.when(F.col("end_date").isNull(), 1).otherwise(0).alias("is_active"),
+    ).orderBy(
+        F.desc_nulls_last("reign_days"), F.asc("weight_category"), F.asc("fighter")
+    )
+
+
+@model(
+    "multi_division_champs",
+    deps=["title_fights"],
+    schema="goat_status",
+    alias="mv_multiple_weight_class_champs",
+)
+def multi_division_champs(d: dict[str, DataFrame]) -> DataFrame:
+    """Champions in ≥2 divisions (multi_division_champs.sql:3-53)."""
+    tw = (
+        d["title_fights"]
+        .filter(
+            not_null_or_empty("winner")
+            & F.col("weightclass").isNotNull()
+            & ~F.col("weightclass").ilike("%interim%")
+            & ~F.col("weightclass").ilike("%tournament%")
+        )
+        .select(
+            F.col("winner").alias("fighter"),
+            weight_category("weightclass", strip_interim=False).alias("weight_category"),
+            "event_date",
+        )
+    )
+    category_wins = (
+        tw.filter(not_null_or_empty("weight_category"))
+        .groupBy("fighter", "weight_category")
+        .agg(F.count("*").alias("title_wins_in_category"))
+    )
+    champ_counts = category_wins.groupBy("fighter").agg(
+        F.count("*").alias("distinct_title_categories"),
+        F.sum("title_wins_in_category").cast("long").alias("total_title_wins"),
+    )
+    return (
+        champ_counts.filter(F.col("distinct_title_categories") >= 2)
+        .select(
+            "fighter",
+            "distinct_title_categories",
+            "total_title_wins",
+            F.when(F.col("distinct_title_categories") >= 3, "triple")
+            .otherwise("double")
+            .alias("champ_type"),
+        )
+        .orderBy(
+            F.desc("distinct_title_categories"),
+            F.desc("total_title_wins"),
+            F.asc("fighter"),
+        )
+    )
+
+
+@model(
+    "total_champ_days",
+    deps=["title_reigns"],
+    schema="goat_status",
+    alias="mv_total_champ_days",
+)
+def total_champ_days(d: dict[str, DataFrame]) -> DataFrame:
+    """Sum of reign durations, open reigns ending at AS_OF_DATE
+    (total_champ_days.sql:3-25)."""
+    base = (
+        d["title_reigns"]
+        .filter(F.col("start_date").isNotNull())
+        .select(
+            "weight_category",
+            "fighter",
+            "start_date",
+            F.coalesce(F.col("end_date"), F.lit(AS_OF_DATE).cast("date")).alias(
+                "effective_end_date"
+            ),
+        )
+    )
+    return (
+        base.groupBy("weight_category", "fighter")
+        .agg(
+            F.sum(F.datediff("effective_end_date", "start_date"))
+            .cast("long")
+            .alias("total_champ_days")
+        )
+        .orderBy(F.desc("total_champ_days"), F.asc("weight_category"), F.asc("fighter"))
+    )

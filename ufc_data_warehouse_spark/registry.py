@@ -1,0 +1,128 @@
+"""Model registry — the dbt-DAG analog (SURVEY §1.1, §3 entry point 1).
+
+The reference's transformation layer is 28 dbt view models wired by
+``ref()``/``source()`` (e.g. /root/reference/ufc/models/core/fct_fights.sql:42-44);
+``dbt run`` topologically orders them and creates one Postgres view each, so
+the "execution plan" is Postgres inlining the whole view stack at read time
+(/root/reference/startup.sh:30-34).
+
+Spark-native equivalent: each model is a pure function
+``dict[name → DataFrame] → DataFrame``; resolving a model composes *lazy*
+DataFrames, which is exactly Catalyst logical-plan composition — the view
+stack inlining the reference delegates to Postgres, we delegate to Catalyst
+(predicate pushdown, column pruning, join reordering through every layer
+for free — SURVEY §4).
+
+``materialize`` is the ``dbt run --full-refresh`` analog: write chosen marts
+to partitioned parquet. At the 100 TB design point only the marts are
+materialized; intermediate models stay as logical-plan views so no shuffle
+or scan is paid twice.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+ModelFn = Callable[[dict[str, DataFrame]], DataFrame]
+
+
+@dataclass
+class Model:
+    name: str
+    deps: list[str]
+    fn: ModelFn
+    layer: str = "analytics"  # stg | core | analytics
+    # dbt `schema=` config analog, e.g. goat_status (title_reigns.sql:1)
+    schema: str | None = None
+    alias: str | None = None
+
+
+@dataclass
+class Registry:
+    models: dict[str, Model] = field(default_factory=dict)
+
+    def model(
+        self,
+        name: str,
+        deps: list[str],
+        layer: str = "analytics",
+        schema: str | None = None,
+        alias: str | None = None,
+    ) -> Callable[[ModelFn], ModelFn]:
+        """Decorator: register ``fn`` as model ``name`` depending on ``deps``
+        (source tables or other models)."""
+
+        def wrap(fn: ModelFn) -> ModelFn:
+            self.models[name] = Model(name, list(deps), fn, layer, schema, alias)
+            return fn
+
+        return wrap
+
+    def topo_order(self, targets: list[str] | None = None) -> list[str]:
+        """Dependency-ordered model names (dbt's graph ordering)."""
+        order: list[str] = []
+        seen: set[str] = set()
+        visiting: set[str] = set()
+
+        def visit(name: str) -> None:
+            if name in seen or name not in self.models:
+                return  # not-a-model deps are source tables
+            if name in visiting:
+                raise ValueError(f"dependency cycle at {name}")
+            visiting.add(name)
+            for dep in self.models[name].deps:
+                visit(dep)
+            visiting.discard(name)
+            seen.add(name)
+            order.append(name)
+
+        for t in targets or list(self.models):
+            visit(t)
+        return order
+
+    def build(
+        self, sources: dict[str, DataFrame], targets: list[str] | None = None
+    ) -> dict[str, DataFrame]:
+        """Resolve models into lazy DataFrames. Nothing executes here —
+        this composes one Catalyst logical plan per model, the direct
+        analog of the reference's all-views design."""
+        resolved: dict[str, DataFrame] = dict(sources)
+        for name in self.topo_order(targets):
+            model = self.models[name]
+            missing = [d for d in model.deps if d not in resolved]
+            if missing:
+                raise KeyError(f"model {name} missing inputs: {missing}")
+            resolved[name] = model.fn(resolved)
+        return resolved
+
+    def materialize(
+        self,
+        sources: dict[str, DataFrame],
+        warehouse_dir: str,
+        targets: list[str] | None = None,
+        partition_by: dict[str, list[str]] | None = None,
+    ) -> dict[str, str]:
+        """Write models to ``{warehouse}/{layer}/{name}`` parquet.
+
+        ``partition_by`` maps model name → partition columns (natural keys,
+        e.g. weight_category) — the 100 TB layout knob.
+        """
+        resolved = self.build(sources, targets)
+        written: dict[str, str] = {}
+        for name in self.topo_order(targets):
+            model = self.models[name]
+            path = f"{warehouse_dir}/{model.layer}/{name}"
+            writer = resolved[name].write.mode("overwrite")
+            cols = (partition_by or {}).get(name)
+            if cols:
+                writer = writer.partitionBy(*cols)
+            writer.parquet(path)
+            written[name] = path
+        return written
+
+
+REGISTRY = Registry()
+model = REGISTRY.model
