@@ -1,0 +1,76 @@
+"""CSV ingestion path: routing, header normalization, full-replace, and an
+end-to-end CSV → raw → model run (the reference's startup.sh flow)."""
+
+from __future__ import annotations
+
+import csv
+import os
+
+from ufc_data_warehouse_spark.models import REGISTRY
+from ufc_data_warehouse_spark.sources.ingest import (
+    ingest_dir,
+    load_raw,
+    normalize_identifier,
+    table_name,
+)
+
+
+def test_table_routing():
+    assert table_name("/x/ufc_fight_results.csv") == "fact_ufc_fight_results"
+    assert table_name("/x/ufc_event_details.csv") == "dim_ufc_event_details"
+    assert table_name("/x/ufc_fighter_tott.csv") == "dim_ufc_fighter_tott"
+
+
+def test_normalize_identifier():
+    assert normalize_identifier("Fight Time (Min)") == "fight_time_min"
+    assert normalize_identifier("  URL ") == "url"
+    assert normalize_identifier("2nd Round") == "_2nd_round"
+    assert normalize_identifier("a__b") == "a_b"
+
+
+def _write_csv(path, header, rows):
+    with open(path, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(header)
+        w.writerows(rows)
+
+
+def test_csv_to_model_end_to_end(spark, tmp_path):
+    csv_dir = tmp_path / "csvs"
+    wh = tmp_path / "wh"
+    os.makedirs(csv_dir)
+    _write_csv(
+        csv_dir / "ufc_event_details.csv",
+        ["EVENT", "URL", "DATE", "LOCATION"],
+        [
+            ["UFC 1", "http://e/1", "Nov 12, 1993", "Denver, Colorado, USA"],
+            ["UFC 2", "http://e/2", "March 11, 1994", "Denver, Colorado, USA"],
+        ],
+    )
+    _write_csv(
+        csv_dir / "ufc_fight_results.csv",
+        ["EVENT", "BOUT", "OUTCOME", "WEIGHTCLASS", "METHOD", "ROUND",
+         "TIME", "TIME FORMAT", "REFEREE", "DETAILS", "URL"],
+        [
+            ["UFC 1", "A One vs. B Two", "W/L", "UFC Heavyweight Title Bout",
+             "KO/TKO", "1", "1:26", "No Time Limit", "R", "", "http://f/1"],
+            ["UFC 2", "A One vs. C Three", "W/L", "UFC Heavyweight Title Bout",
+             "Submission", "2", "4:20", "No Time Limit", "R", "", "http://f/2"],
+        ],
+    )
+    written = ingest_dir(spark, str(csv_dir), str(wh))
+    assert set(written) == {"dim_ufc_event_details", "fact_ufc_fight_results"}
+
+    raw = load_raw(spark, str(wh))
+    # all-string raw layer with normalized headers
+    fr = raw["fact_ufc_fight_results"]
+    assert dict(fr.dtypes)["round"] == "string"
+    assert "time_format" in fr.columns
+
+    wins = REGISTRY.build(raw, targets=["fighters_by_wins"])["fighters_by_wins"]
+    rows = {r["fighter"]: r["wins"] for r in wins.collect()}
+    assert rows == {"A One": 2}
+
+    # S3 replace semantics: re-ingest overwrites, row count stable
+    ingest_dir(spark, str(csv_dir), str(wh))
+    assert load_raw(spark, str(wh))["fact_ufc_fight_results"].count() == 2

@@ -323,6 +323,113 @@ def q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Metabase-card surface (SURVEY S7/O3/X13): top-k + fighter image URL.
+# The reference cards order by the metric alone (charts.sh:154-498); a
+# fighter tiebreak is added on BOTH engines so the LIMIT cutoff is
+# deterministic.
+# ---------------------------------------------------------------------------
+
+_IMG_SQL = """CASE WHEN fighter IS NULL OR fighter = '' THEN NULL
+  ELSE concat('http://localhost:8888/',
+    regexp_replace(regexp_replace(lower(fighter), '[^a-z0-9]+', '_', 'g'),
+                   '^_+|_+$', '', 'g'), '.png') END"""
+
+
+def _card(model: str, metric: str, k: int) -> Query:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .api import build_model
+        from .exprs import image_slug_url
+
+        df = build_model(spark, sf_dir, model)
+        return (
+            df.select(
+                "fighter",
+                image_slug_url("fighter").alias("fighter_image_url"),
+                metric,
+            )
+            .orderBy(F.desc_nulls_last(metric), F.asc("fighter"))
+            .limit(k)
+        )
+
+    run.__name__ = f"card_{model}"
+    return run
+
+
+def _card_oracle(model: str, metric: str, k: int) -> str:
+    from .oracle import oracle_for
+
+    return f"""
+SELECT fighter, {_IMG_SQL} AS fighter_image_url, {metric}
+FROM ({oracle_for(model)})
+ORDER BY {metric} DESC NULLS LAST, fighter LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (documents → opaque binary corpus)
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal
+
+    docs = _read(spark, sf_dir, "documents")
+    return multimodal.media_metadata(multimodal.synthesize_media(docs)).orderBy(
+        "media_id"
+    )
+
+
+def q_multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises the full binary → mapInPandas(fake decode) → frame-sample
+    pipeline; the md5-derived stub keeps it oracle-checkable."""
+    from .operators import multimodal
+
+    docs = _read(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(docs)
+    decoded = multimodal.decode_media(media, fake=True)
+    return multimodal.sample_frames(decoded, every_n=30).orderBy(
+        "media_id", "frame_idx"
+    )
+
+
+_KIND_SQL = """CASE WHEN doc_id % 3 = 0 THEN 'image'
+  WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"""
+
+# ---------------------------------------------------------------------------
+# streaming (Trigger.AvailableNow → deterministic batch-equivalent results)
+# ---------------------------------------------------------------------------
+
+
+def q_streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import events as se
+
+    apply_runtime_confs(spark)
+    stream = se.read_events_stream(spark, sf_dir)
+    return se.run_available_now(se.tumbling_counts(stream)).orderBy(
+        "window_start", "event_type"
+    )
+
+
+def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import events as se
+
+    apply_runtime_confs(spark)
+    stream = se.read_events_stream(spark, sf_dir)
+    return se.run_available_now(se.session_windows(stream)).orderBy(
+        "user_id", "session_start"
+    )
+
+
+def q_streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import events as se
+
+    apply_runtime_confs(spark)
+    stream = se.read_events_stream(spark, sf_dir)
+    return se.run_available_now(se.sliding_user_activity(stream)).orderBy(
+        "window_start", "user_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -344,7 +451,48 @@ EXTRA_QUERIES: dict[str, Query] = {
     "asof_orders_before_events": q_asof_orders_before_events,
     "sessionization": q_sessionization,
     "event_type_stats": q_event_type_stats,
+    "card_fighters_by_wins_top50": _card("fighters_by_wins", "wins", 50),
+    "card_title_reigns_days_top200": None,  # filled below (custom metric)
+    "card_quality_of_opposition_top25": _card(
+        "quality_of_opposition_faced", "avg_opponent_win_pct_at_time", 25
+    ),
+    "multimodal_metadata": q_multimodal_metadata,
+    "multimodal_frame_plan": q_multimodal_frame_plan,
+    "streaming_tumbling_counts": q_streaming_tumbling_counts,
+    "streaming_session_windows": q_streaming_session_windows,
+    "streaming_sliding_windows": q_streaming_sliding_windows,
 }
+
+
+def _card_title_reigns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """charts.sh:465-495 shape: reign leaderboard with image url, top 200."""
+    from .api import build_model
+    from .exprs import image_slug_url
+
+    df = build_model(spark, sf_dir, "title_reigns")
+    # (fighter, weight_category, start_date) is the reign PK → total order,
+    # so the LIMIT cutoff is deterministic on both engines.
+    return (
+        df.select(
+            "fighter",
+            image_slug_url("fighter").alias("fighter_image_url"),
+            "weight_category",
+            "reign_days",
+            "is_active",
+            "start_date",
+        )
+        .orderBy(
+            F.desc_nulls_last("reign_days"),
+            F.asc("fighter"),
+            F.asc("weight_category"),
+            F.asc_nulls_last("start_date"),
+        )
+        .limit(200)
+        .drop("start_date")
+    )
+
+
+EXTRA_QUERIES["card_title_reigns_days_top200"] = _card_title_reigns
 
 EXTRA_ORACLES: dict[str, str] = {
     "dedup_exact": """
@@ -481,7 +629,7 @@ WITH gaps AS (
 ),
 flagged AS (
   SELECT user_id, ts, event_id,
-    CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
+    CASE WHEN prev_ts IS NULL OR (epoch_us(ts) // 1000000) - (epoch_us(prev_ts) // 1000000) > 1800 THEN 1 ELSE 0 END AS new_session
   FROM gaps
 ),
 sessions AS (
@@ -499,6 +647,82 @@ SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
   count(*) FILTER (WHERE value > 50) AS n_high
 FROM events GROUP BY event_type ORDER BY event_type""",
 }
+
+EXTRA_ORACLES["card_fighters_by_wins_top50"] = _card_oracle(
+    "fighters_by_wins", "wins", 50
+)
+EXTRA_ORACLES["card_quality_of_opposition_top25"] = _card_oracle(
+    "quality_of_opposition_faced", "avg_opponent_win_pct_at_time", 25
+)
+
+
+def _card_title_reigns_oracle() -> str:
+    from .oracle import oracle_for
+
+    return f"""
+SELECT fighter, fighter_image_url, weight_category, reign_days, is_active FROM (
+  SELECT fighter, {_IMG_SQL} AS fighter_image_url, weight_category,
+         reign_days, is_active, start_date
+  FROM ({oracle_for('title_reigns')})
+  ORDER BY reign_days DESC NULLS LAST, fighter, weight_category,
+           start_date ASC NULLS LAST
+  LIMIT 200
+)"""
+
+
+EXTRA_ORACLES["card_title_reigns_days_top200"] = _card_title_reigns_oracle()
+
+EXTRA_ORACLES["multimodal_metadata"] = f"""
+SELECT doc_id AS media_id, {_KIND_SQL} AS kind,
+  octet_length(encode(text))::BIGINT AS n_bytes, md5(text) AS digest
+FROM documents ORDER BY media_id"""
+
+EXTRA_ORACLES["multimodal_frame_plan"] = f"""
+WITH decoded AS (
+  SELECT doc_id AS media_id,
+    (1 + ('0x' || substr(md5(text), 1, 8))::BIGINT % 300)::INT AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id, f.frame_idx::INT AS frame_idx
+FROM decoded, unnest(generate_series(0, n_frames - 1, 30)) AS f(frame_idx)
+ORDER BY media_id, frame_idx"""
+
+EXTRA_ORACLES["streaming_tumbling_counts"] = """
+SELECT to_timestamp(((epoch_us(ts) // 1000000) // 300) * 300)::TIMESTAMP AS window_start,
+  event_type, count(*) AS n,
+  sum(value::DECIMAL(18,4))::DECIMAL(38,4) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""
+
+EXTRA_ORACLES["streaming_session_windows"] = """
+WITH gaps AS (
+  SELECT user_id, ts,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN prev_ts IS NULL OR (epoch_us(ts) // 1000000) - (epoch_us(prev_ts) // 1000000) > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM gaps
+),
+sessions AS (
+  SELECT user_id, ts,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, count(*) AS n_events,
+  min(ts) AS session_start, max(ts) AS session_end
+FROM sessions GROUP BY user_id, session_seq
+ORDER BY user_id, session_start"""
+
+EXTRA_ORACLES["streaming_sliding_windows"] = """
+WITH contrib AS (
+  SELECT user_id,
+    to_timestamp(((epoch_us(ts) // 1000000) // 300) * 300 - off.o)::TIMESTAMP AS window_start
+  FROM events, (SELECT unnest([0, 300]) AS o) off
+)
+SELECT window_start, user_id, count(*) AS n_events
+FROM contrib GROUP BY 1, 2 ORDER BY window_start, user_id"""
 
 # Heavier extra queries worth timing at sf0.1
 BENCH_EXTRA = [

@@ -522,6 +522,30 @@ FROM woc_fights f JOIN woc_champions c
   ON c.champ = f.opponent AND c.first_title_win_date <= f.event_date
 ORDER BY f.event_date DESC NULLS FIRST, f.fighter, f.opponent""",
     ),
+    "wins_over_champions_agg": (
+        f"""
+woc_champions AS (
+  SELECT r.winner AS champ, min(e.event_date) AS first_title_win_date
+  FROM stg_fight_results r JOIN stg_event_details e ON r.event = e.event
+  WHERE r.winner IS NOT NULL AND r.winner <> '' AND r.{_UND_TITLE_FILTER}
+  GROUP BY r.winner
+),
+woc_fights AS (
+  SELECT r.url AS fight_id, e.event_date, r.winner AS fighter,
+    CASE WHEN r.winner = r.fighter_1 THEN r.fighter_2 ELSE r.fighter_1 END AS opponent
+  FROM stg_fight_results r JOIN stg_event_details e ON r.event = e.event
+  WHERE r.winner IS NOT NULL AND r.winner <> ''
+),
+woc AS (
+  SELECT f.fighter, f.opponent
+  FROM woc_fights f JOIN woc_champions c
+    ON c.champ = f.opponent AND c.first_title_win_date <= f.event_date
+)""",
+        """
+SELECT fighter, count(DISTINCT opponent) AS wins_over_champions
+FROM woc WHERE fighter IS NOT NULL AND fighter <> ''
+GROUP BY fighter ORDER BY wins_over_champions DESC, fighter""",
+    ),
     "title_defenses": (
         f"""
 td_wins AS (

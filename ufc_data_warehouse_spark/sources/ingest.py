@@ -1,0 +1,93 @@
+"""CSV ingestion — the dlt-loader analog (SURVEY §2.1 S1-S4, §3 entry 2).
+
+The reference globs ``*.csv``, routes each file to a ``fact_``/``dim_``
+prefixed table, normalizes headers to snake_case, loads every column as
+text, and full-replaces the target (/root/reference/dlt/load.py:18-64).
+Spark-native equivalent:
+
+- S1: ``spark.read.csv`` with an all-string schema (``inferSchema`` off —
+  typing is staging's job, matching the reference's contract);
+- S2: the same FACT_TABLES membership routing;
+- S3: ``mode("overwrite")`` parquet writes = replace disposition;
+- S4: the warehouse sink is partitioned parquet instead of Postgres —
+  columnar at rest, so staging scans prune columns at the source.
+
+Scale: one job per source table; CSV → parquet is a narrow rewrite (no
+shuffle); raw outputs can be bucketed/partitioned here when a key is known.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# /root/reference/dlt/load.py:18-22
+FACT_TABLES = {"ufc_fight_details", "ufc_fight_results", "ufc_fight_stats"}
+VACANCY_TABLE = "title_status_changes_outside_octagon"
+
+
+def table_name(path: str) -> str:
+    """fact_/dim_ routing by stem membership (dlt/load.py:25-29)."""
+    stem = os.path.splitext(os.path.basename(path))[0]
+    return f"fact_{stem}" if stem in FACT_TABLES else f"dim_{stem}"
+
+
+def normalize_identifier(name: str) -> str:
+    """dlt-style snake_case header normalization: lowercase, non-alnum → _,
+    collapse + strip underscores, prefix leading digits."""
+    out = re.sub(r"[^0-9a-zA-Z]+", "_", name.strip()).strip("_").lower()
+    out = re.sub(r"_+", "_", out)
+    if out and out[0].isdigit():
+        out = "_" + out
+    return out or "_"
+
+
+def read_csv_all_string(spark: SparkSession, path: str) -> DataFrame:
+    """S1: header CSV → all-string DataFrame with normalized column names.
+    No inference — raw stays stringly-typed exactly like the reference."""
+    df = (
+        spark.read.option("header", True)
+        .option("inferSchema", False)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(path)
+    )
+    renamed = [F.col(c).alias(normalize_identifier(c)) for c in df.columns]
+    return df.select(*renamed)
+
+
+def ingest_dir(
+    spark: SparkSession,
+    csv_dir: str,
+    warehouse_dir: str,
+    vacancy_csv: str | None = None,
+) -> dict[str, str]:
+    """Glob *.csv → raw parquet tables, full-replace (dlt/load.py:45-64).
+
+    Returns table name → parquet path.
+    """
+    paths = sorted(glob.glob(os.path.join(csv_dir, "*.csv")))
+    if not paths:
+        raise FileNotFoundError(f"no CSV files found in {csv_dir}")
+    jobs: list[tuple[str, str]] = [(table_name(p), p) for p in paths]
+    if vacancy_csv is not None:
+        jobs.append((VACANCY_TABLE, vacancy_csv))
+    written: dict[str, str] = {}
+    for name, path in jobs:
+        out = os.path.join(warehouse_dir, "raw", name)
+        read_csv_all_string(spark, path).write.mode("overwrite").parquet(out)
+        written[name] = out
+    return written
+
+
+def load_raw(spark: SparkSession, warehouse_dir: str) -> dict[str, DataFrame]:
+    """Read every raw table back as the model layer's source dict."""
+    base = os.path.join(warehouse_dir, "raw")
+    return {
+        name: spark.read.parquet(os.path.join(base, name))
+        for name in sorted(os.listdir(base))
+    }

@@ -1,0 +1,125 @@
+"""Structured Streaming over the events table (SURVEY §2.9 / §7 phase 6).
+
+The reference is batch-only (full-replace loads, /root/reference/dlt/load.py:35);
+this is the engine's streaming extension: watermarked tumbling/sliding
+windows and native session windows, written so every query ALSO runs as a
+deterministic batch via ``Trigger.AvailableNow`` — which is how the
+correctness gate checks them against batch SQL oracles.
+
+Scale notes: all aggregations are keyed on (window/session, type/user) —
+streaming state partitions by group key exactly like a batch shuffle; the
+watermark bounds state size. Sums use DECIMAL so results are
+accumulation-order-free (streaming partial aggregation order is
+nondeterministic by design).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_SCHEMA_NANOS = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # nanos-as-long (see extra_queries._read)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over events.parquet (nanos ts rebuilt to micros).
+
+    The file streaming source monitors a DIRECTORY; the testdata is a bare
+    file, so a temp dir with a symlink stands in as the watched source.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src_dir = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA_NANOS)
+        .format("parquet")
+        .load(src_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def tumbling_counts(stream: DataFrame) -> DataFrame:
+    """5-minute tumbling windows per event_type with a 10-minute watermark
+    for late data; DECIMAL sum keeps results engine-exact."""
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("decimal(38,4)")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_user_activity(stream: DataFrame) -> DataFrame:
+    """10-minute windows sliding by 5 per user — late data bounded by the
+    watermark; state keyed on (window, user)."""
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "n_events")
+    )
+
+
+def session_windows(stream: DataFrame) -> DataFrame:
+    """Native stateful session windows (30-minute gap) per user — the
+    streaming twin of the batch gaps-and-islands sessionization, so the
+    same oracle SQL validates both."""
+    return (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select("user_id", "n_events", "session_start", "session_end")
+    )
+
+
+def run_available_now(result: DataFrame, name: str | None = None) -> DataFrame:
+    """Execute a streaming query over all currently-available data and
+    return the result as a batch DataFrame (memory sink)."""
+    spark = result.sparkSession
+    table = name or f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)
