@@ -62,6 +62,17 @@ def main() -> None:
             name: spark.read.parquet(f"{warehouse}/{name}") for name in RAW_TABLES
         }
 
+        # staging persists once (the columnar analog of the reference's view
+        # layer, amortized across every model query)
+        t0 = time.perf_counter()
+        staging = REGISTRY.build(
+            stored, targets=["stg_fight_results", "stg_event_details"]
+        )
+        for name in ("stg_fight_results", "stg_event_details"):
+            stored[name] = staging[name].persist()
+            stored[name].count()
+        timings["cache_staging"] = round(time.perf_counter() - t0, 4)
+
         t_total = time.perf_counter()
         for name in MODEL_HEADLINE:
             t0 = time.perf_counter()

@@ -1,0 +1,62 @@
+"""Registry semantics: topo order, cycle detection, precomputed-source
+skip, and parquet materialization layout."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import DataFrame
+
+from ufc_data_warehouse_spark.models import REGISTRY
+from ufc_data_warehouse_spark.registry import Registry
+from ufc_data_warehouse_spark.synth import ufc_raw_tables
+
+from tests.conftest import SF_DIR
+
+
+def test_topo_order_places_deps_first():
+    order = REGISTRY.topo_order(["total_champ_days"])
+    assert order.index("stg_fight_results") < order.index("title_reigns")
+    assert order.index("title_reigns") < order.index("total_champ_days")
+
+
+def test_cycle_detection():
+    r = Registry()
+    r.model("a", deps=["b"])(lambda d: d["b"])
+    r.model("b", deps=["a"])(lambda d: d["a"])
+    with pytest.raises(ValueError, match="cycle"):
+        r.topo_order(["a"])
+
+
+def test_missing_input_raises(spark):
+    with pytest.raises(KeyError, match="missing inputs"):
+        REGISTRY.build({}, targets=["fighters_by_wins"])
+
+
+def test_precomputed_source_is_not_recomputed(spark):
+    raw = ufc_raw_tables(spark, SF_DIR)
+    sentinel = raw["fact_ufc_fight_results"].limit(0)
+    out = REGISTRY.build(
+        {**raw, "stg_fight_results": REGISTRY.models["stg_fight_results"].fn(
+            {"fact_ufc_fight_results": sentinel}
+        )},
+        targets=["fighters_by_wins"],
+    )
+    assert out["fighters_by_wins"].count() == 0  # used the empty precompute
+
+
+def test_materialize_layout(spark, tmp_path):
+    raw = ufc_raw_tables(spark, SF_DIR)
+    written = REGISTRY.materialize(
+        raw,
+        str(tmp_path),
+        targets=["fct_fights"],
+        partition_by={"fct_fights": ["weight_category"]},
+    )
+    path = written["fct_fights"]
+    assert path.endswith("core/fct_fights")
+    parts = [p for p in os.listdir(path) if p.startswith("weight_category=")]
+    assert len(parts) >= 10  # partitioned marts by natural key
+    df: DataFrame = spark.read.parquet(path)
+    assert df.count() > 0

@@ -13,15 +13,31 @@ from .registry import REGISTRY
 from .session import apply_runtime_confs
 from .synth import ufc_raw_tables
 
+# Staging-layer cache per (session, sf_dir): every model consumes the two
+# staging views, so persisting them once turns the N-query workload (the
+# correctness driver runs ~25 model queries back-to-back) from N full
+# raw-derivations into one. MEMORY_AND_DISK keeps the worst case spillable.
+_STAGING = ("stg_fight_results", "stg_event_details")
+_staging_cache: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
+def _sources(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    key = (id(spark._jsparkSession), sf_dir)
+    cached = _staging_cache.get(key)
+    raw = ufc_raw_tables(spark, sf_dir)
+    if cached is None:
+        built = REGISTRY.build(raw, targets=list(_STAGING))
+        cached = {name: built[name].persist() for name in _STAGING}
+        _staging_cache[key] = cached
+    return {**raw, **cached}
+
 
 def build_model(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Resolve model ``name`` over the UFC raw layer derived from ``sf_dir``."""
     apply_runtime_confs(spark)
-    raw = ufc_raw_tables(spark, sf_dir)
-    return REGISTRY.build(raw, targets=[name])[name]
+    return REGISTRY.build(_sources(spark, sf_dir), targets=[name])[name]
 
 
 def build_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     apply_runtime_confs(spark)
-    raw = ufc_raw_tables(spark, sf_dir)
-    return REGISTRY.build(raw)
+    return REGISTRY.build(_sources(spark, sf_dir))

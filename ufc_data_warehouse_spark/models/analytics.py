@@ -420,17 +420,31 @@ def quality_of_opposition_faced(d: dict[str, DataFrame]) -> DataFrame:
         F.sum(F.when(F.col("is_win") == 1, 0).otherwise(1)).over(prior).alias("prior_losses"),
         F.sum("is_win").over(Window.partitionBy("fighter")).alias("career_wins"),
     )
-    opp = records.select(
-        F.col("fight_id").alias("o_fight_id"),
-        F.col("fighter").alias("o_fighter"),
-        F.col("prior_wins").alias("o_prior_wins"),
-        F.col("prior_losses").alias("o_prior_losses"),
-        F.col("career_wins").alias("o_career_wins"),
+    # The reference self-joins records⋈records on (fight_id, opponent=fighter)
+    # (quality_of_opposition_faced.sql:75-78). Each fight contributes exactly
+    # two record rows, so the equivalent — and at scale far cheaper — plan
+    # pairs the rows of one fight via a fight_id window: one shuffle, and the
+    # expensive upstream (unpivot + 3 window functions) is computed ONCE
+    # instead of on both join sides (Catalyst can't reuse the exchange because
+    # column pruning makes the two sides structurally different).
+    pair = F.collect_list(
+        F.struct("fighter", "prior_wins", "prior_losses", "career_wins")
+    ).over(Window.partitionBy("fight_id"))
+    opp_rec = F.element_at(
+        F.filter(F.col("pair"), lambda p: p["fighter"] == F.col("opponent")), 1
     )
-    joined = records.join(
-        opp,
-        (records["fight_id"] == opp["o_fight_id"]) & (records["opponent"] == opp["o_fighter"]),
-        "inner",
+    joined = (
+        records.withColumn("pair", pair)
+        .withColumn("opp", opp_rec)
+        .filter(F.col("opp").isNotNull())
+        .select(
+            "fight_id",
+            "fighter",
+            F.col("opp.prior_wins").alias("o_prior_wins"),
+            F.col("opp.prior_losses").alias("o_prior_losses"),
+            F.col("opp.career_wins").alias("o_career_wins"),
+            "career_wins",
+        )
     )
     denom = F.col("o_prior_wins") + F.col("o_prior_losses")
     return (

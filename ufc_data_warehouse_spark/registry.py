@@ -91,6 +91,8 @@ class Registry:
         analog of the reference's all-views design."""
         resolved: dict[str, DataFrame] = dict(sources)
         for name in self.topo_order(targets):
+            if name in resolved:
+                continue  # caller supplied a precomputed (e.g. cached) frame
             model = self.models[name]
             missing = [d for d in model.deps if d not in resolved]
             if missing:
