@@ -1,0 +1,45 @@
+"""Plan-shape regression guards: the physical plans we tuned for must not
+silently degrade (SURVEY §4 / the 100 TB design points)."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR
+
+from ufc_data_warehouse_spark.api import build_model
+from ufc_data_warehouse_spark.extra_queries import EXTRA_QUERIES
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_fct_fights_broadcasts_events_dim(spark):
+    plan = _plan(build_model(spark, SF_DIR, "fct_fights"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quality_of_opposition_has_no_self_sort_merge_join(spark):
+    # the records⋈records self-join is rewritten as a per-fight pairing
+    # window — a sort-merge join reappearing means the rewrite regressed
+    plan = _plan(build_model(spark, SF_DIR, "quality_of_opposition_faced"))
+    assert "SortMergeJoin" not in plan
+
+
+def test_title_reigns_all_joins_broadcast(spark):
+    plan = _plan(build_model(spark, SF_DIR, "title_reigns"))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_tpch_q1_scan_prunes_columns(spark):
+    plan = _plan(EXTRA_QUERIES["tpch_q1"](spark, SF_DIR))
+    # only the 6 referenced columns reach the scan, not all 11
+    read = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_shipdate" not in read and "l_partkey" not in read
+    assert "l_quantity" in read
+
+
+def test_predicate_pushdown_reaches_scan(spark):
+    plan = _plan(EXTRA_QUERIES["tpch_q3"](spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan

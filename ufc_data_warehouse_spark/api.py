@@ -41,3 +41,43 @@ def build_model(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def build_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     apply_runtime_confs(spark)
     return REGISTRY.build(_sources(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# SQL serving surface — the Metabase entry point (SURVEY §3 entry 3).
+# dbt composes the target schema with each model's custom schema
+# (ufc/profiles.yml:12 + config(schema=...)), so the reference's BI cards
+# query fighters_extracted_goat_status.mv_* etc. Spark temp views are
+# flat-namespaced; register_views flattens `<schema>.<alias>` to
+# `<schema>__<alias>` and sql() rewrites qualified names in card SQL.
+# ---------------------------------------------------------------------------
+
+_DBT_TARGET_SCHEMA = "fighters_extracted"
+
+
+def _qualified_schema(custom: str | None) -> str:
+    return f"{_DBT_TARGET_SCHEMA}_{custom}" if custom else _DBT_TARGET_SCHEMA
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Register every model as a temp view named ``<schema>__<alias>``;
+    returns the dotted name → view name mapping."""
+    built = build_all(spark, sf_dir)
+    mapping: dict[str, str] = {}
+    for name, model in REGISTRY.models.items():
+        schema = _qualified_schema(model.schema)
+        alias = model.alias or name
+        view = f"{schema}__{alias}"
+        built[name].createOrReplaceTempView(view)
+        mapping[f"{schema}.{alias}"] = view
+    return mapping
+
+
+def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Run BI-card SQL against the model layer: dotted reference names
+    (e.g. ``fighters_extracted_goat_status.mv_title_reigns``) are rewritten
+    to the registered flat temp views, then handed to ``spark.sql``."""
+    mapping = register_views(spark, sf_dir)
+    for dotted, view in mapping.items():
+        query = query.replace(dotted, view)
+    return spark.sql(query)
