@@ -77,6 +77,10 @@ def main() -> None:
         for name in MODEL_HEADLINE:
             t0 = time.perf_counter()
             df = REGISTRY.build(stored, targets=[name])[name]
+            if name == "title_reigns":
+                # three dependents rebuild this chain; persist on first
+                # (timed) materialization, exactly like the API layer does
+                stored[name] = df = df.persist()
             n = df.count()
             timings[name] = round(time.perf_counter() - t0, 4)
             print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)

@@ -1,0 +1,90 @@
+"""Property-based cross-engine tests (hypothesis): the Spark scalar helpers
+must match DuckDB/Postgres semantics on arbitrary inputs, not just the
+fixtures — SURVEY §5's 'tricky scalar semantics' requirement."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from ufc_data_warehouse_spark import exprs
+
+# printable-ish strings incl. delimiters, empties, unicode
+TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FF),
+    max_size=30,
+)
+
+
+def _schema():
+    return StructType([StructField("s", StringType())])
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(TEXT, min_size=1, max_size=40))
+def test_split_part_matches_duckdb(spark, values):
+    for delim in ["/", " vs. "]:
+        for n in (1, 2, 3):
+            rows = [(v,) for v in values]
+            got = [
+                r["v"]
+                for r in spark.createDataFrame(rows, _schema())
+                .select(exprs.split_part(F.col("s"), delim, n).alias("v"))
+                .collect()
+            ]
+            con = duckdb.connect()
+            expected = [
+                con.execute(
+                    "SELECT split_part(?, ?, ?)", [v, delim, n]
+                ).fetchone()[0]
+                for v in values
+            ]
+            con.close()
+            assert got == expected, (delim, n, values)
+
+
+DATEISH = st.one_of(
+    TEXT,
+    st.from_regex(r"[A-Z][a-z]{2,8} [0-9]{1,2}, [0-9]{4}", fullmatch=True),
+    st.from_regex(r"[A-Z][a-z]{2,8} [0-9]{4}", fullmatch=True),
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(DATEISH, min_size=1, max_size=40))
+def test_date_cascade_matches_duckdb(spark, values):
+    rows = [(v,) for v in values]
+    got = [
+        r["v"]
+        for r in spark.createDataFrame(rows, _schema())
+        .select(exprs.to_date_cascade(F.col("s")).alias("v"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    expected = []
+    for v in values:
+        sql = """SELECT CASE
+          WHEN regexp_matches($s, '^[A-Za-z]{3}\\s+[0-9]{1,2},\\s+[0-9]{4}$')
+            THEN try_strptime($s, '%b %d, %Y')::DATE
+          WHEN regexp_matches($s, '^[A-Za-z]+\\s+[0-9]{1,2},\\s+[0-9]{4}$')
+            THEN try_strptime($s, '%B %d, %Y')::DATE
+          WHEN regexp_matches($s, '^[A-Za-z]{3}\\s+[0-9]{4}$')
+            THEN try_strptime($s, '%b %Y')::DATE
+          WHEN regexp_matches($s, '^[A-Za-z]+\\s+[0-9]{4}$')
+            THEN try_strptime($s, '%B %Y')::DATE
+          END"""
+        expected.append(con.execute(sql, {"s": v}).fetchone()[0])
+    con.close()
+    assert got == expected, values

@@ -13,22 +13,24 @@ from .registry import REGISTRY
 from .session import apply_runtime_confs
 from .synth import ufc_raw_tables
 
-# Staging-layer cache per (session, sf_dir): every model consumes the two
-# staging views, so persisting them once turns the N-query workload (the
-# correctness driver runs ~25 model queries back-to-back) from N full
-# raw-derivations into one. MEMORY_AND_DISK keeps the worst case spillable.
-_STAGING = ("stg_fight_results", "stg_event_details")
-_staging_cache: dict[tuple[int, str], dict[str, DataFrame]] = {}
+# Hot-frame cache per (session, sf_dir): every model consumes the two
+# staging views, and title_reigns feeds three dependents (fct_title_reigns,
+# total_champ_days, the reign card) — persisting these once turns the
+# N-query workload (the correctness driver runs ~30 model queries
+# back-to-back) from N full derivations into one. Default persist level is
+# MEMORY_AND_DISK so the worst case spills instead of OOMing.
+_PERSISTED = ("stg_fight_results", "stg_event_details", "title_reigns")
+_frame_cache: dict[tuple[int, str], dict[str, DataFrame]] = {}
 
 
 def _sources(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     key = (id(spark._jsparkSession), sf_dir)
-    cached = _staging_cache.get(key)
+    cached = _frame_cache.get(key)
     raw = ufc_raw_tables(spark, sf_dir)
     if cached is None:
-        built = REGISTRY.build(raw, targets=list(_STAGING))
-        cached = {name: built[name].persist() for name in _STAGING}
-        _staging_cache[key] = cached
+        built = REGISTRY.build(raw, targets=list(_PERSISTED))
+        cached = {name: built[name].persist() for name in _PERSISTED}
+        _frame_cache[key] = cached
     return {**raw, **cached}
 
 

@@ -419,6 +419,19 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): running per-user
+    profiles; with one AvailableNow batch the update equals the batch
+    group-by, which the oracle reproduces."""
+    from .streaming import events as se
+
+    apply_runtime_confs(spark)
+    stream = se.read_events_stream(spark, sf_dir)
+    return se.run_available_now(
+        se.stateful_user_profiles(stream), output_mode="update"
+    ).orderBy("user_id")
+
+
 def q_streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import events as se
 
@@ -461,6 +474,7 @@ EXTRA_QUERIES: dict[str, Query] = {
     "streaming_tumbling_counts": q_streaming_tumbling_counts,
     "streaming_session_windows": q_streaming_session_windows,
     "streaming_sliding_windows": q_streaming_sliding_windows,
+    "streaming_stateful_profiles": q_streaming_stateful_profiles,
 }
 
 
@@ -714,6 +728,17 @@ SELECT user_id, count(*) AS n_events,
   min(ts) AS session_start, max(ts) AS session_end
 FROM sessions GROUP BY user_id, session_seq
 ORDER BY user_id, session_start"""
+
+EXTRA_ORACLES["streaming_stateful_profiles"] = """
+WITH ranked AS (
+  SELECT user_id, value, event_type,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, count(*) AS n_events,
+  sum(floor(value * 100)::BIGINT)::BIGINT AS value_cents,
+  max(CASE WHEN rn = 1 THEN event_type END) AS last_event_type
+FROM ranked GROUP BY user_id ORDER BY user_id"""
 
 EXTRA_ORACLES["streaming_sliding_windows"] = """
 WITH contrib AS (

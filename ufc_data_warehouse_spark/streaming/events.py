@@ -108,7 +108,88 @@ def session_windows(stream: DataFrame) -> DataFrame:
     )
 
 
-def run_available_now(result: DataFrame, name: str | None = None) -> DataFrame:
+def stateful_user_profiles(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a running
+    per-user profile (event count, value sum in exact integer cents, latest
+    event type by timestamp) maintained as explicit group state.
+
+    This is the escape hatch for semantics windowed aggregation can't
+    express (cross-batch running state with arbitrary merge logic). State
+    is partitioned by user_id — scales like any keyed shuffle; the UDF is
+    a self-contained closure (pickled by value, no package on executors).
+
+    With a single AvailableNow batch the emitted update equals the batch
+    group-by — which is exactly how the oracle checks it.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("value_cents", LongType()),
+            StructField("last_event_type", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("cents", LongType()),
+            StructField("last_ts", LongType()),
+            StructField("last_eid", LongType()),
+            StructField("last_type", StringType()),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        import numpy as _np
+        import pandas as _pd
+
+        n, cents, last_ts, last_eid, last_type = (
+            state.get if state.exists else (0, 0, -1, -1, None)
+        )
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            # per-row floor(value*100): deterministic per row, integer sum —
+            # immune to float accumulation order and rounding-mode drift
+            cents += int(_np.floor(pdf["value"].to_numpy() * 100).astype("int64").sum())
+            # latest event by (ts, event_id) — event_id breaks ts ties
+            top = pdf.assign(_ts=pdf["ts"].astype("int64")).sort_values(
+                ["_ts", "event_id"]
+            ).iloc[-1]
+            if (int(top["_ts"]), int(top["event_id"])) > (last_ts, last_eid):
+                last_ts, last_eid = int(top["_ts"]), int(top["event_id"])
+                last_type = str(top["event_type"])
+        state.update((n, cents, last_ts, last_eid, last_type))
+        yield _pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "n_events": n,
+                    "value_cents": cents,
+                    "last_event_type": last_type,
+                }
+            ]
+        )
+
+    return (
+        stream.select("user_id", "ts", "event_id", "event_type", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_available_now(
+    result: DataFrame, name: str | None = None, output_mode: str = "complete"
+) -> DataFrame:
     """Execute a streaming query over all currently-available data and
     return the result as a batch DataFrame (memory sink)."""
     spark = result.sparkSession
@@ -116,7 +197,7 @@ def run_available_now(result: DataFrame, name: str | None = None) -> DataFrame:
     q = (
         result.writeStream.format("memory")
         .queryName(table)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
         .trigger(availableNow=True)
         .start()
