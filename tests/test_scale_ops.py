@@ -1,0 +1,87 @@
+"""Scale-technique operators: bucketed joins must drop the shuffle, salted
+aggregation must be exact."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+from ufc_data_warehouse_spark.operators.scale import (
+    bucketed,
+    salted_sum_count,
+    write_bucketed,
+)
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    # lands in the session's default spark-warehouse dir (gitignored);
+    # drop stale tables AND their orphaned locations from prior runs
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    write_bucketed(orders, "b_orders", ["o_orderkey"], num_buckets=8)
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        ["o_orderkey"],
+        num_buckets=8,
+    )
+    return "b_orders", "b_lineitem"
+
+
+def test_bucketed_join_is_shuffle_free(spark, bucketed_tables):
+    t1, t2 = bucketed_tables
+    # at test scale the dim fits the broadcast threshold, which makes the
+    # planner skip bucketing entirely — force the shuffle-join path the
+    # layout is designed for (at 100 TB neither side broadcasts)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed(spark, t1).join(bucketed(spark, t2), "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-located: sort-merge join consumes bucketed scans, no shuffle
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Bucketed: true" in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_matches_plain_join(spark, bucketed_tables):
+    t1, t2 = bucketed_tables
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    plain = lineitem.join(
+        orders, lineitem["l_orderkey"] == orders["o_orderkey"]
+    ).count()
+    co = bucketed(spark, t1).join(bucketed(spark, t2), "o_orderkey").count()
+    assert plain == co
+
+
+def test_salted_aggregate_is_exact(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    salted = {
+        (r["l_returnflag"],): (r["n"], r["sum_l_linenumber"])
+        for r in salted_sum_count(
+            ev, ["l_returnflag"], "l_linenumber", salt_buckets=8
+        ).collect()
+    }
+    plain = {
+        (r["l_returnflag"],): (r["n"], r["s"])
+        for r in ev.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_linenumber").cast("long")).alias("s"),
+        )
+        .collect()
+    }
+    assert salted == plain

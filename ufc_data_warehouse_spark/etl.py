@@ -1,0 +1,92 @@
+"""End-to-end pipeline runner — the ``startup.sh`` analog (SURVEY §3).
+
+The reference's flow: download CSVs → dlt load → ``dbt run`` (views) →
+Metabase cards (/root/reference/startup.sh:14-53). Spark-native flow:
+
+    ingest CSVs → raw parquet → resolve model DAG → write analytics marts
+    as partitioned parquet → serve via ``api.sql`` / DataFrames.
+
+Marts are partitioned by their natural keys (the 100 TB layout knob):
+readers filtering on weight_category prune partitions at the source.
+
+Usage::
+
+    from ufc_data_warehouse_spark.etl import run_pipeline
+    result = run_pipeline(spark, csv_dir, warehouse_dir)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from . import models  # noqa: F401 — populates the registry
+from .registry import REGISTRY
+from .session import apply_runtime_confs
+from .sources.ingest import ingest_dir, load_raw
+
+# analytics marts worth materializing, with their partition keys
+MART_PARTITIONS: dict[str, list[str]] = {
+    "fct_fights": ["weight_category"],
+    "title_reigns": ["weight_category"],
+    "fct_title_reigns": ["weight_category"],
+    "title_defenses": ["weight_category"],
+    "fighters_by_wins": [],
+    "fighters_best_record": [],
+}
+
+
+@dataclass
+class PipelineResult:
+    raw_tables: dict[str, str] = field(default_factory=dict)
+    marts: dict[str, str] = field(default_factory=dict)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    csv_dir: str,
+    warehouse_dir: str,
+    vacancy_csv: str | None = None,
+    marts: list[str] | None = None,
+) -> PipelineResult:
+    """CSV → raw parquet → model DAG → partitioned parquet marts."""
+    apply_runtime_confs(spark)
+    result = PipelineResult()
+    result.raw_tables = ingest_dir(spark, csv_dir, warehouse_dir, vacancy_csv)
+    raw = load_raw(spark, warehouse_dir)
+    targets = [m for m in (marts or list(MART_PARTITIONS)) if m in REGISTRY.models]
+    buildable = [
+        t
+        for t in targets
+        if all(
+            dep in raw or dep in REGISTRY.models
+            for dep in REGISTRY.models[t].deps
+        )
+        # title_reigns needs the scraper table; skip its family when absent
+        and not (
+            "title_status_changes_outside_octagon"
+            not in raw
+            and "title_status_changes_outside_octagon"
+            in _transitive_sources(t)
+        )
+    ]
+    result.marts = REGISTRY.materialize(
+        raw,
+        warehouse_dir,
+        targets=buildable,
+        partition_by={k: v for k, v in MART_PARTITIONS.items() if v},
+    )
+    return result
+
+
+def _transitive_sources(target: str) -> set[str]:
+    out: set[str] = set()
+    stack = [target]
+    while stack:
+        name = stack.pop()
+        if name in REGISTRY.models:
+            stack.extend(REGISTRY.models[name].deps)
+        else:
+            out.add(name)
+    return out

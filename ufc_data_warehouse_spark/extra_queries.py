@@ -171,6 +171,14 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return simsearch.ivf_topk(emb, queries, k=10, n_probe=2).orderBy(
+        "query_id", "rank"
+    )
+
+
 def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     return simsearch.lsh_bucket_signatures(emb, num_planes=8).orderBy("id")
@@ -457,6 +465,7 @@ EXTRA_QUERIES: dict[str, Query] = {
     "text_language_id": q_text_language_id,
     "text_quality_score": q_text_quality_score,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -566,6 +575,40 @@ WITH q AS (
 SELECT id, len_ok, diversity_ok, alpha_ok,
   (len_ok + diversity_ok + alpha_ok) AS quality
 FROM q ORDER BY id""",
+    "ann_ivf_topk": """
+WITH reps AS (
+  SELECT label AS rep_list, embedding::DOUBLE[] AS rep_vec
+  FROM (
+    SELECT label, embedding,
+      row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+    FROM embeddings
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+      FROM embeddings WHERE vec_id % 50 = 0),
+probes AS (
+  SELECT query_id, qvec, rep_list AS probe_list FROM (
+    SELECT q.query_id, q.qvec, r.rep_list,
+      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        list_dot_product(r.rep_vec, q.qvec)
+          / (sqrt(list_dot_product(r.rep_vec, r.rep_vec))
+             * sqrt(list_dot_product(q.qvec, q.qvec))) DESC, r.rep_list) AS pr
+    FROM q, reps r
+  ) WHERE pr <= 2
+),
+scored AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+    list_dot_product(e.embedding::DOUBLE[], p.qvec)
+      / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(p.qvec, p.qvec))) AS cosine
+  FROM embeddings e JOIN probes p ON e.label = p.probe_list
+  WHERE e.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, rank::INT AS rank FROM (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10 ORDER BY query_id, rank""",
     "ann_cosine_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id % 50 = 0),
 scored AS (
@@ -754,6 +797,7 @@ BENCH_EXTRA = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",

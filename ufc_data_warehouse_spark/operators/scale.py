@@ -1,0 +1,70 @@
+"""Scale techniques as reusable operators: bucketed co-located joins and
+salted two-phase aggregation.
+
+These are the knobs SURVEY §4 calls out for the 100 TB design point that
+AQE alone doesn't give you:
+
+- **Bucketing** pre-shuffles a table ONCE at write time; any number of
+  later joins/aggregations on the bucket key run shuffle-free (the scan
+  reports the bucket partitioning, Catalyst drops the Exchange). This is
+  how the fights fact would be laid out so fighter/event-keyed analytics
+  never reshuffle 100 TB.
+- **Salting** splits a hot grouping key across ``salt_buckets`` partial
+  groups, aggregates, then merges — the classic fix when one key holds a
+  double-digit share of rows and AQE's skew-join splitting doesn't apply
+  (it only handles joins, not aggregations; and partial/map-side combine
+  already handles mild skew — salting is for the pathological tail).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sort-ordered) table.
+
+    Joins and aggregations keyed on ``bucket_cols`` against another table
+    bucketed the same way are co-located: no Exchange in the plan.
+    """
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def bucketed(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
+
+
+def salted_sum_count(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str | None = None,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Skew-resistant count (+ optional long-sum) by ``key_cols``.
+
+    Phase 1 groups by (key, salt) — the hot key's rows spread over
+    ``salt_buckets`` reducers; phase 2 merges the partials per key. Both
+    aggregates are algebraic so the rewrite is exact. Salt is derived from
+    a hash of the whole row's monotonically assigned id? No — from
+    ``spark_partition_id``: deterministic enough for load-spreading and
+    free to compute, and the final merge is order-insensitive.
+    """
+    salted = df.withColumn("_salt", F.spark_partition_id() % salt_buckets)
+    aggs = [F.count("*").alias("_cnt")]
+    if value_col is not None:
+        aggs.append(F.sum(F.col(value_col).cast("long")).alias("_sum"))
+    partial = salted.groupBy(*key_cols, "_salt").agg(*aggs)
+    final_aggs = [F.sum("_cnt").alias("n")]
+    if value_col is not None:
+        final_aggs.append(F.sum("_sum").alias(f"sum_{value_col}"))
+    return partial.groupBy(*key_cols).agg(*final_aggs)

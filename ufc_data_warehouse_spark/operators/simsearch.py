@@ -78,6 +78,77 @@ def cosine_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "label",
+) -> DataFrame:
+    """IVF-flavored ANN: the corpus is pre-partitioned into inverted lists
+    (here the ``label`` column — in production a clustering assignment);
+    each query probes only the ``n_probe`` nearest lists, then ranks
+    exactly within them.
+
+    The list representative is the member with the MINIMUM id (a
+    deterministic medoid stand-in) — unlike a mean centroid it involves no
+    float accumulation, so results are engine-exact and reproducible.
+
+    Scale shape: reps are tiny (one per list) and broadcast twice; the
+    candidate scan touches |corpus| × n_probe/n_lists rows — the sublinear
+    path; final top-k is one window per query over candidates only.
+    """
+    w_rep = Window.partitionBy(list_col).orderBy(F.asc(id_col))
+    reps = (
+        embeddings.withColumn("_rn", F.row_number().over(w_rep))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(list_col).alias("rep_list"), F.col(vec_col).alias("rep_vec"))
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    probe_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("rep_cos"), F.asc("rep_list")
+    )
+    probes = (
+        qs.join(F.broadcast(reps))
+        .select(
+            "query_id",
+            "qvec",
+            "rep_list",
+            (
+                _dot(F.col("rep_vec"), F.col("qvec"))
+                / (_norm(F.col("rep_vec")) * _norm(F.col("qvec")))
+            ).alias("rep_cos"),
+        )
+        .withColumn("_pr", F.row_number().over(probe_rank))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "qvec", F.col("rep_list").alias("probe_list"))
+    )
+    cands = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        F.col(list_col).alias("probe_list"),
+    ).join(F.broadcast(probes), "probe_list")
+    w_k = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cands.filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("vec"), F.col("qvec"))
+                / (_norm(F.col("vec")) * _norm(F.col("qvec")))
+            ).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w_k))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def hyperplane_weight(plane: F.Column, dim: F.Column) -> F.Column:
     """Deterministic pseudo-random weight in [-1, 1): derived from
     md5(plane:dim) — identical in any engine with md5 + hex→int."""
