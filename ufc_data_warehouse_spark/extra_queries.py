@@ -197,12 +197,12 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("decimal(38,4)").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("decimal(38,4)").alias("sum_base_price"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
             F.sum(
                 (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
                 .cast("decimal(38,8)")
-            ).cast("decimal(38,8)").alias("sum_disc_price"),
+            ).cast("double").alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -223,7 +223,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
         .filter(F.col("l_shipdate") > F.col("o_orderdate"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(revenue).cast("decimal(38,8)").alias("revenue"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -250,7 +250,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("sn") == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
         .groupBy("n_name")
-        .agg(F.sum(revenue).cast("decimal(38,8)").alias("revenue"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
 
@@ -323,7 +323,7 @@ def q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.countDistinct("user_id").alias("n_users"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(38,4)").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
             F.count(F.when(F.col("value") > 50, 1)).alias("n_high"),
         )
         .orderBy("event_type")
@@ -643,15 +643,15 @@ SELECT id, sum(CASE WHEN dot > 0 THEN (1::BIGINT << plane::INT) ELSE 0 END)::BIG
 FROM comps GROUP BY id ORDER BY id""",
     "tpch_q1": """
 SELECT l_returnflag, l_linestatus,
-  sum(l_quantity::DECIMAL(18,4))::DECIMAL(38,4) AS sum_qty,
-  sum(l_extendedprice::DECIMAL(18,4))::DECIMAL(38,4) AS sum_base_price,
-  sum((l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4)))::DECIMAL(38,8))::DECIMAL(38,8) AS sum_disc_price,
+  sum(l_quantity::DECIMAL(18,4))::DOUBLE AS sum_qty,
+  sum(l_extendedprice::DECIMAL(18,4))::DOUBLE AS sum_base_price,
+  sum((l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4)))::DECIMAL(38,8))::DOUBLE AS sum_disc_price,
   count(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus""",
     "tpch_q3": """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-  sum((l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4)))::DECIMAL(38,8))::DECIMAL(38,8) AS revenue
+  sum((l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4)))::DECIMAL(38,8))::DOUBLE AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -660,7 +660,7 @@ GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "tpch_q5": """
 SELECT n_name,
-  sum((l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4)))::DECIMAL(38,8))::DECIMAL(38,8) AS revenue
+  sum((l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4)))::DECIMAL(38,8))::DOUBLE AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -700,7 +700,7 @@ SELECT user_id, session_seq::BIGINT AS session_seq, count(*) AS n_events,
 FROM sessions GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
     "event_type_stats": """
 SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
-  sum(value::DECIMAL(18,4))::DECIMAL(38,4) AS sum_value,
+  sum(value::DECIMAL(18,4))::DOUBLE AS sum_value,
   count(*) FILTER (WHERE value > 50) AS n_high
 FROM events GROUP BY event_type ORDER BY event_type""",
 }
@@ -747,7 +747,7 @@ ORDER BY media_id, frame_idx"""
 EXTRA_ORACLES["streaming_tumbling_counts"] = """
 SELECT to_timestamp(((epoch_us(ts) // 1000000) // 300) * 300)::TIMESTAMP AS window_start,
   event_type, count(*) AS n,
-  sum(value::DECIMAL(18,4))::DECIMAL(38,4) AS sum_value
+  sum(value::DECIMAL(18,4))::DOUBLE AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""
 
 EXTRA_ORACLES["streaming_session_windows"] = """

@@ -230,22 +230,29 @@ def title_reigns(d: dict[str, DataFrame]) -> DataFrame:
         )
     )
 
-    # --- J5 interval attachment: status falls inside the reign (sql:260-301)
+    # --- J5 interval attachment: status falls inside the reign (sql:260-301).
+    # The reference joins on weight_category equality + an OR of two name
+    # equalities. With only ~12 categories the OR arms become a residual
+    # evaluated for every (reign × same-category status) pair — quadratic
+    # in practice. Equivalent plan with O(1) hash probes: explode each
+    # reign into its DISTINCT {full name, last name} keys and equi-join on
+    # (category, name_key); array_distinct prevents double-matching
+    # single-word names, and distinct (reign, status) pairs are preserved
+    # because a status equals at most one of the two distinct keys.
     sr = status_resolved.select(
         F.col("weight_category").alias("s_weight_category"),
+        F.lower(F.col("fighter_full_name")).alias("s_name_key"),
         F.col("change_date"),
-        F.col("fighter_full_name"),
         F.col("reason").alias("s_reason"),
     )
-    reign_name = F.lower(F.col("fighter"))
-    reign_last = F.lower(last_word("fighter"))
-    attached = new_champion_events.join(
+    reign_keys = F.array_distinct(
+        F.array(F.lower(F.col("fighter")), F.lower(last_word("fighter")))
+    )
+    exploded = new_champion_events.withColumn("name_key", F.explode(reign_keys))
+    attached = exploded.join(
         F.broadcast(sr),
         (F.col("s_weight_category") == F.col("weight_category"))
-        & (
-            (F.lower(F.col("fighter_full_name")) == reign_name)
-            | (F.lower(F.col("fighter_full_name")) == reign_last)
-        )
+        & (F.col("s_name_key") == F.col("name_key"))
         & (F.col("change_date") >= F.col("start_date"))
         & (
             F.col("next_champion_date").isNull()

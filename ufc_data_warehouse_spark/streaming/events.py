@@ -69,7 +69,7 @@ def tumbling_counts(stream: DataFrame) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.sum(F.col("value").cast("decimal(18,4)"))
-            .cast("decimal(38,4)")
+            .cast("double")
             .alias("sum_value"),
         )
         .select(
