@@ -137,6 +137,28 @@ def sample_frames(decoded: DataFrame, every_n: int = 30) -> DataFrame:
     )
 
 
+def resize_plan(
+    decoded: DataFrame, max_side: int = 224
+) -> DataFrame:
+    """Resize planning for image rows: target dimensions preserving aspect
+    ratio, capped at ``max_side`` — pure integer Column math (the actual
+    pixel resample belongs in the codec UDF; this computes the schedule a
+    decode+resize fused kernel consumes)."""
+    scale_num = F.lit(max_side)
+    longest = F.greatest("width", "height")
+    needs = longest > max_side
+    new_w = F.when(needs, (F.col("width") * scale_num / longest).cast("int")).otherwise(
+        F.col("width")
+    )
+    new_h = F.when(needs, (F.col("height") * scale_num / longest).cast("int")).otherwise(
+        F.col("height")
+    )
+    return decoded.filter(F.col("kind") == "image").select(
+        "media_id", "width", "height",
+        new_w.alias("target_width"), new_h.alias("target_height"),
+    )
+
+
 def media_metadata(media: DataFrame) -> DataFrame:
     """JVM-side metadata extraction (no decode): byte length + md5 digest.
     Oracle-checkable — md5 over the payload bytes matches any engine's
