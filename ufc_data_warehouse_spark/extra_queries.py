@@ -343,33 +343,153 @@ _IMG_SQL = """CASE WHEN fighter IS NULL OR fighter = '' THEN NULL
                    '^_+|_+$', '', 'g'), '.png') END"""
 
 
-def _card(model: str, metric: str, k: int) -> Query:
+# One spec per reference card (charts.sh:176-498): model, extra output
+# columns after (fighter, image), the card's ORDER BY refined to a TOTAL
+# order over the model's grain (so the LIMIT cutoff is deterministic on
+# both engines), hidden order-only columns, and the LIMIT.
+_DIRS = {
+    "asc": ("asc", "ASC"),
+    "desc": ("desc", "DESC"),
+    "asc_nl": ("asc_nulls_last", "ASC NULLS LAST"),
+    "desc_nl": ("desc_nulls_last", "DESC NULLS LAST"),
+}
+
+CARD_SPECS: dict[str, dict] = {
+    "card_qof_at_time_top25": dict(
+        model="quality_of_opposition_faced",
+        cols=["avg_opponent_win_pct_at_time"],
+        order=[("avg_opponent_win_pct_at_time", "desc_nl"), ("fighter", "asc")],
+        limit=25,
+    ),
+    "card_qof_career_wins_top25": dict(
+        model="quality_of_opposition_faced",
+        cols=["avg_opponent_career_wins"],
+        order=[("avg_opponent_career_wins", "desc_nl"), ("fighter", "asc")],
+        limit=25,
+    ),
+    "card_title_fight_wins_top50": dict(
+        model="title_fight_results_by_fighter",
+        cols=["category", "title_fight_wins"],
+        order=[("title_fight_wins", "desc"), ("fighter", "asc"), ("category", "asc")],
+        limit=50,
+    ),
+    "card_multi_division_champs": dict(
+        model="multi_division_champs",
+        cols=["distinct_title_categories"],
+        order=[("distinct_title_categories", "desc"), ("fighter", "asc")],
+        limit=None,
+    ),
+    "card_wins_over_champions_top25": dict(
+        model="wins_over_champions_agg",
+        cols=["wins_over_champions"],
+        order=[("wins_over_champions", "desc"), ("fighter", "asc")],
+        limit=25,
+    ),
+    "card_longest_streaks_top25": dict(
+        model="fighters_by_longest_winning_streak",
+        cols=["longest_win_streak"],
+        order=[("longest_win_streak", "desc"), ("fighter", "asc")],
+        limit=25,
+    ),
+    "card_best_record_top25": dict(
+        model="fighters_best_record",
+        cols=["win_pct"],
+        order=[("win_pct", "desc_nl"), ("fighter", "asc")],
+        limit=25,
+    ),
+    "card_non_decision_top25": dict(
+        model="fighters_by_non_decision_wins",
+        cols=["non_decision_wins"],
+        order=[("non_decision_wins", "desc"), ("fighter", "asc")],
+        limit=25,
+    ),
+    "card_title_defenses_top50": dict(
+        model="title_defenses",
+        cols=["weight_category", "title_defenses"],
+        order=[("title_defenses", "desc"), ("fighter", "asc"), ("weight_category", "asc")],
+        limit=50,
+    ),
+    "card_champ_rounds_top50": dict(
+        model="championship_rounds_fought",
+        cols=["title_fights", "championship_rounds_fought"],
+        order=[
+            ("championship_rounds_fought", "desc"),
+            ("title_fights", "desc"),
+            ("fighter", "asc"),
+        ],
+        limit=50,
+    ),
+    "card_consec_defenses_top50": dict(
+        model="consecutive_title_defenses",
+        cols=["weight_category", "max_consecutive_title_defenses"],
+        order=[
+            ("max_consecutive_title_defenses", "desc"),
+            ("fighter", "asc"),
+            ("weight_category", "asc"),
+        ],
+        limit=50,
+    ),
+    "card_clutch_wins_top25": dict(
+        model="clutch_wins",
+        cols=["clutch_wins"],
+        order=[("clutch_wins", "desc"), ("fighter", "asc")],
+        limit=25,
+    ),
+    "card_total_champ_days_top50": dict(
+        model="total_champ_days",
+        cols=["weight_category", "total_champ_days"],
+        order=[
+            ("total_champ_days", "desc_nl"),
+            ("fighter", "asc"),
+            ("weight_category", "asc"),
+        ],
+        limit=50,
+    ),
+}
+
+
+def _make_card(spec: dict) -> Query:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .api import build_model
         from .exprs import image_slug_url
 
-        df = build_model(spark, sf_dir, model)
-        return (
-            df.select(
-                "fighter",
-                image_slug_url("fighter").alias("fighter_image_url"),
-                metric,
-            )
-            .orderBy(F.desc_nulls_last(metric), F.asc("fighter"))
-            .limit(k)
+        df = build_model(spark, sf_dir, spec["model"]).select(
+            "fighter",
+            image_slug_url("fighter").alias("fighter_image_url"),
+            *spec["cols"],
         )
+        order = [getattr(F, _DIRS[d][0])(c) for c, d in spec["order"]]
+        out = df.orderBy(*order)
+        if spec["limit"]:
+            out = out.limit(spec["limit"])
+        return out
 
-    run.__name__ = f"card_{model}"
+    run.__name__ = f"card_{spec['model']}"
     return run
 
 
-def _card_oracle(model: str, metric: str, k: int) -> str:
+def _make_card_oracle(spec: dict) -> str:
     from .oracle import oracle_for
 
+    cols = ", ".join(spec["cols"])
+    order = ", ".join(f"{c} {_DIRS[d][1]}" for c, d in spec["order"])
+    limit = f" LIMIT {spec['limit']}" if spec["limit"] else ""
     return f"""
-SELECT fighter, {_IMG_SQL} AS fighter_image_url, {metric}
-FROM ({oracle_for(model)})
-ORDER BY {metric} DESC NULLS LAST, fighter LIMIT {k}"""
+SELECT fighter, {_IMG_SQL} AS fighter_image_url, {cols}
+FROM ({oracle_for(spec['model'])})
+ORDER BY {order}{limit}"""
+
+
+def _card(model: str, metric: str, k: int) -> Query:
+    spec = dict(model=model, cols=[metric],
+                order=[(metric, "desc_nl"), ("fighter", "asc")], limit=k)
+    return _make_card(spec)
+
+
+def _card_oracle(model: str, metric: str, k: int) -> str:
+    spec = dict(model=model, cols=[metric],
+                order=[(metric, "desc_nl"), ("fighter", "asc")], limit=k)
+    return _make_card_oracle(spec)
 
 
 # ---------------------------------------------------------------------------
@@ -804,3 +924,7 @@ BENCH_EXTRA = [
     "sessionization",
     "asof_orders_before_events",
 ]
+
+for _name, _spec in CARD_SPECS.items():
+    EXTRA_QUERIES[_name] = _make_card(_spec)
+    EXTRA_ORACLES[_name] = _make_card_oracle(_spec)
