@@ -61,6 +61,18 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup pipeline: shingle → minhash → LSH → verify → connected
+    components → canonical pick (what a 100 TB dedup job actually emits)."""
+    docs = _read(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs, n=3)
+    sigs = dedup.minhash_signatures(sh, num_hashes=16)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    pairs = dedup.jaccard_pairs(sh, min_jaccard=0.2, candidates=cands)
+    ids = docs.select(F.col("doc_id").alias("id"))
+    return dedup.duplicate_clusters(pairs, ids).orderBy("id")
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     sh = dedup.word_shingles(docs, n=3)
@@ -578,6 +590,7 @@ EXTRA_QUERIES: dict[str, Query] = {
     "dedup_exact": q_dedup_exact,
     "dedup_fingerprint": q_dedup_fingerprint,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -657,6 +670,38 @@ cands AS (
 SELECT j.id_a, j.id_b, j.shared, j.union_size, j.jaccard
 FROM jac j JOIN cands c ON j.id_a = c.id_a AND j.id_b = c.id_b
 WHERE j.jaccard >= 0.2 ORDER BY j.id_a, j.id_b""",
+    "dedup_clusters": f"""
+WITH RECURSIVE {_SHINGLES_SQL.strip().lstrip(',')},
+sigs AS ({_MINHASH_SQL}),
+buckets AS ({_BANDS_SQL}),
+cands AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM buckets l JOIN buckets r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+),
+{_JACCARD_CORE_SQL.strip().lstrip(',')},
+dup_pairs AS (
+  SELECT j.id_a, j.id_b FROM jac j
+  JOIN cands c ON j.id_a = c.id_a AND j.id_b = c.id_b
+  WHERE j.jaccard >= 0.2
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM dup_pairs
+  UNION SELECT id_b, id_a FROM dup_pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+  WHERE r.src <> e.dst
+),
+comp AS (
+  SELECT src AS id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src
+)
+SELECT d.doc_id AS id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+  CASE WHEN coalesce(c.cluster_id, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS is_canonical
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+ORDER BY id""",
     "dedup_ngram_jaccard": f"""
 WITH {_SHINGLES_SQL.strip().lstrip(',')},
 {_JACCARD_CORE_SQL.strip().lstrip(',')}

@@ -244,6 +244,59 @@ def simhash(
     )
 
 
+def duplicate_clusters(pairs: DataFrame, all_ids: DataFrame) -> DataFrame:
+    """Near-dup pairs → connected components → canonical pick:
+    (id, cluster_id, is_canonical) where cluster_id is the component's
+    minimum id; singletons are their own canonical cluster.
+
+    Iterative min-label propagation (the standard large-graph connected
+    components on Spark): each round joins labels across edges and keeps
+    the minimum; rounds needed = graph diameter (near-dup components are
+    shallow). The per-round convergence check is one count — the
+    documented exception to the no-driver-loops rule for iterative
+    algorithms (GraphX-style Pregel does exactly this under the hood).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+    )
+    labels = all_ids.select(
+        F.col("id"), F.col("id").alias("cluster_id")
+    )
+    for _ in range(20):  # diameter bound; near-dup clusters are shallow
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(
+        "id",
+        "cluster_id",
+        F.when(F.col("id") == F.col("cluster_id"), 1).otherwise(0).alias("is_canonical"),
+    )
+
+
 def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 6) -> DataFrame:
     """Near-dup pairs by simhash hamming distance: (id_a, id_b, hamming).
 
