@@ -24,7 +24,9 @@ _frame_cache: dict[tuple[int, str], dict[str, DataFrame]] = {}
 
 
 def _sources(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    key = (id(spark._jsparkSession), sf_dir)
+    # applicationId is unique per SparkContext and survives GC churn
+    # (an id()-based key could collide after a session is collected)
+    key = (spark.sparkContext.applicationId, sf_dir)
     cached = _frame_cache.get(key)
     raw = ufc_raw_tables(spark, sf_dir)
     if cached is None:
