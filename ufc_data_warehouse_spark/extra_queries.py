@@ -166,6 +166,16 @@ def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_score(_read(spark, sf_dir, "documents")).orderBy("id")
 
 
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.chunk_documents(
+        _read(spark, sf_dir, "documents"), chunk_chars=200, overlap=50
+    ).orderBy("id", "chunk_idx")
+
+
+def q_text_bpe_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bpe_token_estimate(_read(spark, sf_dir, "documents")).orderBy("id")
+
+
 _STOPLIST_SQL = "[" + ", ".join(f"'{s}'" for s in text.EN_STOPWORDS) + "]"
 
 # ---------------------------------------------------------------------------
@@ -597,6 +607,8 @@ EXTRA_QUERIES: dict[str, Query] = {
     "text_token_stats": q_text_token_stats,
     "text_language_id": q_text_language_id,
     "text_quality_score": q_text_quality_score,
+    "text_chunks": q_text_chunks,
+    "text_bpe_estimate": q_text_bpe_estimate,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
@@ -728,6 +740,31 @@ SELECT doc_id AS id, len({_TOKS_SQL})::INT AS n_tokens,
   CASE WHEN len(list_filter({_TOKS_SQL}, t -> list_contains({_STOPLIST_SQL}, t))) * 20
             >= len({_TOKS_SQL}) THEN 'en' ELSE 'und' END AS lang_guess
 FROM documents ORDER BY id""",
+    "text_chunks": f"""
+WITH base AS (
+  SELECT doc_id AS id, {_NORM_SQL} AS norm FROM documents
+  WHERE length({_NORM_SQL}) > 0
+),
+counted AS (
+  SELECT id, norm,
+    CASE WHEN length(norm) <= 200 THEN 0
+         ELSE ceil((length(norm) - 200)::DOUBLE / 150)::INT END AS n_chunks
+  FROM base
+)
+SELECT id, (s.start // 150)::INT AS chunk_idx,
+  substr(norm, s.start + 1, 200) AS chunk_text,
+  length(substr(norm, s.start + 1, 200))::INT AS chunk_chars
+FROM counted, unnest(generate_series(0, n_chunks * 150, 150)) AS s(start)
+ORDER BY id, chunk_idx""",
+    "text_bpe_estimate": f"""
+WITH base AS (SELECT doc_id AS id, {_NORM_SQL} AS norm FROM documents)
+SELECT id,
+  len(regexp_extract_all(norm, '[a-z0-9]+'))::INT AS word_runs,
+  len(regexp_extract_all(norm, '[^a-z0-9 ]'))::INT AS punct_chars,
+  (coalesce(list_sum(list_transform(regexp_extract_all(norm, '[a-z0-9]+'),
+      w -> (length(w) + 3) // 4)), 0)
+   + len(regexp_extract_all(norm, '[^a-z0-9 ]')))::BIGINT AS est_tokens
+FROM base ORDER BY id""",
     "text_quality_score": f"""
 WITH q AS (
   SELECT doc_id AS id,

@@ -55,6 +55,75 @@ def language_id(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_chars: int = 200,
+    overlap: int = 50,
+) -> DataFrame:
+    """Split documents into overlapping character chunks:
+    (id, chunk_idx, chunk_text, chunk_chars) — the context-window
+    preparation step of a training pipeline.
+
+    Pure Column logic (sequence + explode + substring): a narrow flatMap,
+    no shuffle, no Python. Stride = chunk_chars - overlap; the final
+    partial chunk is kept (min length 1).
+    """
+    stride = chunk_chars - overlap
+    n = F.length(F.col("norm"))
+    # starts: 0, stride, 2*stride, … while start < n
+    n_chunks = F.when(n <= chunk_chars, F.lit(0)).otherwise(
+        F.ceil((n - chunk_chars).cast("double") / stride).cast("int")
+    )
+    starts = F.sequence(F.lit(0), n_chunks * stride, F.lit(stride))
+    chunk = F.substring(F.col("norm"), F.col("start") + 1, chunk_chars)
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            normalized_text(F.col(text_col)).alias("norm"),
+        )
+        .filter(F.length("norm") > 0)
+        .select("id", "norm", F.posexplode(starts).alias("chunk_idx", "start"))
+        .select(
+            "id",
+            "chunk_idx",
+            chunk.alias("chunk_text"),
+            F.length(chunk).alias("chunk_chars"),
+        )
+    )
+
+
+# BPE-ish subword estimate: alnum runs count ~1 token per 4 chars
+# (ceil), punctuation runs 1 per char — a deterministic, library-free
+# approximation of byte-pair tokenizer behavior on English text.
+_WORD_RE = "[a-z0-9]+"
+_PUNCT_RE = r"[^a-z0-9 ]"
+
+
+def bpe_token_estimate(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, word_runs, punct_chars, est_tokens): regex-based token-count
+    estimate — whitespace counting's BPE-aware sibling (both JVM-side)."""
+    norm = normalized_text(F.col(text_col))
+    words = F.regexp_extract_all(norm, F.lit(_WORD_RE), 0)
+    word_runs = F.size(words)
+    # ceil(len/4) summed over runs = sum((len+3) div 4)
+    est_word_tokens = F.aggregate(
+        F.transform(words, lambda w: (F.length(w) + 3).cast("long") / 4),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    )
+    punct = F.size(F.regexp_extract_all(norm, F.lit(_PUNCT_RE), 0))
+    return df.select(
+        F.col(id_col).alias("id"),
+        word_runs.alias("word_runs"),
+        punct.cast("int").alias("punct_chars"),
+        (est_word_tokens + punct).cast("long").alias("est_tokens"),
+    )
+
+
 def quality_score(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
