@@ -226,12 +226,47 @@ def ufc_raw_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         )
     )
 
+    fid = F.col("fid")
+    fighter_tott = (
+        spark.range(N_FIGHTERS)
+        .select(F.col("id").cast("bigint").alias("fid"))
+        .select(
+            _fighter_name(fid).alias("fighter"),
+            F.concat((60 + fid % 20).cast("string"), F.lit('"')).alias("height"),
+            F.concat((125 + fid * 5 % 140).cast("string"), F.lit(" lbs.")).alias("weight"),
+            F.concat((60 + fid % 25).cast("string"), F.lit('"')).alias("reach"),
+            F.when(fid % 3 == 0, "Orthodox").when(fid % 3 == 1, "Southpaw")
+            .otherwise("Switch").alias("stance"),
+            _fmt_date(
+                F.date_add(F.lit("1970-01-01").cast("date"), (fid * 200).cast("int")),
+                fid % 4, F.lit(False), "",
+            ).alias("dob"),
+            F.concat(F.lit("http://fighters/"), fid.cast("string")).alias("url"),
+        )
+    )
+    fight_stats = base.select(
+        F.when(ln == 7, F.concat(F.lit(" UFC "), evf))
+        .otherwise(F.concat(F.lit("UFC "), evf)).alias("event"),
+        F.concat(f1, F.lit(" vs. "), f2).alias("bout"),
+        F.when((ok + pk) % 23 == 0, "").otherwise((1 + (ok + ln) % 5).cast("string"))
+        .alias("round"),
+        f1.alias("fighter"),
+        (h % 4).cast("string").alias("kd"),
+        F.concat((h % 60).cast("string"), F.lit(" of "), (h % 60 + h % 30).cast("string"))
+        .alias("sig_str"),
+        F.concat((h % 100).cast("string"), F.lit("%")).alias("sig_str_pct"),
+        F.concat(F.lit("http://fights/"), ok.cast("string"), F.lit("-"), ln.cast("string"),
+                 F.lit("-"), pk.cast("string"), F.lit("-"), sk.cast("string")).alias("url"),
+    )
+
     return {
         "dim_ufc_event_details": event_details,
         "fact_ufc_fight_results": fight_results,
         "title_status_changes_outside_octagon": status_changes,
         "fact_ufc_fight_details": fight_details,
+        "fact_ufc_fight_stats": fight_stats,
         "dim_ufc_fighter_details": fighter_details,
+        "dim_ufc_fighter_tott": fighter_tott,
     }
 
 
