@@ -206,6 +206,11 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.lsh_bucket_signatures(emb, num_planes=8).orderBy("id")
 
 
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return simsearch.embedding_near_dup(emb, threshold=0.4).orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-style analytics on the native tables (DECIMAL-exact aggregation)
 # ---------------------------------------------------------------------------
@@ -612,6 +617,7 @@ EXTRA_QUERIES: dict[str, Query] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
@@ -777,6 +783,14 @@ WITH q AS (
 SELECT id, len_ok, diversity_ok, alpha_ok,
   (len_ok + diversity_ok + alpha_ok) AS quality
 FROM q ORDER BY id""",
+    "dedup_embedding_cosine": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      >= 0.4
+ORDER BY id_a, id_b""",
     "ann_ivf_topk": """
 WITH reps AS (
   SELECT label AS rep_list, embedding::DOUBLE[] AS rep_vec

@@ -78,6 +78,35 @@ def cosine_topk(
     )
 
 
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    candidates: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t) —
+    the dedup modality for already-embedded corpora.
+
+    With ``candidates`` (e.g. LSH bucket collisions) the pair space is
+    restricted before the exact cosine verify — the 100 TB path; without,
+    this is the exhaustive small-n verify.
+    """
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    if candidates is not None:
+        pairs = pairs.join(candidates, ["id_a", "id_b"], "left_semi")
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
