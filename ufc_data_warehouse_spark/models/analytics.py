@@ -426,23 +426,37 @@ def quality_of_opposition_faced(d: dict[str, DataFrame]) -> DataFrame:
     # pairs the rows of one fight via a fight_id window: one shuffle, and the
     # expensive upstream (unpivot + 3 window functions) is computed ONCE
     # instead of on both join sides (Catalyst can't reuse the exchange because
-    # column pruning makes the two sides structurally different).
-    pair = F.collect_list(
-        F.struct("fighter", "prior_wins", "prior_losses", "career_wins")
-    ).over(Window.partitionBy("fight_id"))
-    opp_rec = F.element_at(
-        F.filter(F.col("pair"), lambda p: p["fighter"] == F.col("opponent")), 1
-    )
+    # column pruning makes the two sides structurally different). In a 2-row
+    # group the opponent's value is simply (window sum − own value) — plain
+    # sums instead of collect_list-of-structs + array filter, which benches
+    # ~2× faster at sf0.1 (no per-row array materialization).
+    wf = Window.partitionBy("fight_id")
     joined = (
-        records.withColumn("pair", pair)
-        .withColumn("opp", opp_rec)
-        .filter(F.col("opp").isNotNull())
+        # own prior_* is NULL on a fighter's first fight (empty frame); coalesce
+        # before subtracting or the NULL poisons the opponent's value — the
+        # window sum itself already skips the NULL side correctly
+        records.withColumn("n_in_fight", F.count("*").over(wf))
+        .withColumn(
+            "o_prior_wins",
+            F.sum("prior_wins").over(wf) - F.coalesce("prior_wins", F.lit(0)),
+        )
+        .withColumn(
+            "o_prior_losses",
+            F.sum("prior_losses").over(wf) - F.coalesce("prior_losses", F.lit(0)),
+        )
+        .withColumn(
+            "o_career_wins", F.sum("career_wins").over(wf) - F.col("career_wins")
+        )
+        # NULL opponent never matches the reference's r2.fighter = r1.opponent
+        # join predicate — drop those rows exactly like the inner self-join does
+        .filter(F.col("n_in_fight") == 2)
+        .filter(F.col("opponent").isNotNull())
         .select(
             "fight_id",
             "fighter",
-            F.col("opp.prior_wins").alias("o_prior_wins"),
-            F.col("opp.prior_losses").alias("o_prior_losses"),
-            F.col("opp.career_wins").alias("o_career_wins"),
+            "o_prior_wins",
+            "o_prior_losses",
+            "o_career_wins",
             "career_wins",
         )
     )
