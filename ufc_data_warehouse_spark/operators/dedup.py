@@ -119,10 +119,18 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band bucket.
 
-    Band key = md5 of the band's concatenated minhashes; the self-join is
-    on (band, bucket) — a balanced shuffle key at scale. Output is
-    distinct pairs only; verification (exact Jaccard) is the caller's
-    next step.
+    Band key = md5 of the band's concatenated minhashes. Pairing is ONE
+    groupBy on (band, bucket) + in-array combination expansion — NOT a
+    bucket self-join: a self-join would execute the whole upstream
+    shingle→minhash pipeline once per join side (Catalyst does not reuse
+    the common subplan), and at 100 TB that doubles the dominant cost.
+    Bucket membership lists are small by LSH design (that is the point of
+    banding), so collect_set per bucket is bounded; a pathological hot
+    bucket (all-identical spam docs) would blow up B² pairwise on ANY
+    plan — cap it upstream by exact-dedup'ing first.
+
+    Output is distinct pairs only; verification (exact Jaccard) is the
+    caller's next step.
     """
     band_rows = []
     for b in range(bands):
@@ -138,16 +146,24 @@ def lsh_candidate_pairs(
     buckets = signatures.select(
         "id", F.explode(F.array(*band_rows)).alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    left = buckets.alias("l")
-    right = buckets.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.id") < F.col("r.id")),
+    grouped = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_set("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    # all (i < j) combinations of the sorted membership list
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+    )
+    return (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
@@ -160,25 +176,48 @@ def jaccard_pairs(
     """Exact shingle-Jaccard pairs ≥ threshold:
     (id_a, id_b, shared, union_size, jaccard).
 
-    With ``candidates`` (the LSH output) the shingle join is restricted to
-    colliding pairs — the 100 TB path. Without it this is the exhaustive
-    verify (n² worst case — small inputs only).
+    With ``candidates`` (the LSH output) the restriction happens BEFORE the
+    shingle join: candidate pairs are expanded with id_a's shingles, then
+    matched against id_b's — only candidate docs' shingles are ever touched,
+    never the full co-shingle pair space. (Semi-joining pairs *after* a
+    global shingle⋈shingle join would still execute the n² join — the
+    aggregation blocks semi-join pushdown.) Without ``candidates`` this is
+    the exhaustive verify (n² worst case — small inputs only).
+
+    Either way a pair must share ≥1 shingle to appear (inner joins), so the
+    two paths produce identical rows for any ``min_jaccard`` > 0.
     """
+    # sizes stay a full-corpus aggregation on purpose: it is one map-side
+    # combinable pass over a frame the caller already has (persisted in the
+    # query layer), whereas restricting it to candidate docs would reference
+    # the lazy candidates plan two more times — and Catalyst re-executes the
+    # whole LSH pipeline per reference (measured 7.1s vs 1.0s at sf0.1)
     sizes = shingles.groupBy("id").agg(F.count("*").alias("n_shingles"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("shared"))
-    )
     if candidates is not None:
-        shared = shared.join(candidates, ["id_a", "id_b"], "left_semi")
+        shared = (
+            candidates.join(
+                shingles.select(F.col("id").alias("id_a"), "shingle"), "id_a"
+            )
+            .join(
+                shingles.select(F.col("id").alias("id_b"), "shingle"),
+                ["id_b", "shingle"],
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("shared"))
+        )
+    else:
+        a = shingles.alias("a")
+        b = shingles.alias("b")
+        shared = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("shared"))
+        )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
     out = (
