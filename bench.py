@@ -66,9 +66,18 @@ def main() -> None:
         # layer, amortized across every model query)
         t0 = time.perf_counter()
         staging = REGISTRY.build(
-            stored, targets=["stg_fight_results", "stg_event_details"]
+            stored,
+            targets=[
+                "stg_fight_results",
+                "stg_event_details",
+                "stg_title_fights_norm",
+            ],
         )
-        for name in ("stg_fight_results", "stg_event_details"):
+        for name in (
+            "stg_fight_results",
+            "stg_event_details",
+            "stg_title_fights_norm",
+        ):
             stored[name] = staging[name].persist()
             stored[name].count()
         timings["cache_staging"] = round(time.perf_counter() - t0, 4)

@@ -19,7 +19,12 @@ from .synth import ufc_raw_tables
 # N-query workload (the correctness driver runs ~30 model queries
 # back-to-back) from N full derivations into one. Default persist level is
 # MEMORY_AND_DISK so the worst case spills instead of OOMing.
-_PERSISTED = ("stg_fight_results", "stg_event_details", "title_reigns")
+_PERSISTED = (
+    "stg_fight_results",
+    "stg_event_details",
+    "stg_title_fights_norm",
+    "title_reigns",
+)
 _frame_cache: dict[tuple[int, str], dict[str, DataFrame]] = {}
 
 

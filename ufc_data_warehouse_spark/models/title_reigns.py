@@ -33,20 +33,30 @@ from ..registry import model
 AS_OF_DATE = "2026-01-01"
 
 
-def _normalized_title_fights(d: dict[str, DataFrame], interim: bool) -> DataFrame:
-    """Shared CTE: (non-)interim title fights joined to events with the
-    weight_category normalizer applied (title_reigns.sql:3-76)."""
+@model(
+    "stg_title_fights_norm",
+    deps=["stg_fight_results", "stg_event_details"],
+)
+def stg_title_fights_norm(d: dict[str, DataFrame]) -> DataFrame:
+    """Shared CTE of the reign family: ALL title fights (interim flagged)
+    joined to events with the weight_category normalizer applied
+    (title_reigns.sql:3-76).
+
+    Materialized as its own staging model because title_reigns references
+    the non-interim slice four times (champion events, latest-undisputed,
+    both name-lookup sides) — as an inline subplan each reference re-ran
+    the scan+filter+join; as a persisted staging frame (see api._PERSISTED)
+    it is computed once. The interim/non-interim split is a flag column so
+    one pass serves both slices; the normalizer strips 'interim' only on
+    interim rows, exactly like the reference's two separate CTEs.
+    """
     events = d["stg_event_details"].select("event", "event_date")
+    is_interim = F.col("weightclass").ilike("%interim%")
     base = (
         d["stg_fight_results"]
         .filter(
             F.col("weightclass").ilike("%Title Bout%")
             & ~F.col("weightclass").ilike("%tournament%")
-            & (
-                F.col("weightclass").ilike("%interim%")
-                if interim
-                else ~F.col("weightclass").ilike("%interim%")
-            )
             & F.col("winner").isNotNull()
         )
         .join(F.broadcast(events), "event", "inner")
@@ -58,13 +68,23 @@ def _normalized_title_fights(d: dict[str, DataFrame], interim: bool) -> DataFram
         "fighter_1",
         "fighter_2",
         F.col("url"),
-        weight_category("weightclass", strip_interim=interim).alias("weight_category"),
+        F.when(
+            is_interim, weight_category("weightclass", strip_interim=True)
+        )
+        .otherwise(weight_category("weightclass", strip_interim=False))
+        .alias("weight_category"),
+        is_interim.alias("is_interim"),
     )
+
+
+def _normalized_title_fights(d: dict[str, DataFrame], interim: bool) -> DataFrame:
+    flag = F.col("is_interim") if interim else ~F.col("is_interim")
+    return d["stg_title_fights_norm"].filter(flag).drop("is_interim")
 
 
 @model(
     "title_reigns",
-    deps=["stg_fight_results", "stg_event_details", "title_status_changes_outside_octagon"],
+    deps=["stg_title_fights_norm", "title_status_changes_outside_octagon"],
     schema="goat_status",
     alias="mv_title_reigns",
 )
@@ -132,9 +152,12 @@ def title_reigns(d: dict[str, DataFrame]) -> DataFrame:
     )
 
     # --- fighter_name_lookup (sql:142-160)
+    # explode instead of UNION of two selects: one upstream reference, not two
     lookup = (
-        ntf.select("weight_category", F.col("fighter_1").alias("fighter_name"))
-        .unionByName(ntf.select("weight_category", F.col("fighter_2").alias("fighter_name")))
+        ntf.select(
+            "weight_category",
+            F.explode(F.array("fighter_1", "fighter_2")).alias("fighter_name"),
+        )
         .filter(not_null_or_empty("fighter_name"))
         .select(
             "weight_category",
