@@ -14,7 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .operators import dedup, simsearch, text
+from .operators import dedup, scale, simsearch, text
 from .session import apply_runtime_confs
 
 Query = Callable[[SparkSession, str], DataFrame]
@@ -625,10 +625,54 @@ def q_streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# scale operators, result-checked (their no-Exchange / skew-spread plan
+# shapes are asserted in tests/test_scale_ops.py; these queries prove the
+# rewrites are EXACT against a plain-SQL oracle)
+# ---------------------------------------------------------------------------
+
+
+def q_salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase aggregation; algebraically identical to a
+    plain GROUP BY, which is exactly what the oracle runs."""
+    ev = _read(spark, sf_dir, "events")
+    return scale.salted_sum_count(
+        ev, ["event_type"], value_col="user_id", salt_buckets=8
+    ).orderBy("event_type")
+
+
+def q_bucketed_customer_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-bucket co-located join: both sides written bucketed on the
+    join key, so the join (and the downstream agg) runs without a shuffle
+    of either fact — the 100 TB layout for repeat-joined tables. The
+    oracle is the plain join+agg."""
+    sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_totalprice").cast("decimal(18,4)").alias("price")
+    )
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o_tbl, c_tbl = f"bkt_orders_{sf_tag}", f"bkt_customer_{sf_tag}"
+    scale.write_bucketed(orders, o_tbl, ["o_custkey"], num_buckets=16)
+    scale.write_bucketed(cust, c_tbl, ["c_custkey"], num_buckets=16)
+    o = scale.bucketed(spark, o_tbl)
+    c = scale.bucketed(spark, c_tbl)
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("price").cast("double").alias("total_price"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 EXTRA_QUERIES: dict[str, Query] = {
+    "salted_event_type_stats": q_salted_event_type_stats,
+    "bucketed_customer_order_totals": q_bucketed_customer_order_totals,
     "dedup_exact": q_dedup_exact,
     "dedup_fingerprint": q_dedup_fingerprint,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -884,6 +928,14 @@ comps AS (
 )
 SELECT id, sum(CASE WHEN dot > 0 THEN (1::BIGINT << plane::INT) ELSE 0 END)::BIGINT AS bucket
 FROM comps GROUP BY id ORDER BY id""",
+    "salted_event_type_stats": """
+SELECT event_type, count(*) AS n, sum(user_id)::BIGINT AS sum_user_id
+FROM events GROUP BY event_type ORDER BY event_type""",
+    "bucketed_customer_order_totals": """
+SELECT c_nationkey, count(*) AS n_orders,
+  sum(o_totalprice::DECIMAL(18,4))::DOUBLE AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey ORDER BY c_nationkey""",
     "tpch_q1": """
 SELECT l_returnflag, l_linestatus,
   sum(l_quantity::DECIMAL(18,4))::DOUBLE AS sum_qty,

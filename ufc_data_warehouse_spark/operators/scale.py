@@ -33,7 +33,18 @@ def write_bucketed(
 
     Joins and aggregations keyed on ``bucket_cols`` against another table
     bucketed the same way are co-located: no Exchange in the plan.
+
+    Idempotent across sessions: a managed-table LOCATION left behind by a
+    previous SparkSession (not present in this session's catalog) would
+    fail the write, so both catalog entry and directory are cleared first.
     """
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    shutil.rmtree(f"{warehouse.path}/{table.lower()}", ignore_errors=True)
     writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
