@@ -316,25 +316,61 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_asof_orders_before_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event matched to the user's most recent order at
-    event time. Spark-native pattern: equi-join on user + theta filter +
-    row_number pick (Catalyst hashes the equi side; the as-of pick is one
-    window over the matched pairs)."""
+    event time (``o_orderdate <= ts``, ties broken by highest order key).
+
+    Union-merge plan, the shape that survives 100 TB: interleave both
+    tables sorted by (user, time) and carry the latest order forward with
+    ``last(ignorenulls)`` over one prefix window. ONE shuffle of
+    events+orders on user_id and no intermediate pair blow-up — an
+    equi-join + per-event rank would shuffle both sides AND materialize
+    |event × qualifying orders| rows before discarding all but one, then
+    reshuffle on event_id for the pick."""
     ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     orders = _read(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate"
     )
-    joined = ev.join(
-        orders,
-        (ev["user_id"] == orders["o_custkey"]) & (orders["o_orderdate"] <= ev["ts"]),
-        "inner",
+    o_rows = orders.filter(F.col("o_orderdate").isNotNull()).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(1).alias("is_order"),
+        "o_orderkey",
+        "o_orderdate",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
     )
-    w = Window.partitionBy("event_id").orderBy(
-        F.desc("o_orderdate"), F.desc("o_orderkey")
+    e_rows = ev.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_order"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+        "event_id",
+        "ts",
+    )
+    # orders sort before events at equal t (inclusive <=); equal-date orders
+    # ascending by key so the prefix-last is the highest-key pick
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("t"), F.desc("is_order"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = o_rows.unionByName(e_rows).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "is_order",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("asof_orderkey"),
+        F.last("o_orderdate", ignorenulls=True).over(w).alias("asof_orderdate"),
     )
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+        merged.filter((F.col("is_order") == 0) & F.col("asof_orderkey").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("asof_orderkey").alias("o_orderkey"),
+            F.col("asof_orderdate").alias("o_orderdate"),
+        )
         .orderBy("event_id")
     )
 
