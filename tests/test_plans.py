@@ -43,3 +43,42 @@ def test_tpch_q1_scan_prunes_columns(spark):
 def test_predicate_pushdown_reaches_scan(spark):
     plan = _plan(EXTRA_QUERIES["tpch_q3"](spark, SF_DIR))
     assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_tpch_q6_filters_pushed_to_scan(spark):
+    plan = _plan(EXTRA_QUERIES["tpch_q6_pushdown"](spark, SF_DIR))
+    pushed = plan.split("PushedFilters: ")[1].splitlines()[0]
+    # the shipdate range reaches parquet (toString truncates the filter
+    # list, so assert the leading entries: all 3 columns + the range start)
+    assert "IsNotNull(l_discount)" in pushed
+    assert "IsNotNull(l_quantity)" in pushed
+    assert "GreaterThanOrEqual(l_shipda" in pushed
+    read = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_orderkey" not in read  # 4-column projection, not 11
+
+
+def test_tpch_q4_uses_semi_join(spark):
+    plan = _plan(EXTRA_QUERIES["tpch_q4_semijoin"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+
+
+def test_antijoin_builds_on_filtered_orders(spark):
+    plan = _plan(EXTRA_QUERIES["antijoin_dormant_customers"](spark, SF_DIR))
+    assert "LeftAnti" in plan
+    # the o_orderdate filter is pushed into the anti-join build side scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_rollup_is_single_shuffle_expand(spark):
+    plan = _plan(EXTRA_QUERIES["rollup_order_totals"](spark, SF_DIR))
+    assert "Expand" in plan
+    # one hash exchange for the agg + one range for the sort — no per-level re-agg
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_split_assignment_is_shuffle_free(spark):
+    from ufc_data_warehouse_spark.operators import training
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(training.assign_split(docs, "doc_id"))
+    assert "Exchange" not in plan  # pure projection

@@ -309,6 +309,194 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q4_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join. The semi join never
+    materializes matched lineitems (first-match short-circuit), so the
+    probe side streams at full scan speed — at 100 TB this is a shuffled
+    hash semi-join on l_orderkey with AQE sizing the build side."""
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > orders["o_orderdate"]),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_tpch_q6_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: selective scan-aggregate. All three predicates and
+    the 4-column projection reach the parquet scan (PushedFilters +
+    ReadSchema — asserted in tests/test_plans.py), which is the whole
+    game at 100 TB: the scan reads a fraction of the data and the agg is
+    a two-phase partial/final with no other shuffle."""
+    li = _read(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    # the year predicate is written as a shipdate RANGE, not year()=1997:
+    # a range lands in PushedFilters (row-group stats skip); year() would
+    # stay a post-scan DataFilter and read every row group
+    return li.filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 25)
+    ).agg(
+        F.sum((dec("l_extendedprice") * dec("l_discount")).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q_tpch_q17_smallqty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated AVG subquery → per-group agg + re-join.
+    The per-part average is a partial-aggregated shuffle on l_partkey and
+    the re-join reuses that same key (co-partitioned: AQE sees both sides
+    hashed on l_partkey, no extra exchange); `part` is broadcast.
+
+    Float note: l_quantity is integer-valued, so sum/avg are exact in
+    double on both engines — the 0.2*avg threshold is bit-identical."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per_part = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    small = li.join(per_part, "l_partkey").filter(
+        F.col("l_quantity") < 0.2 * F.col("avg_qty")
+    )
+    return (
+        small.join(F.broadcast(part), small["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("small_qty_revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def q_antijoin_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join, plus a scalar aggregate subquery.
+
+    Above-average balance is tested as ``acctbal * n > sum`` (exact
+    decimal arithmetic) instead of ``acctbal > avg`` — avg of doubles is
+    accumulation-order sensitive and could flip boundary rows between
+    engines. The 1-row stats frame is broadcast (scalar subquery shape);
+    the anti join builds on the filtered recent-orders side."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    bal = F.col("c_acctbal").cast("decimal(18,4)")
+    stats = cust.agg(
+        F.sum(bal).alias("tot_bal"), F.count("*").alias("n_cust")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit("2000-01-01"))
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(stats))
+        .filter(bal * F.col("n_cust") > F.col("tot_bal"))
+        .join(recent, F.col("c_custkey") == recent["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(bal).cast("double").alias("total_balance"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def q_rollup_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (priority → status hierarchy) with grouping_id.
+    Spark computes all rollup levels in one shuffle (Expand + single hash
+    agg) — no per-level re-scan."""
+    orders = _read(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,4)")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.sum(price).cast("double").alias("total_price"),
+        )
+        .orderBy(
+            F.asc("gid"),
+            F.asc_nulls_last("o_orderpriority"),
+            F.asc_nulls_last("o_orderstatus"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data preparation (documents table): split / pack / shuffle
+# ---------------------------------------------------------------------------
+
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLIT_SEED = 42
+
+
+def _split_case_sql(id_expr: str) -> str:
+    """DuckDB CASE ladder mirroring training.split_column bit-for-bit."""
+    from .operators.training import split_bounds_hex
+
+    bounds = split_bounds_hex(_SPLIT_WEIGHTS)
+    bucket = f"substr(md5('{_SPLIT_SEED}:' || {id_expr}::VARCHAR), 1, 4)"
+    arms = "".join(
+        f" WHEN {bucket} < '{ub}' THEN '{name}'" for name, ub in bounds[:-1]
+    )
+    return f"CASE{arms} ELSE '{bounds[-1][0]}' END"
+
+
+def q_split_stratified_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (hash-bucket, shuffle-free
+    projection), verified by per-(lang, split) counts."""
+    from .operators import training
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        training.assign_split(docs, "doc_id", _SPLIT_WEIGHTS, seed=_SPLIT_SEED)
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+def q_pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing: per-language sequential bins of ~4096 tokens
+    (cheap n_chars/4 token proxy). One shuffle, on lang."""
+    from .operators import training
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        "lang",
+        (F.floor(F.col("n_chars") / 4) + 1).cast("bigint").alias("tokens"),
+    )
+    return training.token_bins(docs, "id", "tokens", budget=4096, group_col="lang").orderBy(
+        "id"
+    )
+
+
+def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle of the corpus (seeded-hash order)."""
+    from .operators import training
+
+    docs = _read(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    return (
+        training.shuffled(docs, "id", seed=_SPLIT_SEED)
+        .select("id", F.col("pos").cast("bigint").alias("pos"))
+        .orderBy("pos")
+    )
+
+
 # ---------------------------------------------------------------------------
 # as-of join + sessionization (events table)
 # ---------------------------------------------------------------------------
@@ -728,6 +916,14 @@ EXTRA_QUERIES: dict[str, Query] = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
+    "tpch_q4_semijoin": q_tpch_q4_semijoin,
+    "tpch_q6_pushdown": q_tpch_q6_pushdown,
+    "tpch_q17_smallqty": q_tpch_q17_smallqty,
+    "antijoin_dormant_customers": q_antijoin_dormant_customers,
+    "rollup_order_totals": q_rollup_order_totals,
+    "split_stratified_counts": q_split_stratified_counts,
+    "pack_token_bins": q_pack_token_bins,
+    "shuffle_order": q_shuffle_order,
     "asof_orders_before_events": q_asof_orders_before_events,
     "sessionization": q_sessionization,
     "event_type_stats": q_event_type_stats,
@@ -1034,7 +1230,78 @@ SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
   sum(value::DECIMAL(18,4))::DOUBLE AS sum_value,
   count(*) FILTER (WHERE value > 50) AS n_high
 FROM events GROUP BY event_type ORDER BY event_type""",
+    "tpch_q4_semijoin": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+)
+GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "tpch_q6_pushdown": """
+SELECT
+  sum((l_extendedprice::DECIMAL(18,4) * l_discount::DECIMAL(18,4))::DECIMAL(38,8))::DOUBLE AS revenue,
+  count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.02 AND l_discount <= 0.06 AND l_quantity < 25""",
+    "tpch_q17_smallqty": """
+WITH per_part AS (
+  SELECT l_partkey, avg(l_quantity) AS avg_qty FROM lineitem GROUP BY l_partkey
+)
+SELECT p.p_brand, count(*) AS n_items,
+  sum(l.l_extendedprice::DECIMAL(18,4))::DOUBLE AS small_qty_revenue
+FROM lineitem l
+JOIN per_part a ON l.l_partkey = a.l_partkey
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_quantity < 0.2 * a.avg_qty
+GROUP BY p.p_brand ORDER BY p.p_brand""",
+    "antijoin_dormant_customers": """
+WITH stats AS (
+  SELECT sum(c_acctbal::DECIMAL(18,4)) AS tot_bal, count(*) AS n_cust
+  FROM customer
+)
+SELECT c.c_nationkey, count(*) AS n_customers,
+  sum(c.c_acctbal::DECIMAL(18,4))::DOUBLE AS total_balance
+FROM customer c, stats s
+WHERE c.c_acctbal::DECIMAL(18,4) * s.n_cust > s.tot_bal
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+  )
+GROUP BY c.c_nationkey ORDER BY c.c_nationkey""",
+    "rollup_order_totals": """
+SELECT o_orderpriority, o_orderstatus,
+  grouping_id(o_orderpriority, o_orderstatus)::INT AS gid,
+  count(*) AS n_orders,
+  sum(o_totalprice::DECIMAL(18,4))::DOUBLE AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+ORDER BY gid ASC, o_orderpriority ASC NULLS LAST, o_orderstatus ASC NULLS LAST""",
+    "pack_token_bins": """
+WITH t AS (
+  SELECT doc_id AS id, lang, (floor(n_chars / 4) + 1)::BIGINT AS tokens
+  FROM documents
+)
+SELECT id, lang, tokens,
+  ((sum(tokens) OVER (PARTITION BY lang ORDER BY id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens) // 4096)::BIGINT AS bin
+FROM t ORDER BY id""",
 }
+
+EXTRA_ORACLES["split_stratified_counts"] = f"""
+WITH s AS (
+  SELECT lang, {_split_case_sql('doc_id')} AS split, n_chars FROM documents
+)
+SELECT lang, split, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM s GROUP BY lang, split ORDER BY lang, split"""
+
+EXTRA_ORACLES["shuffle_order"] = f"""
+SELECT doc_id AS id,
+  row_number() OVER (
+    ORDER BY md5('{_SPLIT_SEED}:' || doc_id::VARCHAR), doc_id) AS pos
+FROM documents ORDER BY pos"""
 
 EXTRA_ORACLES["card_fighters_by_wins_top50"] = _card_oracle(
     "fighters_by_wins", "wins", 50

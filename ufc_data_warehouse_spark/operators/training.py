@@ -1,0 +1,124 @@
+"""Training-data pipeline operators: deterministic splits, token-budget
+packing, and deterministic global shuffle.
+
+These are the dataset-preparation steps a 100 TB pretraining pipeline runs
+after dedup/quality filtering (no reference analog — the reference repo is a
+batch warehouse; these extend it the way `operators/dedup.py` does):
+
+- **assign_split**: hash-bucket train/val/test assignment. Stateless and
+  deterministic (md5 of a seeded id), so it is stable across reruns and
+  engines, needs no shuffle at all (a per-row projection), and is implicitly
+  stratified: a uniform hash gives every stratum the same expected split
+  ratios without a per-stratum pass.
+- **token_bins**: sequential token-budget packing — documents are laid out
+  in a deterministic order per group and cut into bins of ~`budget` tokens
+  (a cumulative-sum window, ONE shuffle on the group key). This is the
+  deterministic, distributable version of greedy sequence packing.
+- **shuffled**: deterministic global shuffle — order by a seeded hash. At
+  100 TB you never materialize a global rank; you `repartitionByRange` on
+  the hash and write files whose *order* is the shuffle (see `shuffled`
+  docstring).
+
+All three are pure Column expressions (JVM-side, whole-stage codegen; no
+Python UDFs) and every hash is portable SQL (`md5(seed || ':' || id)`), so
+a DuckDB oracle can replay them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["split_bounds_hex", "split_column", "assign_split", "token_bins", "shuffled"]
+
+
+def _seeded_hash(id_col: Column, seed: int) -> Column:
+    """md5 over the utf-8 of ``"<seed>:<id>"`` — identical in Spark and
+    DuckDB (`md5('<seed>:' || id)`)."""
+    return F.md5(F.encode(F.concat(F.lit(f"{seed}:"), id_col.cast("string")), "utf-8"))
+
+
+def split_bounds_hex(weights: dict[str, float]) -> list[tuple[str, str]]:
+    """Cumulative split boundaries over the first 4 hex chars of the hash
+    (65,536 buckets). Returns ``[(name, upper_bound_hex), ...]`` with the
+    last split unbounded (matched by ``otherwise``). Hex strings compare
+    lexicographically identically in Spark and DuckDB (lowercase md5)."""
+    total = sum(weights.values())
+    bounds: list[tuple[str, str]] = []
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        bounds.append((name, format(int(cum * 65536), "04x")))
+    bounds.append((names[-1], "ffff~"))  # sentinel: never used as a bound
+    return bounds
+
+
+def split_column(
+    id_col: Column, weights: dict[str, float], seed: int = 42
+) -> Column:
+    """CASE ladder assigning a split label from the id hash."""
+    bucket = F.substring(_seeded_hash(id_col, seed), 1, 4)
+    bounds = split_bounds_hex(weights)
+    expr = None
+    for name, ub in bounds[:-1]:
+        clause = bucket < F.lit(ub)
+        expr = F.when(clause, name) if expr is None else expr.when(clause, name)
+    last = bounds[-1][0]
+    return F.lit(last) if expr is None else expr.otherwise(last)
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Add a ``split`` column. Pure projection — no shuffle, no state; safe
+    to apply identically on any number of executors at any scale."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    return df.withColumn("split", split_column(F.col(id_col), weights, seed))
+
+
+def token_bins(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Assign each row to a token-budget bin: rows are taken in ``id_col``
+    order (within ``group_col`` if given) and ``bin`` increments each time
+    the running token total crosses ``budget``.
+
+    ``bin = exclusive_cumsum(tokens) // budget`` — a single window cumsum,
+    so ONE shuffle on the group key. With a group key the window is
+    per-group (parallel across groups — the 100 TB shape: group by
+    language/source shard). Without one it is a single-partition window —
+    only for small frames; at scale pre-bin per partition then offset by a
+    per-partition total (two passes, no global sort).
+    """
+    part = Window.partitionBy(group_col) if group_col else Window.partitionBy()
+    w = part.orderBy(F.asc(id_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    toks = F.col(token_col).cast("bigint")
+    cum_excl = F.sum(toks).over(w) - toks
+    return df.withColumn("bin", (cum_excl / budget).cast("bigint"))
+
+
+def shuffled(df: DataFrame, id_col: str, seed: int = 42) -> DataFrame:
+    """Deterministic global shuffle: order rows by a seeded hash of the id.
+
+    The *order* is the product. At 100 TB: ``df.withColumn("h", hash)
+    .repartitionByRange(n, "h").sortWithinPartitions("h")`` writes files
+    that concatenate into the shuffled order without any global rank. The
+    explicit ``pos`` column emitted here (single-partition row_number) is
+    the verification artifact for small frames, not the scale path.
+    """
+    h = _seeded_hash(F.col(id_col), seed)
+    w = Window.partitionBy().orderBy(F.asc("shuffle_key"), F.asc(id_col))
+    return (
+        df.withColumn("shuffle_key", h)
+        .withColumn("pos", F.row_number().over(w))
+    )
