@@ -83,3 +83,55 @@ def test_pipeline_with_vacancy_builds_reigns(spark, tmp_path):
     # A One wins at UFC 1, the Dec 1 1993 retirement ends the reign before
     # C Three's UFC 2 win starts the next
     assert ("A One", "retirement") in rows
+
+
+def test_incremental_overwrite_touches_only_changed_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ufc_data_warehouse_spark.etl import incremental_overwrite
+
+    path = str(tmp_path / "inc")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40)],
+        "id int, part string, v int",
+    )
+    base.write.partitionBy("part").parquet(path)
+    before = {
+        p: sorted(os.listdir(f"{path}/part={p}")) for p in ("a", "b", "c")
+    }
+
+    # increment carries only partition 'a' (with a changed + a new row)
+    inc = spark.createDataFrame(
+        [(1, "a", 11), (5, "a", 50)], "id int, part string, v int"
+    )
+    incremental_overwrite(spark, inc, path, ["part"])
+
+    out = spark.read.parquet(path)
+    got = {(r["id"], r["part"], r["v"]) for r in out.collect()}
+    # 'a' fully replaced by the increment; 'b' and 'c' untouched
+    assert got == {(1, "a", 11), (5, "a", 50), (3, "b", 30), (4, "c", 40)}
+    assert sorted(os.listdir(f"{path}/part=b")) == before["b"]
+    assert sorted(os.listdir(f"{path}/part=c")) == before["c"]
+    assert sorted(os.listdir(f"{path}/part=a")) != before["a"]
+    # overwrite mode restored (session default must not leak)
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode") != "dynamic"
+    )
+
+
+def test_upsert_replaces_matching_keys(spark):
+    from ufc_data_warehouse_spark.etl import upsert
+
+    base = spark.createDataFrame(
+        [(1, "old", 1), (2, "keep", 1)], "k int, v string, ver int"
+    )
+    updates = spark.createDataFrame(
+        [(1, "new", 2), (3, "ins", 1), (1, "newer", 3)],
+        "k int, v string, ver int",
+    )
+    out = upsert(base, updates, ["k"], version_col="ver")
+    got = {(r["k"], r["v"]) for r in out.collect()}
+    # key 1 replaced by the HIGHEST-version update row, 2 passes through,
+    # 3 inserted
+    assert got == {(1, "newer"), (2, "keep"), (3, "ins")}
+    assert set(out.columns) == {"k", "v", "ver"}
