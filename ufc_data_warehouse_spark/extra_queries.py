@@ -432,6 +432,25 @@ def q_rollup_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window distribution functions (ntile / percent_rank / cume_dist /
+    first_value / nth_value) per event_type. The (value, event_id) order
+    key is a total order, so rank-family outputs are deterministic; the
+    ratio functions are exact integer divisions — bit-identical across
+    engines."""
+    ev = _read(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    w = Window.partitionBy("event_type").orderBy(F.asc("value"), F.asc("event_id"))
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.first_value("event_id").over(w).alias("first_id"),
+        F.nth_value("event_id", 2).over(w).alias("second_id"),
+    ).orderBy("event_id")
+
+
 # ---------------------------------------------------------------------------
 # training-data preparation (documents table): split / pack / shuffle
 # ---------------------------------------------------------------------------
@@ -921,6 +940,7 @@ EXTRA_QUERIES: dict[str, Query] = {
     "tpch_q17_smallqty": q_tpch_q17_smallqty,
     "antijoin_dormant_customers": q_antijoin_dormant_customers,
     "rollup_order_totals": q_rollup_order_totals,
+    "window_distribution": q_window_distribution,
     "split_stratified_counts": q_split_stratified_counts,
     "pack_token_bins": q_pack_token_bins,
     "shuffle_order": q_shuffle_order,
@@ -1279,6 +1299,16 @@ SELECT o_orderpriority, o_orderstatus,
 FROM orders
 GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 ORDER BY gid ASC, o_orderpriority ASC NULLS LAST, o_orderstatus ASC NULLS LAST""",
+    "window_distribution": """
+SELECT event_id, event_type,
+  ntile(4) OVER w AS quartile,
+  percent_rank() OVER w AS pr,
+  cume_dist() OVER w AS cd,
+  first_value(event_id) OVER w AS first_id,
+  nth_value(event_id, 2) OVER w AS second_id
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+ORDER BY event_id""",
     "pack_token_bins": """
 WITH t AS (
   SELECT doc_id AS id, lang, (floor(n_chars / 4) + 1)::BIGINT AS tokens
