@@ -85,3 +85,44 @@ def test_salted_aggregate_is_exact(spark):
         .collect()
     }
     assert salted == plain
+
+
+def test_approx_percentile_within_bound_of_exact(spark):
+    """approx_percentile (t-digest, mergeable/bounded-memory) is the 100 TB
+    replacement for exact percentile; its result must land within the
+    sketch's rank-accuracy neighborhood of the exact answer."""
+    from ufc_data_warehouse_spark.extra_queries import _read
+
+    sf_dir = SF_DIR
+    ev = _read(spark, sf_dir, "events")
+    # rank-accuracy check: the approx pth percentile must land inside the
+    # exact [p-δ, p+δ] rank neighborhood (δ = a few × 1/accuracy)
+    exact = {
+        r["event_type"]: (r["lo50"], r["hi50"], r["lo99"], r["hi99"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, array(0.48D, 0.52D, 0.97D, 1.0D))").alias("p")
+        )
+        .select(
+            "event_type",
+            F.col("p")[0].alias("lo50"),
+            F.col("p")[1].alias("hi50"),
+            F.col("p")[2].alias("lo99"),
+            F.col("p")[3].alias("hi99"),
+        )
+        .collect()
+    }
+    approx = {
+        r["event_type"]: (r["a50"], r["a99"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr("approx_percentile(value, 0.5, 1000)").alias("a50"),
+            F.expr("approx_percentile(value, 0.99, 1000)").alias("a99"),
+        )
+        .collect()
+    }
+    assert set(exact) == set(approx)
+    for et, (lo50, hi50, lo99, hi99) in exact.items():
+        a50, a99 = approx[et]
+        assert lo50 <= a50 <= hi50, (et, lo50, a50, hi50)
+        assert lo99 <= a99 <= hi99, (et, lo99, a99, hi99)

@@ -432,6 +432,37 @@ def q_rollup_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event_type (Spark `percentile` ≡
+    DuckDB `quantile_cont`, bit-identical: both sort the group and compute
+    the same (1-f)·a + f·b interpolation).
+
+    Scale note: exact percentile buffers each group's values — fine for
+    bounded groups, NOT for 100 TB global quantiles. The scale path is
+    `approx_percentile` (t-digest sketch, mergeable partial aggregation,
+    bounded memory); tests/test_scale_ops.py asserts it lands within its
+    accuracy bound of this exact result."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr(
+                "percentile(value, array(0.25D, 0.5D, 0.9D, 0.99D))"
+            ).alias("p"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "event_type",
+            F.col("p")[0].alias("p25"),
+            F.col("p")[1].alias("p50"),
+            F.col("p")[2].alias("p90"),
+            F.col("p")[3].alias("p99"),
+            "n",
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window distribution functions (ntile / percent_rank / cume_dist /
     first_value / nth_value) per event_type. The (value, event_id) order
@@ -941,6 +972,7 @@ EXTRA_QUERIES: dict[str, Query] = {
     "antijoin_dormant_customers": q_antijoin_dormant_customers,
     "rollup_order_totals": q_rollup_order_totals,
     "window_distribution": q_window_distribution,
+    "value_percentiles": q_value_percentiles,
     "split_stratified_counts": q_split_stratified_counts,
     "pack_token_bins": q_pack_token_bins,
     "shuffle_order": q_shuffle_order,
@@ -1299,6 +1331,14 @@ SELECT o_orderpriority, o_orderstatus,
 FROM orders
 GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 ORDER BY gid ASC, o_orderpriority ASC NULLS LAST, o_orderstatus ASC NULLS LAST""",
+    "value_percentiles": """
+SELECT event_type,
+  quantile_cont(value, 0.25) AS p25,
+  quantile_cont(value, 0.5) AS p50,
+  quantile_cont(value, 0.9) AS p90,
+  quantile_cont(value, 0.99) AS p99,
+  count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type""",
     "window_distribution": """
 SELECT event_id, event_type,
   ntile(4) OVER w AS quartile,
