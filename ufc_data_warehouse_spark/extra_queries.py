@@ -432,6 +432,85 @@ def q_rollup_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts + decimal totals spread across the 3 status
+    columns. The value list is EXPLICIT (["F","O","P"]) — with an implicit
+    list Spark runs an extra distinct-collect job and the output schema
+    depends on the data, which breaks plan caching and schema contracts at
+    scale."""
+    orders = _read(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,4)")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .withColumnsRenamed({"F": "n_f", "O": "n_o", "P": "n_p"})
+        .join(
+            orders.groupBy("o_orderpriority").agg(
+                F.sum(price).cast("double").alias("total_price")
+            ),
+            "o_orderpriority",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_unpivot_lineitem_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the per-lineitem charge components (price, discount,
+    tax) stacked into (component, amount) rows — `DataFrame.unpivot` is a
+    zero-shuffle Expand, then one agg shuffle on the tiny key."""
+    li = _read(spark, sf_dir, "lineitem")
+    long = li.select(
+        "l_orderkey",
+        F.col("l_extendedprice").cast("decimal(18,4)").alias("price"),
+        F.col("l_discount").cast("decimal(18,4)").alias("discount"),
+        F.col("l_tax").cast("decimal(18,4)").alias("tax"),
+    ).unpivot(
+        ids=["l_orderkey"],
+        values=["price", "discount", "tax"],
+        variableColumnName="component",
+        valueColumnName="amount",
+    )
+    return (
+        long.groupBy("component")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("amount").cast("double").alias("total_amount"),
+        )
+        .orderBy("component")
+    )
+
+
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column: L2 norm via
+    F.aggregate (fold), positive-component count via F.filter, all
+    JVM-side — no Python UDF, stays inside whole-stage codegen.
+
+    Cross-engine float discipline: the per-row norm is rounded to 6dp and
+    cast to decimal BEFORE aggregating, so the group sums are exact
+    (order-free) and the averages are single integer-ratio divisions —
+    a plain avg-of-doubles would be accumulation-order sensitive."""
+    emb = _read(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    norm6 = F.round(F.sqrt(sq_sum), 6).cast("decimal(18,6)")
+    n_pos = F.size(F.filter(F.col("embedding"), lambda x: x > 0))
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            (F.sum(norm6).cast("double") / F.count("*")).alias("avg_l2_norm"),
+            (F.sum(n_pos.cast("long")).cast("double") / F.count("*")).alias(
+                "avg_positive_dims"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per event_type (Spark `percentile` ≡
     DuckDB `quantile_cont`, bit-identical: both sort the group and compute
@@ -973,6 +1052,9 @@ EXTRA_QUERIES: dict[str, Query] = {
     "rollup_order_totals": q_rollup_order_totals,
     "window_distribution": q_window_distribution,
     "value_percentiles": q_value_percentiles,
+    "pivot_status_counts": q_pivot_status_counts,
+    "unpivot_lineitem_charges": q_unpivot_lineitem_charges,
+    "embedding_norm_stats": q_embedding_norm_stats,
     "split_stratified_counts": q_split_stratified_counts,
     "pack_token_bins": q_pack_token_bins,
     "shuffle_order": q_shuffle_order,
@@ -1331,6 +1413,32 @@ SELECT o_orderpriority, o_orderstatus,
 FROM orders
 GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 ORDER BY gid ASC, o_orderpriority ASC NULLS LAST, o_orderstatus ASC NULLS LAST""",
+    "pivot_status_counts": """
+SELECT o_orderpriority,
+  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
+  sum(o_totalprice::DECIMAL(18,4))::DOUBLE AS total_price
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "unpivot_lineitem_charges": """
+SELECT component, count(*) AS n, sum(amount)::DOUBLE AS total_amount
+FROM (
+  SELECT 'price' AS component, l_extendedprice::DECIMAL(18,4) AS amount FROM lineitem
+  UNION ALL SELECT 'discount', l_discount::DECIMAL(18,4) FROM lineitem
+  UNION ALL SELECT 'tax', l_tax::DECIMAL(18,4) FROM lineitem
+)
+GROUP BY component ORDER BY component""",
+    "embedding_norm_stats": """
+WITH e AS (
+  SELECT label,
+    round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 6)::DECIMAL(18,6) AS norm6,
+    len(list_filter(embedding, x -> x > 0)) AS n_pos
+  FROM embeddings
+)
+SELECT label, count(*) AS n_vectors,
+  sum(norm6)::DOUBLE / count(*) AS avg_l2_norm,
+  sum(n_pos)::DOUBLE / count(*) AS avg_positive_dims
+FROM e GROUP BY label ORDER BY label""",
     "value_percentiles": """
 SELECT event_type,
   quantile_cont(value, 0.25) AS p25,
