@@ -432,6 +432,23 @@ def q_rollup_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dq_orders_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality suite on orders (dbt-test analog): not_null +
+    accepted_values fused into one scan, unique via one groupBy, FK via a
+    broadcast anti join — each emitting (check_name, n_violations)."""
+    from .validation import run_checks
+
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    return run_checks(
+        orders,
+        not_null=["o_orderkey", "o_custkey", "o_orderdate"],
+        accepted={"o_orderstatus": ["F", "O", "P"]},
+        unique=[["o_orderkey"]],
+        fks=[("o_custkey", customer, "c_custkey", "customer")],
+    )
+
+
 def q_pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: order counts + decimal totals spread across the 3 status
     columns. The value list is EXPLICIT (["F","O","P"]) — with an implicit
@@ -944,6 +961,17 @@ def q_streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import events as se
+
+    apply_runtime_confs(spark)
+    stream = se.read_events_stream(spark, sf_dir)
+    customer = _read(spark, sf_dir, "customer")
+    return se.run_available_now(
+        se.stream_static_nation_activity(stream, customer)
+    ).orderBy("window_start", "c_nationkey")
+
+
 def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import events as se
 
@@ -1053,6 +1081,7 @@ EXTRA_QUERIES: dict[str, Query] = {
     "window_distribution": q_window_distribution,
     "value_percentiles": q_value_percentiles,
     "pivot_status_counts": q_pivot_status_counts,
+    "dq_orders_checks": q_dq_orders_checks,
     "unpivot_lineitem_charges": q_unpivot_lineitem_charges,
     "embedding_norm_stats": q_embedding_norm_stats,
     "split_stratified_counts": q_split_stratified_counts,
@@ -1069,6 +1098,7 @@ EXTRA_QUERIES: dict[str, Query] = {
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_frame_plan": q_multimodal_frame_plan,
     "streaming_tumbling_counts": q_streaming_tumbling_counts,
+    "streaming_static_join": q_streaming_static_join,
     "streaming_session_windows": q_streaming_session_windows,
     "streaming_sliding_windows": q_streaming_sliding_windows,
     "streaming_stateful_profiles": q_streaming_stateful_profiles,
@@ -1413,6 +1443,30 @@ SELECT o_orderpriority, o_orderstatus,
 FROM orders
 GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 ORDER BY gid ASC, o_orderpriority ASC NULLS LAST, o_orderstatus ASC NULLS LAST""",
+    "dq_orders_checks": """
+SELECT check_name, n_violations FROM (
+  SELECT 'not_null:o_orderkey' AS check_name,
+    count(*) FILTER (WHERE o_orderkey IS NULL) AS n_violations FROM orders
+  UNION ALL
+  SELECT 'not_null:o_custkey',
+    count(*) FILTER (WHERE o_custkey IS NULL) FROM orders
+  UNION ALL
+  SELECT 'not_null:o_orderdate',
+    count(*) FILTER (WHERE o_orderdate IS NULL) FROM orders
+  UNION ALL
+  SELECT 'accepted_values:o_orderstatus',
+    count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                     AND o_orderstatus NOT IN ('F','O','P')) FROM orders
+  UNION ALL
+  SELECT 'unique:o_orderkey',
+    (SELECT count(*) FROM (
+       SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1))
+  UNION ALL
+  SELECT 'fk:o_custkey->customer.c_custkey',
+    (SELECT count(*) FROM orders o
+     WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+       SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+) ORDER BY check_name""",
     "pivot_status_counts": """
 SELECT o_orderpriority,
   count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
@@ -1525,6 +1579,13 @@ SELECT to_timestamp(((epoch_us(ts) // 1000000) // 300) * 300)::TIMESTAMP AS wind
   event_type, count(*) AS n,
   sum(value::DECIMAL(18,4))::DOUBLE AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""
+
+EXTRA_ORACLES["streaming_static_join"] = """
+SELECT to_timestamp(((epoch_us(e.ts) // 1000000) // 900) * 900)::TIMESTAMP AS window_start,
+  c.c_nationkey, count(*) AS n_events,
+  sum(e.value::DECIMAL(18,4))::DOUBLE AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2 ORDER BY window_start, c_nationkey"""
 
 EXTRA_ORACLES["streaming_session_windows"] = """
 WITH gaps AS (
