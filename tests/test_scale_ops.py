@@ -126,3 +126,33 @@ def test_approx_percentile_within_bound_of_exact(spark):
         a50, a99 = approx[et]
         assert lo50 <= a50 <= hi50, (et, lo50, a50, hi50)
         assert lo99 <= a99 <= hi99, (et, lo99, a99, hi99)
+
+
+def test_hll_sketch_rollup_within_bound_of_exact(spark):
+    """Per-day HLL sketches unioned per event_type estimate distinct users
+    within HLL's relative error (~1.6% at lg_k=12; assert 5%)."""
+    from ufc_data_warehouse_spark.extra_queries import _read
+    from ufc_data_warehouse_spark.operators.scale import (
+        hll_merged_estimate,
+        hll_partial_sketches,
+    )
+
+    ev = _read(spark, SF_DIR, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    sketches = hll_partial_sketches(
+        ev, ["event_type"], "user_id", "day", lg_k=12
+    )
+    est = {
+        r["event_type"]: r["approx_distinct"]
+        for r in hll_merged_estimate(sketches, ["event_type"]).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for et, n in exact.items():
+        assert abs(est[et] - n) <= max(2, 0.05 * n), (et, est[et], n)

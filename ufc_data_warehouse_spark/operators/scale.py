@@ -79,3 +79,32 @@ def salted_sum_count(
     if value_col is not None:
         final_aggs.append(F.sum("_sum").alias(f"sum_{value_col}"))
     return partial.groupBy(*key_cols).agg(*final_aggs)
+
+
+def hll_partial_sketches(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    bucket_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Pre-aggregated mergeable distinct-count sketches (Apache DataSketches
+    HLL via `hll_sketch_agg`), one sketch per (group, bucket).
+
+    The incremental 100 TB pattern for COUNT(DISTINCT): an exact distinct
+    over a year of events re-shuffles the raw rows every query; instead
+    each daily/hourly bucket stores a KB-sized sketch once, and any query
+    window is answered by unioning sketches (`hll_merged_estimate`) —
+    mergeable partial aggregation, no raw-data re-scan, bounded memory."""
+    return df.groupBy(*group_cols, bucket_col).agg(
+        F.expr(f"hll_sketch_agg({value_col}, {lg_k})").alias("sketch")
+    )
+
+
+def hll_merged_estimate(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Union per-bucket sketches and estimate the distinct count per group."""
+    return sketches.groupBy(*group_cols).agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sketch, true))")
+        .cast("long")
+        .alias("approx_distinct")
+    )
