@@ -74,3 +74,27 @@ def test_csv_to_model_end_to_end(spark, tmp_path):
     # S3 replace semantics: re-ingest overwrites, row count stable
     ingest_dir(spark, str(csv_dir), str(wh))
     assert load_raw(spark, str(wh))["fact_ufc_fight_results"].count() == 2
+
+
+def test_permissive_ingest_quarantines_malformed_rows(spark, tmp_path):
+    from ufc_data_warehouse_spark.sources.ingest import (
+        corrupt_record_count,
+        read_csv_all_string,
+    )
+
+    p = tmp_path / "messy.csv"
+    p.write_text(
+        "EVENT,URL,DATE\n"
+        "UFC 1,http://e/1,Nov 12 1993\n"
+        'UFC 2,http://e/2,Mar 11 1994,extra,fields,overflowing\n'
+        "UFC 3,http://e/3,Apr 1 1994\n"
+    )
+    df = read_csv_all_string(spark, str(p), keep_corrupt=True)
+    assert "_corrupt_record" in df.columns
+    assert corrupt_record_count(df) == 1
+    # the good rows survive with normalized headers
+    good = df.filter(df["_corrupt_record"].isNull())
+    assert {r["event"] for r in good.collect()} == {"UFC 1", "UFC 3"}
+    # default path: strict shape, no quarantine column
+    plain = read_csv_all_string(spark, str(p))
+    assert "_corrupt_record" not in plain.columns

@@ -156,3 +156,45 @@ def test_hll_sketch_rollup_within_bound_of_exact(spark):
     assert set(est) == set(exact)
     for et, n in exact.items():
         assert abs(est[et] - n) <= max(2, 0.05 * n), (et, est[et], n)
+
+
+def test_write_clustered_prunes_row_groups(spark, tmp_path):
+    """Files written by write_clustered cover disjoint key ranges, so a
+    selective filter reads a fraction of the rows at scan time."""
+    import pyarrow.parquet as pq
+
+    from ufc_data_warehouse_spark.operators.scale import write_clustered
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    path = str(tmp_path / "clustered")
+    write_clustered(li, path, ["l_partkey"], num_files=8)
+
+    # per-file key ranges must be (near-)disjoint: total overlap-free
+    files = sorted(
+        str(p) for p in __import__("pathlib").Path(path).glob("*.parquet")
+    )
+    assert len(files) >= 4
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        col_idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "l_partkey"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (ranges,)  # disjoint file ranges
+
+    # and Spark's scan actually skips: a tight key predicate reads only
+    # the files/row groups whose range covers it
+    some_key = li.select("l_partkey").first()["l_partkey"]
+    filtered = spark.read.parquet(path).filter(F.col("l_partkey") == some_key)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_partkey), EqualTo(l_partkey" in plan
+    assert filtered.count() == li.filter(F.col("l_partkey") == some_key).count()

@@ -108,3 +108,29 @@ def hll_merged_estimate(sketches: DataFrame, group_cols: list[str]) -> DataFrame
         .cast("long")
         .alias("approx_distinct")
     )
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    num_files: int,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Cluster-on-write: range-partition by the cluster key, sort within
+    each output file, write parquet.
+
+    At 100 TB this is what makes selective reads cheap WITHOUT a partition
+    column: parquet stores per-row-group min/max for the sort columns, and
+    because each file covers a narrow, non-overlapping key range, a
+    point/range predicate on the cluster key prunes almost every row group
+    at scan time. (The single-dimension version of Z-ordering — right for
+    keys that are filtered as prefixes, e.g. (event_type, day).)"""
+    writer = (
+        df.repartitionByRange(num_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+    )
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)

@@ -46,18 +46,60 @@ def normalize_identifier(name: str) -> str:
     return out or "_"
 
 
-def read_csv_all_string(spark: SparkSession, path: str) -> DataFrame:
+def read_csv_all_string(
+    spark: SparkSession, path: str, keep_corrupt: bool = False
+) -> DataFrame:
     """S1: header CSV → all-string DataFrame with normalized column names.
-    No inference — raw stays stringly-typed exactly like the reference."""
-    df = (
+    No inference — raw stays stringly-typed exactly like the reference.
+
+    ``keep_corrupt=True`` adds a ``_corrupt_record`` column (PERMISSIVE
+    mode): malformed lines land there with every data column null instead
+    of killing the job — at 100 TB a single mangled row must not fail an
+    ingest; quarantine and count them downstream (see
+    ``corrupt_record_count``)."""
+    reader = (
         spark.read.option("header", True)
         .option("inferSchema", False)
         .option("multiLine", True)
         .option("escape", '"')
-        .csv(path)
     )
-    renamed = [F.col(c).alias(normalize_identifier(c)) for c in df.columns]
+    if keep_corrupt:
+        # the quarantine column only materializes when it is DECLARED in
+        # the schema — derive the header columns first, then re-read with
+        # an explicit all-string schema + _corrupt_record
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        header_cols = reader.csv(path).columns
+        schema = StructType(
+            [StructField(c, StringType()) for c in header_cols]
+            + [StructField("_corrupt_record", StringType())]
+        )
+        reader = (
+            reader.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+        )
+    df = reader.csv(path)
+    renamed = [
+        F.col(c).alias(
+            c if c == "_corrupt_record" else normalize_identifier(c)
+        )
+        for c in df.columns
+    ]
     return df.select(*renamed)
+
+
+def corrupt_record_count(df: DataFrame) -> int:
+    """Number of quarantined malformed rows in a keep_corrupt ingest.
+    Spark requires caching the frame before referencing ONLY the corrupt
+    column (the lazy re-parse would otherwise drop it)."""
+    if "_corrupt_record" not in df.columns:
+        return 0
+    cached = df.cache()
+    try:
+        return cached.filter(F.col("_corrupt_record").isNotNull()).count()
+    finally:
+        cached.unpersist()
 
 
 def ingest_dir(
