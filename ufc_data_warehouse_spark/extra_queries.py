@@ -432,6 +432,74 @@ def q_rollup_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_date_spine_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled time series: a generated month spine left-joined to
+    monthly order totals, so empty months appear as explicit zeros.
+
+    The spine is `sequence()` + `explode` — a generated table, not a scan;
+    at any scale it is tiny (one row per month) and broadcast to the join.
+    Densification is what makes downstream window/trend math correct when
+    the fact table has silent gaps."""
+    orders = _read(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 month"))
+        ).alias("month_start")
+    )
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month_start")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+    return (
+        spine.join(monthly, "month_start", "left")
+        .select(
+            "month_start",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        )
+        .orderBy("month_start")
+    )
+
+
+def q_trailing_30d_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-customer trailing-30-day order total at each
+    order date. The frame is over the epoch-day VALUE (rangeBetween), not
+    row offsets — the batch twin of a 30-day sliding stream window. One
+    shuffle on the customer key."""
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")).alias(
+            "epoch_day"
+        ),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("epoch_day")
+        .rangeBetween(-29, Window.currentRow)
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.sum("price").over(w).cast("double").alias("trailing_30d_total"),
+            F.count(F.lit(1)).over(w).alias("trailing_30d_orders"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 def q_dq_orders_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality suite on orders (dbt-test analog): not_null +
     accepted_values fused into one scan, unique via one groupBy, FK via a
@@ -1082,6 +1150,8 @@ EXTRA_QUERIES: dict[str, Query] = {
     "value_percentiles": q_value_percentiles,
     "pivot_status_counts": q_pivot_status_counts,
     "dq_orders_checks": q_dq_orders_checks,
+    "date_spine_monthly_revenue": q_date_spine_monthly_revenue,
+    "trailing_30d_totals": q_trailing_30d_totals,
     "unpivot_lineitem_charges": q_unpivot_lineitem_charges,
     "embedding_norm_stats": q_embedding_norm_stats,
     "split_stratified_counts": q_split_stratified_counts,
@@ -1443,6 +1513,41 @@ SELECT o_orderpriority, o_orderstatus,
 FROM orders
 GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 ORDER BY gid ASC, o_orderpriority ASC NULLS LAST, o_orderstatus ASC NULLS LAST""",
+    "date_spine_monthly_revenue": """
+WITH bounds AS (
+  SELECT date_trunc('month', min(o_orderdate)) AS lo,
+         date_trunc('month', max(o_orderdate)) AS hi
+  FROM orders
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH))::TIMESTAMP AS month_start
+  FROM bounds
+),
+monthly AS (
+  SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month_start,
+    count(*) AS n_orders,
+    sum(o_totalprice::DECIMAL(18,4))::DOUBLE AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT s.month_start,
+  coalesce(m.n_orders, 0) AS n_orders,
+  coalesce(m.revenue, 0.0) AS revenue
+FROM spine s LEFT JOIN monthly m ON s.month_start = m.month_start
+ORDER BY s.month_start""",
+    "trailing_30d_totals": """
+WITH o AS (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+    datediff('day', DATE '1992-01-01', o_orderdate) AS epoch_day,
+    o_totalprice::DECIMAL(18,4) AS price
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, o_orderdate,
+  sum(price) OVER w::DOUBLE AS trailing_30d_total,
+  count(*) OVER w AS trailing_30d_orders
+FROM o
+WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_day
+             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+ORDER BY o_orderkey""",
     "dq_orders_checks": """
 SELECT check_name, n_violations FROM (
   SELECT 'not_null:o_orderkey' AS check_name,
