@@ -135,3 +135,39 @@ def test_upsert_replaces_matching_keys(spark):
     # 3 inserted
     assert got == {(1, "newer"), (2, "keep"), (3, "ins")}
     assert set(out.columns) == {"k", "v", "ver"}
+
+
+def test_pipeline_runs_declared_checks(spark, tmp_path):
+    csv_dir = tmp_path / "csvs"
+    wh = tmp_path / "wh"
+    os.makedirs(csv_dir)
+    _write_csv(
+        csv_dir / "ufc_event_details.csv",
+        ["EVENT", "URL", "DATE", "LOCATION"],
+        [[f"UFC {i}", f"http://e/{i}", f"Jan {i + 1}, 2005", "X"] for i in range(4)],
+    )
+    _write_csv(
+        csv_dir / "ufc_fight_results.csv",
+        ["EVENT", "BOUT", "OUTCOME", "WEIGHTCLASS", "METHOD", "ROUND",
+         "TIME", "TIME FORMAT", "REFEREE", "DETAILS", "URL"],
+        [[f"UFC {i}", "A One vs. B Two", "W/L", "UFC Heavyweight Title Bout",
+          "KO/TKO", "1", "1:26", "5R", "R", "", f"http://f/{i}"] for i in range(4)],
+    )
+    result = run_pipeline(
+        spark,
+        str(csv_dir),
+        str(wh),
+        marts=["fct_fights"],
+        checks={
+            "fct_fights": {
+                "not_null": ["fight_id", "event_name"],
+                "unique": [["fight_id"]],
+            }
+        },
+    )
+    got = result.checks["fct_fights"]
+    assert got == {
+        "not_null:fight_id": 0,
+        "not_null:event_name": 0,
+        "unique:fight_id": 0,
+    }

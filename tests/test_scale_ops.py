@@ -198,3 +198,30 @@ def test_write_clustered_prunes_row_groups(spark, tmp_path):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(l_partkey), EqualTo(l_partkey" in plan
     assert filtered.count() == li.filter(F.col("l_partkey") == some_key).count()
+
+
+def test_compact_small_files(spark, tmp_path):
+    from ufc_data_warehouse_spark.operators.scale import compact_small_files
+
+    path = str(tmp_path / "shards")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    before_count = li.count()
+    before_sum = li.agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("s")
+    ).first()["s"]
+    # simulate incremental-append fragmentation: many tiny files
+    li.repartition(32).write.mode("overwrite").parquet(path)
+    import pathlib
+
+    assert len(list(pathlib.Path(path).glob("*.parquet"))) == 32
+    n = compact_small_files(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert n < 32
+    assert len(list(pathlib.Path(path).glob("*.parquet"))) == n
+    after = spark.read.parquet(path)
+    assert after.count() == before_count
+    assert (
+        after.agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("s")
+        ).first()["s"]
+        == before_sum
+    )

@@ -41,6 +41,7 @@ MART_PARTITIONS: dict[str, list[str]] = {
 class PipelineResult:
     raw_tables: dict[str, str] = field(default_factory=dict)
     marts: dict[str, str] = field(default_factory=dict)
+    checks: dict[str, dict[str, int]] = field(default_factory=dict)
 
 
 def run_pipeline(
@@ -49,8 +50,13 @@ def run_pipeline(
     warehouse_dir: str,
     vacancy_csv: str | None = None,
     marts: list[str] | None = None,
+    checks: dict[str, dict] | None = None,
 ) -> PipelineResult:
-    """CSV → raw parquet → model DAG → partitioned parquet marts."""
+    """CSV → raw parquet → model DAG → partitioned parquet marts.
+
+    ``checks`` maps mart name → keyword rules for ``validation.run_checks``
+    (the dbt `dbt test`-after-`dbt run` step); violation counts land in
+    ``result.checks[mart]`` keyed by check name."""
     apply_runtime_confs(spark)
     result = PipelineResult()
     result.raw_tables = ingest_dir(spark, csv_dir, warehouse_dir, vacancy_csv)
@@ -77,6 +83,15 @@ def run_pipeline(
         targets=buildable,
         partition_by={k: v for k, v in MART_PARTITIONS.items() if v},
     )
+    for name, rule_kw in (checks or {}).items():
+        if name in result.marts:
+            from .validation import run_checks as _run_checks
+
+            mart_df = spark.read.parquet(result.marts[name])
+            result.checks[name] = {
+                r["check_name"]: r["n_violations"]
+                for r in _run_checks(mart_df, **rule_kw).collect()
+            }
     return result
 
 

@@ -18,6 +18,9 @@ AQE alone doesn't give you:
 
 from __future__ import annotations
 
+import shutil
+from pathlib import Path
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -134,3 +137,36 @@ def write_clustered(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(path)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a parquet directory into ~target-sized files. Returns the
+    new file count.
+
+    The small-files problem is the chronic operational failure mode of a
+    long-lived warehouse: thousands of KB-sized files from incremental
+    appends turn every scan into a metadata storm (one task + one open per
+    file). Periodic compaction restores scan throughput. `coalesce` (not
+    `repartition`) merges partitions without a shuffle — correct here
+    because output order within a compacted table is immaterial."""
+    import math
+
+    src = Path(path)
+    total = sum(f.stat().st_size for f in src.glob("*.parquet"))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = f"{path}__compact_tmp"
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    # atomic-ish swap: remove originals, move compacted files in
+    for f in list(src.glob("*.parquet")):
+        f.unlink()
+    moved = 0
+    for f in Path(tmp).glob("*.parquet"):
+        f.rename(src / f.name)
+        moved += 1
+    shutil.rmtree(tmp, ignore_errors=True)
+    return moved
