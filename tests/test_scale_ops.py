@@ -225,3 +225,71 @@ def test_compact_small_files(spark, tmp_path):
         ).first()["s"]
         == before_sum
     )
+
+
+def _py_z(a: int, b: int, bits: int = 16) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_z_value_matches_reference_bit_interleave(spark):
+    from ufc_data_warehouse_spark.operators.scale import z_value
+
+    rows = [(0, 0), (1, 0), (0, 1), (1, 1), (5, 9), (1023, 511), (65535, 65535)]
+    df = spark.createDataFrame(rows, "a int, b int")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select("a", "b", z_value(F.col("a"), F.col("b")).alias("z")).collect()
+    }
+    for a, b in rows:
+        assert got[(a, b)] == _py_z(a, b), (a, b)
+
+
+def test_write_zordered_gives_both_columns_locality(spark, tmp_path):
+    """After Z-order clustering, BOTH key columns have bounded per-file
+    ranges (each file covers ≲ a quadrant-ish slice of either dimension),
+    which is what parquet min/max pruning needs."""
+    import pyarrow.parquet as pq
+
+    from ufc_data_warehouse_spark.operators.scale import write_zordered
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    path = str(tmp_path / "zord")
+    write_zordered(li, path, "l_partkey", "l_suppkey", num_files=8)
+    out = spark.read.parquet(path)
+    assert out.count() == li.count()
+
+    stats = li.agg(
+        F.max("l_partkey").alias("pmax"), F.max("l_suppkey").alias("smax")
+    ).first()
+    files = sorted(
+        str(p) for p in __import__("pathlib").Path(path).glob("*.parquet")
+    )
+    assert len(files) >= 4
+    tight = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        cols = {
+            md.row_group(0).column(i).path_in_schema: i
+            for i in range(md.num_columns)
+        }
+        pr = [
+            md.row_group(rg).column(cols["l_partkey"]).statistics
+            for rg in range(md.num_row_groups)
+        ]
+        sr = [
+            md.row_group(rg).column(cols["l_suppkey"]).statistics
+            for rg in range(md.num_row_groups)
+        ]
+        p_span = max(s.max for s in pr) - min(s.min for s in pr)
+        s_span = max(s.max for s in sr) - min(s.min for s in sr)
+        # a random layout would give every file ~the full span on both
+        # dims; z-order keeps at least one dimension well under that
+        if p_span <= 0.75 * stats["pmax"] or s_span <= 0.75 * stats["smax"]:
+            tight += 1
+    assert tight >= len(files) // 2, (tight, len(files))

@@ -170,3 +170,43 @@ def compact_small_files(
         moved += 1
     shutil.rmtree(tmp, ignore_errors=True)
     return moved
+
+
+def z_value(col_a: Column, col_b: Column, bits: int = 16) -> Column:
+    """Morton/Z-order value: interleave the low `bits` of two non-negative
+    int columns (a in even positions, b in odd). Pure Column bit-math —
+    JVM-side, codegen-friendly, no UDF.
+
+    Sorting files by z_value gives BOTH dimensions row-group locality, so
+    parquet min/max stats prune selective filters on either column — the
+    multi-dimension upgrade of `write_clustered` for tables filtered by
+    two independent keys (e.g. (customer, date))."""
+    a = col_a.cast("long")
+    b = col_b.cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    num_files: int,
+    bits: int = 16,
+) -> None:
+    """Cluster-on-write by the Z-value of two columns (see z_value)."""
+    (
+        df.withColumn("_z", z_value(F.col(col_a), F.col(col_b), bits))
+        .repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
