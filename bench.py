@@ -86,7 +86,7 @@ def main() -> None:
         # whole plan re-executes each run) and the best run is recorded:
         # steady-state cost, insulated from one-off JIT/codegen-compile and
         # GC pauses that dominate cold single-shot numbers on a fresh JVM.
-        RUNS = 2
+        RUNS = 3
 
         def timed(name: str, run) -> None:
             best, rows = None, 0

@@ -432,6 +432,32 @@ def q_rollup_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_set_ops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (absent from the reference — SURVEY §2.7): the
+    early-customer cohort (ordered in the first year) intersected with and
+    subtracted from the late cohort. Both compile to aggregate-based
+    set-op plans (no sort), shuffling only distinct keys."""
+    orders = _read(spark, sf_dir, "orders")
+    early = orders.filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1996-01-01"))
+    ).select("o_custkey")
+    late = orders.filter(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit("2000-01-01"))
+    ).select("o_custkey")
+    loyal = early.intersect(late).withColumn("cohort", F.lit("retained"))
+    # exceptAll is MULTISET difference: applied to raw orders it keeps
+    # count-1 copies of keys present in both cohorts — dedup first so the
+    # semantics are EXCEPT DISTINCT, matching the SQL oracle
+    churned = early.distinct().exceptAll(late.distinct()).withColumn(
+        "cohort", F.lit("churned")
+    )
+    return (
+        loyal.unionByName(churned)
+        .select("cohort", "o_custkey")
+        .orderBy("cohort", "o_custkey")
+    )
+
+
 def q_date_spine_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled time series: a generated month spine left-joined to
     monthly order totals, so empty months appear as explicit zeros.
@@ -1151,6 +1177,7 @@ EXTRA_QUERIES: dict[str, Query] = {
     "pivot_status_counts": q_pivot_status_counts,
     "dq_orders_checks": q_dq_orders_checks,
     "date_spine_monthly_revenue": q_date_spine_monthly_revenue,
+    "set_ops_customer_cohorts": q_set_ops_customer_cohorts,
     "trailing_30d_totals": q_trailing_30d_totals,
     "unpivot_lineitem_charges": q_unpivot_lineitem_charges,
     "embedding_norm_stats": q_embedding_norm_stats,
@@ -1513,6 +1540,22 @@ SELECT o_orderpriority, o_orderstatus,
 FROM orders
 GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 ORDER BY gid ASC, o_orderpriority ASC NULLS LAST, o_orderstatus ASC NULLS LAST""",
+    "set_ops_customer_cohorts": """
+WITH early AS (
+  SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+),
+late AS (
+  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+)
+SELECT 'retained' AS cohort, o_custkey FROM (
+  SELECT o_custkey FROM early INTERSECT SELECT o_custkey FROM late
+)
+UNION ALL
+SELECT 'churned', o_custkey FROM (
+  SELECT DISTINCT o_custkey FROM early
+  EXCEPT SELECT DISTINCT o_custkey FROM late
+)
+ORDER BY cohort, o_custkey""",
     "date_spine_monthly_revenue": """
 WITH bounds AS (
   SELECT date_trunc('month', min(o_orderdate)) AS lo,
