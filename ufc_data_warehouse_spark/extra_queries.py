@@ -381,6 +381,88 @@ def q_tpch_q17_smallqty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional (CASE-sum) aggregation — counts
+    of urgent vs non-urgent orders per lineitem return flag. One shuffled
+    join on orderkey, one agg on a 3-value key."""
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share — ratio of two exact decimal
+    sums over a broadcast part join, computed as ONE division (order-free,
+    hash-safe)."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_type")
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    ).cast("decimal(38,8)")
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(
+                F.when(F.col("p_type").like("PROMO%"), revenue).otherwise(
+                    F.lit(0).cast("decimal(38,8)")
+                )
+            ).cast("double")
+            / F.sum(revenue).cast("double")
+        ).alias("promo_revenue_pct"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q_tpch_q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: a join whose predicate is an OR of conjunct
+    bundles (brand × size × quantity bands). The equi-key on partkey
+    carries the (broadcast) hash join; the disjunction evaluates as a
+    post-join residual — Catalyst's standard equi+residual split, so the
+    OR never degrades the join into a nested loop."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 15))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(1, 25))
+            & (F.col("l_quantity").between(10, 30))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(10, 40))
+            & (F.col("l_quantity").between(20, 50))
+        )
+    )
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    ).cast("decimal(38,8)")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .filter(cond)
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 def q_antijoin_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT EXISTS → left-anti join, plus a scalar aggregate subquery.
 
@@ -1170,6 +1252,9 @@ EXTRA_QUERIES: dict[str, Query] = {
     "tpch_q4_semijoin": q_tpch_q4_semijoin,
     "tpch_q6_pushdown": q_tpch_q6_pushdown,
     "tpch_q17_smallqty": q_tpch_q17_smallqty,
+    "tpch_q12_priority_by_flag": q_tpch_q12_priority_by_flag,
+    "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
+    "tpch_q19_disjunctive_join": q_tpch_q19_disjunctive_join,
     "antijoin_dormant_customers": q_antijoin_dormant_customers,
     "rollup_order_totals": q_rollup_order_totals,
     "window_distribution": q_window_distribution,
@@ -1517,6 +1602,29 @@ JOIN per_part a ON l.l_partkey = a.l_partkey
 JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_quantity < 0.2 * a.avg_qty
 GROUP BY p.p_brand ORDER BY p.p_brand""",
+    "tpch_q12_priority_by_flag": """
+SELECT l_returnflag,
+  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "tpch_q14_promo_revenue": """
+SELECT
+  100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+    THEN (l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4)))::DECIMAL(38,8)
+    ELSE 0::DECIMAL(38,8) END)::DOUBLE
+  / sum((l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4)))::DECIMAL(38,8))::DOUBLE
+  AS promo_revenue_pct,
+  count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey""",
+    "tpch_q19_disjunctive_join": """
+SELECT
+  sum((l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4)))::DECIMAL(38,8))::DOUBLE AS revenue,
+  count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40 AND l_quantity BETWEEN 20 AND 50)""",
     "antijoin_dormant_customers": """
 WITH stats AS (
   SELECT sum(c_acctbal::DECIMAL(18,4)) AS tot_bal, count(*) AS n_cust
