@@ -514,6 +514,28 @@ def q_rollup_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: the events `props` JSON string is
+    parsed with a typed schema (`from_json` — vectorized Jackson parse,
+    JVM-side; the schema-on-read path that scales, vs per-row
+    get_json_object re-parsing per extracted field) and aggregated."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = _read(spark, sf_dir, "events")
+    props_schema = StructType([StructField("k", LongType())])
+    parsed = ev.withColumn("k", F.from_json("props", props_schema)["k"])
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_set_ops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT (absent from the reference — SURVEY §2.7): the
     early-customer cohort (ordered in the first year) intersected with and
@@ -1263,6 +1285,7 @@ EXTRA_QUERIES: dict[str, Query] = {
     "dq_orders_checks": q_dq_orders_checks,
     "date_spine_monthly_revenue": q_date_spine_monthly_revenue,
     "set_ops_customer_cohorts": q_set_ops_customer_cohorts,
+    "json_props_stats": q_json_props_stats,
     "trailing_30d_totals": q_trailing_30d_totals,
     "unpivot_lineitem_charges": q_unpivot_lineitem_charges,
     "embedding_norm_stats": q_embedding_norm_stats,
@@ -1648,6 +1671,12 @@ SELECT o_orderpriority, o_orderstatus,
 FROM orders
 GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 ORDER BY gid ASC, o_orderpriority ASC NULLS LAST, o_orderstatus ASC NULLS LAST""",
+    "json_props_stats": """
+SELECT event_type, count(*) AS n,
+  count(json_extract(props, '$.k')) AS n_with_k,
+  sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+  max(json_extract(props, '$.k')::BIGINT) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type""",
     "set_ops_customer_cohorts": """
 WITH early AS (
   SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
