@@ -463,6 +463,109 @@ def q_tpch_q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution. The filter on
+    orders belongs to the LEFT JOIN's ON clause (not a WHERE — that would
+    drop order-less customers), then two stacked aggregations: per-customer
+    count, then a histogram of those counts. The second agg's input is one
+    row per customer, so its shuffle is tiny regardless of fact size."""
+    cust = _read(spark, sf_dir, "customer").select("c_custkey")
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q_tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS against the SAME fact table.
+    A supplier "kept an order waiting" if it shipped >90 days after the
+    order date on a finished order, another supplier shipped in that order
+    (left-semi), and no OTHER supplier was also late (left-anti). The late
+    set is computed once and reused for both probe and anti build; all
+    three joins hash on l_orderkey, so AQE coalesces them onto one
+    exchange of each side — no O(n²) correlated re-execution.
+
+    Reference analog: the reign-interval EXISTS logic in
+    `ufc/models/analytics/title_reigns.sql:272-286` is the same
+    correlated-predicate family; this is its decorrelated plan shape."""
+    sup = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    late = (
+        _read(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.alias("l1")
+    others = li.alias("l2")
+    other_late = late.alias("l3")
+    waiting = (
+        l1.join(
+            others,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(sup), F.col("l1.l_suppkey") == sup["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+    )
+
+
+def q_tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: substring bucketing + scalar-aggregate threshold +
+    NOT EXISTS. "Country code" is the last 2 digits of c_name; customers
+    above the positive-balance average in selected codes with no URGENT
+    orders. The 1-row stats frame is broadcast; above-average is tested as
+    ``bal * n > sum`` in exact decimal (order-free, hash-safe); the anti
+    join builds on a filtered 1-column projection of orders."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    codes = ["01", "13", "17", "18", "23", "29", "30", "31"]
+    bal = F.col("c_acctbal").cast("decimal(18,4)")
+    coded = cust.withColumn("cntrycode", F.right(F.col("c_name"), F.lit(2))).filter(
+        F.col("cntrycode").isin(codes)
+    )
+    stats = coded.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(bal).alias("tot_bal"), F.count("*").alias("n_pos")
+    )
+    return (
+        coded.crossJoin(F.broadcast(stats))
+        .filter(bal * F.col("n_pos") > F.col("tot_bal"))
+        .join(orders, coded["c_custkey"] == orders["o_custkey"], "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(bal).cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
 def q_antijoin_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT EXISTS → left-anti join, plus a scalar aggregate subquery.
 
@@ -1277,6 +1380,9 @@ EXTRA_QUERIES: dict[str, Query] = {
     "tpch_q12_priority_by_flag": q_tpch_q12_priority_by_flag,
     "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
     "tpch_q19_disjunctive_join": q_tpch_q19_disjunctive_join,
+    "tpch_q13_custdist": q_tpch_q13_custdist,
+    "tpch_q21_waiting_supplier": q_tpch_q21_waiting_supplier,
+    "tpch_q22_global_sales": q_tpch_q22_global_sales,
     "antijoin_dormant_customers": q_antijoin_dormant_customers,
     "rollup_order_totals": q_rollup_order_totals,
     "window_distribution": q_window_distribution,
@@ -1648,6 +1754,53 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
    OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
    OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40 AND l_quantity BETWEEN 20 AND 50)""",
+    "tpch_q13_custdist": """
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC""",
+    "tpch_q21_waiting_supplier": """
+SELECT s.s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name ASC""",
+    "tpch_q22_global_sales": """
+WITH coded AS (
+  SELECT right(c_name, 2) AS cntrycode, c_custkey, c_acctbal
+  FROM customer
+  WHERE right(c_name, 2) IN ('01','13','17','18','23','29','30','31')
+), stats AS (
+  SELECT sum(c_acctbal::DECIMAL(18,4)) AS tot_bal, count(*) AS n_pos
+  FROM coded WHERE c_acctbal > 0.0
+)
+SELECT cntrycode, count(*) AS numcust,
+  sum(c_acctbal::DECIMAL(18,4))::DOUBLE AS totacctbal
+FROM coded, stats
+WHERE c_acctbal::DECIMAL(18,4) * n_pos > tot_bal
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = coded.c_custkey AND o.o_orderpriority = '1-URGENT'
+  )
+GROUP BY cntrycode ORDER BY cntrycode""",
     "antijoin_dormant_customers": """
 WITH stats AS (
   SELECT sum(c_acctbal::DECIMAL(18,4)) AS tot_bal, count(*) AS n_cust
