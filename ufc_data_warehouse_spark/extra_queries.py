@@ -566,6 +566,98 @@ def q_tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: argmax against an aggregated view — supplier(s)
+    whose 1997 revenue equals the maximum. The per-supplier agg is computed
+    once; the global max is a 1-row frame broadcast back against it (scalar
+    subquery shape), NOT a rank-window over the whole agg — a global
+    window would funnel every supplier row through one partition."""
+    li = _read(spark, sf_dir, "lineitem")
+    sup = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    ).cast("decimal(38,8)")
+    per_sup = (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(revenue).alias("total_revenue"))
+    )
+    best = per_sup.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        per_sup.crossJoin(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered keys semi-joined back to the facts.
+    The qualifying-order set (sum(qty) > threshold) is the build side of a
+    left-semi against lineitem, then the detail agg re-groups on the same
+    orderkey — AQE reuses the orderkey hashing across the semi and the
+    final agg, and the customer dim is broadcast."""
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"], "left_semi")
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q_tpch_q20_nested_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: a CHAIN of semi-joins — suppliers who shipped more
+    than 50 units of some part in 1997, restricted to a nation set. Both
+    semi levels build on pre-aggregated/filtered small sides; the nation
+    restriction is a broadcast semi."""
+    li = _read(spark, sf_dir, "lineitem")
+    sup = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation").filter(
+        F.col("n_regionkey") == 0
+    ).select("n_nationkey")
+    heavy = (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        sup.join(heavy, sup["s_suppkey"] == heavy["l_suppkey"], "left_semi")
+        .join(
+            F.broadcast(nation),
+            sup["s_nationkey"] == nation["n_nationkey"],
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
 def q_antijoin_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT EXISTS → left-anti join, plus a scalar aggregate subquery.
 
@@ -1381,6 +1473,9 @@ EXTRA_QUERIES: dict[str, Query] = {
     "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
     "tpch_q19_disjunctive_join": q_tpch_q19_disjunctive_join,
     "tpch_q13_custdist": q_tpch_q13_custdist,
+    "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+    "tpch_q18_large_orders": q_tpch_q18_large_orders,
+    "tpch_q20_nested_semijoin": q_tpch_q20_nested_semijoin,
     "tpch_q21_waiting_supplier": q_tpch_q21_waiting_supplier,
     "tpch_q22_global_sales": q_tpch_q22_global_sales,
     "antijoin_dormant_customers": q_antijoin_dormant_customers,
@@ -1766,6 +1861,42 @@ SELECT c_count, count(*) AS custdist
 FROM per_cust
 GROUP BY c_count
 ORDER BY custdist DESC, c_count DESC""",
+    "tpch_q15_top_supplier": """
+WITH per_sup AS (
+  SELECT l_suppkey,
+    sum((l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4)))::DECIMAL(38,8)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, p.total_revenue::DOUBLE AS total_revenue
+FROM per_sup p JOIN supplier s ON s.s_suppkey = p.l_suppkey
+WHERE p.total_revenue = (SELECT max(total_revenue) FROM per_sup)
+ORDER BY s.s_suppkey""",
+    "tpch_q18_large_orders": """
+SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+  sum(l.l_quantity::DECIMAL(18,4))::DOUBLE AS sum_qty
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING sum(l_quantity::DECIMAL(18,4)) > 150
+)
+GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+LIMIT 100""",
+    "tpch_q20_nested_semijoin": """
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(l_quantity::DECIMAL(18,4)) > 50
+)
+AND s.s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+ORDER BY s.s_suppkey""",
     "tpch_q21_waiting_supplier": """
 SELECT s.s_name, count(*) AS numwait
 FROM lineitem l1
