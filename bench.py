@@ -86,9 +86,13 @@ def main() -> None:
         # whole plan re-executes each run) and the best run is recorded:
         # steady-state cost, insulated from one-off JIT/codegen-compile and
         # GC pauses that dominate cold single-shot numbers on a fresh JVM.
-        RUNS = 3
+        # An explicit JVM GC before each query's timing loop keeps garbage
+        # from EARLIER queries out of THIS query's pauses — observed ±3×
+        # swings on identical plans without it.
+        RUNS = 5
 
         def timed(name: str, run) -> None:
+            spark.sparkContext._jvm.System.gc()
             best, rows = None, 0
             for _ in range(RUNS):
                 t0 = time.perf_counter()

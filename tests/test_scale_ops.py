@@ -293,3 +293,44 @@ def test_write_zordered_gives_both_columns_locality(spark, tmp_path):
         if p_span <= 0.75 * stats["pmax"] or s_span <= 0.75 * stats["smax"]:
             tight += 1
     assert tight >= len(files) // 2, (tight, len(files))
+
+
+def test_count_min_sketch_bounds(spark):
+    """Per-day count-min sketches merged across days: estimate ≥ exact for
+    every term (one-sided guarantee) and within εN of exact for the head
+    terms (ε = e/width; assert the loose 4/width bound)."""
+    from ufc_data_warehouse_spark.extra_queries import _read
+    from ufc_data_warehouse_spark.operators.dedup import tokens
+    from ufc_data_warehouse_spark.operators.scale import (
+        cm_estimate,
+        cm_merge,
+        cm_partial_sketches,
+    )
+
+    depth, width = 4, 2048
+    docs = _read(spark, SF_DIR, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % 7).alias("bucket"),
+        F.explode(tokens(F.col("text"))).alias("term"),
+    ).filter(F.col("term") != "")
+    n_total = toks.count()
+    sketches = cm_partial_sketches(toks, "term", "bucket", depth, width)
+    merged = cm_merge(sketches)
+
+    exact = toks.groupBy("term").agg(F.count("*").alias("n"))
+    head = exact.orderBy(F.desc("n"), F.asc("term")).limit(50)
+    est = {
+        r["value"]: r["est_count"]
+        for r in cm_estimate(
+            merged, head.select(F.col("term")), "term", depth, width
+        ).collect()
+    }
+    for r in head.collect():
+        e = est[r["term"]]
+        assert e >= r["n"], (r["term"], e, r["n"])
+        assert e - r["n"] <= max(2, 4.0 * n_total / width), (r["term"], e, r["n"])
+
+    # a value never seen estimates ≥ 0 and ≤ εN (usually 0)
+    ghost = spark.createDataFrame([("zz-never-a-token",)], ["term"])
+    g = cm_estimate(merged, ghost, "term", depth, width).collect()[0]
+    assert 0 <= g["est_count"] <= max(2, 4.0 * n_total / width)

@@ -203,6 +203,10 @@ def q_text_bpe_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_token_estimate(_read(spark, sf_dir, "documents")).orderBy("id")
 
 
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.vocab_top_terms(_read(spark, sf_dir, "documents"), k=100)
+
+
 _STOPLIST_SQL = "[" + ", ".join(f"'{s}'" for s in text.EN_STOPWORDS) + "]"
 
 # ---------------------------------------------------------------------------
@@ -1388,6 +1392,19 @@ def q_streaming_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("user_id")
 
 
+def q_streaming_dedup_redelivered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingestion: the source delivers every event TWICE
+    (at-least-once redelivery); dropDuplicatesWithinWatermark emits each
+    exactly once, so the oracle is simply the events table itself."""
+    from .streaming import events as se
+
+    apply_runtime_confs(spark)
+    stream = se.read_events_stream_redelivered(spark, sf_dir)
+    return se.run_available_now(
+        se.dedup_redelivered(stream), output_mode="append"
+    ).orderBy("event_id")
+
+
 def q_streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import events as se
 
@@ -1457,6 +1474,7 @@ EXTRA_QUERIES: dict[str, Query] = {
     "text_token_stats": q_text_token_stats,
     "text_language_id": q_text_language_id,
     "text_quality_score": q_text_quality_score,
+    "vocab_top_terms": q_vocab_top_terms,
     "text_chunks": q_text_chunks,
     "text_bpe_estimate": q_text_bpe_estimate,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1507,6 +1525,7 @@ EXTRA_QUERIES: dict[str, Query] = {
     "streaming_static_join": q_streaming_static_join,
     "streaming_session_windows": q_streaming_session_windows,
     "streaming_sliding_windows": q_streaming_sliding_windows,
+    "streaming_dedup_redelivered": q_streaming_dedup_redelivered,
     "streaming_stateful_profiles": q_streaming_stateful_profiles,
 }
 
@@ -1644,6 +1663,15 @@ SELECT id,
       w -> (length(w) + 3) // 4)), 0)
    + len(regexp_extract_all(norm, '[^a-z0-9 ]')))::BIGINT AS est_tokens
 FROM base ORDER BY id""",
+    "vocab_top_terms": f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest({_TOKS_SQL}) AS term FROM documents
+)
+SELECT term, count(*) AS n_occurrences, count(DISTINCT id) AS n_docs
+FROM toks WHERE term <> ''
+GROUP BY term
+ORDER BY n_occurrences DESC, term ASC
+LIMIT 100""",
     "text_quality_score": f"""
 WITH q AS (
   SELECT doc_id AS id,
@@ -2197,6 +2225,10 @@ WITH contrib AS (
 )
 SELECT window_start, user_id, count(*) AS n_events
 FROM contrib GROUP BY 1, 2 ORDER BY window_start, user_id"""
+
+EXTRA_ORACLES["streaming_dedup_redelivered"] = """
+SELECT event_id, ts, user_id, event_type, value
+FROM events ORDER BY event_id"""
 
 # Heavier extra queries worth timing at sf0.1
 BENCH_EXTRA = [

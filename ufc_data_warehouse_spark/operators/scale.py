@@ -210,3 +210,62 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def _cm_slot(value: Column, row: Column, width: int) -> Column:
+    """Slot index for one count-min hash row: xxhash64 seeded by the row
+    index (an extra hashed column), reduced mod width."""
+    return F.pmod(F.xxhash64(value, row), F.lit(width))
+
+
+def cm_partial_sketches(
+    df: DataFrame,
+    value_col: str,
+    bucket_col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Count-min sketch partials: (bucket, row, slot, cnt) — the mergeable
+    heavy-hitter/frequency sketch, the companion of the HLL rollups.
+
+    One scan: each value explodes into `depth` (row, slot) cells and the
+    groupBy partial-aggregates map-side, so the exchange carries at most
+    |buckets|·depth·width counter rows — KBs per bucket, independent of
+    input size. Incremental 100 TB pattern: store one sketch per
+    day/partition; any window's term-frequency query = sum cells across
+    buckets, then min across rows (`cm_estimate`) — no raw re-scan.
+    Guarantee: estimate ≥ true count; overestimate ≤ εN with
+    ε = e/width at probability 1-(1/e)^depth."""
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row")
+    cells = df.select(F.col(value_col).alias("_v"), F.col(bucket_col).alias("bucket"), rows)
+    return (
+        cells.withColumn("slot", _cm_slot(F.col("_v"), F.col("row"), width))
+        .groupBy("bucket", "row", "slot")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cm_merge(sketches: DataFrame) -> DataFrame:
+    """Merge per-bucket sketches into one: sum counters cell-wise."""
+    return sketches.groupBy("row", "slot").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_estimate(
+    merged: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Point-estimate the frequency of each value in `queries`:
+    (value, est_count) with est = min over hash rows of the cell counter.
+    The query side is tiny (terms of interest) and broadcast; a missing
+    cell means a true count of 0."""
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row")
+    q = queries.select(F.col(value_col).alias("value"), rows).withColumn(
+        "slot", _cm_slot(F.col("value"), F.col("row"), width)
+    )
+    joined = merged.join(F.broadcast(q), ["row", "slot"], "right")
+    return joined.groupBy("value").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count")
+    )

@@ -145,3 +145,35 @@ def quality_score(
         alpha_ok.alias("alpha_ok"),
         (len_ok + div_ok + alpha_ok).alias("quality"),
     )
+
+
+def vocab_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 100
+) -> DataFrame:
+    """Corpus vocabulary heavy-hitters: (term, n_occurrences, n_docs),
+    top-k by occurrence — the vocabulary/IDF-statistics step of a
+    training pipeline.
+
+    The explode is a narrow flatMap; the term agg partial-aggregates
+    map-side, so the exchange carries (term, partial-count) rows, not
+    token instances — head terms are extreme-skew keys by construction
+    (Zipf), and the partial agg collapses them BEFORE the shuffle, which
+    is why this needs no salting. ``n_docs`` (document frequency) dedups
+    (term, doc) pairs first — a second keyed exchange. The final top-k is
+    TakeOrderedAndProject, never a full sort. Scale path when even the
+    distinct-term set won't fit: per-partition count-min sketch, merged
+    on the driver (bounded error, no term-keyed shuffle at all).
+    """
+    toks = tokens(F.col(text_col))
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(toks).alias("term")
+    ).filter(F.col("term") != "")
+    return (
+        exploded.groupBy("term")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("term"))
+        .limit(k)
+    )

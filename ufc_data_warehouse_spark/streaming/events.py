@@ -59,6 +59,36 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def read_events_stream_redelivered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events stream with the source file linked TWICE into the
+    watched directory — an at-least-once upstream that redelivers every
+    record, the input shape exactly-once ingestion must absorb."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src_dir = tempfile.mkdtemp(prefix="events_redeliver_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events_a.parquet")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events_b.parquet")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA_NANOS)
+        .format("parquet")
+        .load(src_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def dedup_redelivered(stream: DataFrame) -> DataFrame:
+    """Exactly-once ingestion over an at-least-once source:
+    ``dropDuplicatesWithinWatermark`` keyed on event_id. Unlike a batch
+    global distinct (state ∝ all keys ever seen), the dedup state holds
+    only keys within the watermark horizon — bounded memory at any
+    throughput, which is what makes this viable on an unbounded
+    100 TB/day firehose. Emits each event once, in append mode."""
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
 def tumbling_counts(stream: DataFrame) -> DataFrame:
     """5-minute tumbling windows per event_type with a 10-minute watermark
     for late data; DECIMAL sum keeps results engine-exact."""
