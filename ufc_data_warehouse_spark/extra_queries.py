@@ -692,6 +692,81 @@ def q_antijoin_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q7_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: role-playing dimension — nation joined TWICE under
+    different roles (supplier's vs customer's) with an asymmetric pair
+    filter, plus a year breakdown. Both nation legs broadcast; the only
+    real shuffles are lineitem⋈orders on orderkey and the final 3-key
+    agg."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sup = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust_nation = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    ).cast("decimal(38,8)")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_cube_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all 4 subtotal combinations of priority × status)
+    with grouping_id — like ROLLUP, one Expand + a single shuffled agg,
+    never a per-level re-scan."""
+    orders = _read(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,4)")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.sum(price).cast("double").alias("total_price"),
+        )
+        .orderBy(
+            F.asc("gid"),
+            F.asc_nulls_last("o_orderpriority"),
+            F.asc_nulls_last("o_orderstatus"),
+        )
+    )
+
+
+def q_topn_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group — the most common analytics shape there is: each
+    customer's 3 largest orders via row_number over a keyed window. One
+    shuffle on custkey; the sort is per-partition-key, never global.
+    Tiebreak on orderkey keeps it deterministic across engines."""
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rk")
+    )
+
+
 def q_rollup_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation (priority → status hierarchy) with grouping_id.
     Spark computes all rollup levels in one shuffle (Expand + single hash
@@ -1490,8 +1565,11 @@ EXTRA_QUERIES: dict[str, Query] = {
     "tpch_q12_priority_by_flag": q_tpch_q12_priority_by_flag,
     "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
     "tpch_q19_disjunctive_join": q_tpch_q19_disjunctive_join,
+    "tpch_q7_nation_pairs": q_tpch_q7_nation_pairs,
     "tpch_q13_custdist": q_tpch_q13_custdist,
     "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+    "cube_order_totals": q_cube_order_totals,
+    "topn_orders_per_customer": q_topn_orders_per_customer,
     "tpch_q18_large_orders": q_tpch_q18_large_orders,
     "tpch_q20_nested_semijoin": q_tpch_q20_nested_semijoin,
     "tpch_q21_waiting_supplier": q_tpch_q21_waiting_supplier,
@@ -1877,6 +1955,38 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
    OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
    OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40 AND l_quantity BETWEEN 20 AND 50)""",
+    "tpch_q7_nation_pairs": """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+  year(l.l_shipdate)::INT AS l_year,
+  sum((l.l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l.l_discount::DECIMAL(18,4)))::DECIMAL(38,8))::DOUBLE AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year""",
+    "cube_order_totals": """
+SELECT o_orderpriority, o_orderstatus,
+  grouping_id(o_orderpriority, o_orderstatus)::INT AS gid,
+  count(*) AS n_orders,
+  sum(o_totalprice::DECIMAL(18,4))::DOUBLE AS total_price
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+ORDER BY gid ASC, o_orderpriority ASC NULLS LAST, o_orderstatus ASC NULLS LAST""",
+    "topn_orders_per_customer": """
+WITH ranked AS (
+  SELECT o_custkey,
+    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk,
+    o_orderkey, o_totalprice
+  FROM orders
+)
+SELECT o_custkey, rk::INT AS rk, o_orderkey, o_totalprice
+FROM ranked WHERE rk <= 3
+ORDER BY o_custkey, rk""",
     "tpch_q13_custdist": """
 WITH per_cust AS (
   SELECT c.c_custkey, count(o.o_orderkey) AS c_count
