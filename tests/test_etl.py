@@ -43,6 +43,10 @@ def test_pipeline_end_to_end_with_partition_pruning(spark, tmp_path):
     assert "title_reigns" not in result.marts
     assert "fighters_by_wins" in result.marts
 
+    # observe()-based metrics rode the write jobs (no re-scan):
+    assert result.metrics["fct_fights"]["n_rows"] == 8
+    assert set(result.metrics) == set(result.marts)
+
     mart = spark.read.parquet(result.marts["fct_fights"])
     pruned = mart.filter(mart["weight_category"] == "Lightweight")
     plan = pruned._jdf.queryExecution().executedPlan().toString()

@@ -42,6 +42,7 @@ class PipelineResult:
     raw_tables: dict[str, str] = field(default_factory=dict)
     marts: dict[str, str] = field(default_factory=dict)
     checks: dict[str, dict[str, int]] = field(default_factory=dict)
+    metrics: dict[str, dict] = field(default_factory=dict)
 
 
 def run_pipeline(
@@ -82,6 +83,7 @@ def run_pipeline(
         warehouse_dir,
         targets=buildable,
         partition_by={k: v for k, v in MART_PARTITIONS.items() if v},
+        metrics=result.metrics,
     )
     for name, rule_kw in (checks or {}).items():
         if name in result.marts:

@@ -294,6 +294,13 @@ def duplicate_clusters(pairs: DataFrame, all_ids: DataFrame) -> DataFrame:
     shallow). The per-round convergence check is one count — the
     documented exception to the no-driver-loops rule for iterative
     algorithms (GraphX-style Pregel does exactly this under the hood).
+
+    Each round's labels are eagerly ``localCheckpoint``-ed: without the
+    truncation the plan deepens by one join per round and round k replays
+    rounds 1..k-1 (O(k²) total work, and eventually a planner blow-up);
+    with it every round is O(edges) flat. On a real cluster prefer
+    ``checkpoint()`` to reliable storage when executor loss mid-iteration
+    must be recoverable.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -302,9 +309,10 @@ def duplicate_clusters(pairs: DataFrame, all_ids: DataFrame) -> DataFrame:
         )
         .distinct()
     )
+    edges = edges.localCheckpoint(eager=True)
     labels = all_ids.select(
         F.col("id"), F.col("id").alias("cluster_id")
-    )
+    ).localCheckpoint(eager=True)
     for _ in range(20):  # diameter bound; near-dup clusters are shallow
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -319,7 +327,7 @@ def duplicate_clusters(pairs: DataFrame, all_ids: DataFrame) -> DataFrame:
                     F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-        )
+        ).localCheckpoint(eager=True)
         changed = (
             updated.alias("u")
             .join(labels.alias("l"), "id")

@@ -25,6 +25,7 @@ from dataclasses import dataclass, field
 from typing import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 ModelFn = Callable[[dict[str, DataFrame]], DataFrame]
 
@@ -106,22 +107,37 @@ class Registry:
         warehouse_dir: str,
         targets: list[str] | None = None,
         partition_by: dict[str, list[str]] | None = None,
+        metrics: dict[str, dict] | None = None,
     ) -> dict[str, str]:
         """Write models to ``{warehouse}/{layer}/{name}`` parquet.
 
         ``partition_by`` maps model name → partition columns (natural keys,
         e.g. weight_category) — the 100 TB layout knob.
+
+        When ``metrics`` (a dict) is passed, each mart write is wrapped in
+        ``df.observe`` and per-mart row counts land in ``metrics[name]`` —
+        pipeline observability measured DURING the write itself (the
+        accumulator rides the job), not by re-scanning the written output.
         """
         resolved = self.build(sources, targets)
         written: dict[str, str] = {}
         for name in self.topo_order(targets):
             model = self.models[name]
             path = f"{warehouse_dir}/{model.layer}/{name}"
-            writer = resolved[name].write.mode("overwrite")
+            df = resolved[name]
+            obs = None
+            if metrics is not None:
+                from pyspark.sql import Observation
+
+                obs = Observation(f"mart_{name}")
+                df = df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
+            writer = df.write.mode("overwrite")
             cols = (partition_by or {}).get(name)
             if cols:
                 writer = writer.partitionBy(*cols)
             writer.parquet(path)
+            if obs is not None:
+                metrics[name] = obs.get
             written[name] = path
         return written
 
