@@ -22,57 +22,53 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    DoubleType,
     LongType,
     StringType,
     StructField,
     StructType,
 )
 
-EVENTS_SCHEMA_NANOS = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # nanos-as-long (see extra_queries._read)
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_batch_schema(spark: SparkSession, sf_dir: str):
+    """Probe events.parquet with the batch reader to learn how this file's
+    ``ts`` column lands in Spark. Testdata generations have shipped both
+    TIMESTAMP(NANOS) (rejected by the reader unless nanosAsLong=true, then
+    a bigint of nanos) and plain TIMESTAMP(MICROS) — the stream must adapt
+    rather than assume a unit."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_is_nanos_long = dict(probe.dtypes).get("ts") == "bigint"
+    return probe.schema, ts_is_nanos_long
+
+
+def _stream_from_links(
+    spark: SparkSession, sf_dir: str, prefix: str, n_links: int
+) -> DataFrame:
+    """File-source stream over events.parquet. The file streaming source
+    monitors a DIRECTORY; the testdata is a bare file, so a temp dir with
+    symlink(s) stands in as the watched source. ``n_links > 1`` models an
+    at-least-once upstream that redelivers every record."""
+    schema, ts_is_nanos_long = _events_batch_schema(spark, sf_dir)
+    src_dir = tempfile.mkdtemp(prefix=prefix)
+    for i in range(n_links):
+        os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events_{i}.parquet")
+    raw = spark.readStream.schema(schema).format("parquet").load(src_dir)
+    if ts_is_nanos_long:
+        # integer division: double `/ 1000` loses precision above 2^53 (±1µs)
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # withWatermark rejects TIMESTAMP_NTZ; the session timezone is pinned
+    # to UTC (session.py) so this cast is value-preserving.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over events.parquet (nanos ts rebuilt to micros).
-
-    The file streaming source monitors a DIRECTORY; the testdata is a bare
-    file, so a temp dir with a symlink stands in as the watched source.
-    """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src_dir = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA_NANOS)
-        .format("parquet")
-        .load(src_dir)
-    )
-    # integer division: double `/ 1000` loses precision above 2^53 (±1µs)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _stream_from_links(spark, sf_dir, "events_stream_", 1)
 
 
 def read_events_stream_redelivered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events stream with the source file linked TWICE into the
     watched directory — an at-least-once upstream that redelivers every
     record, the input shape exactly-once ingestion must absorb."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src_dir = tempfile.mkdtemp(prefix="events_redeliver_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events_a.parquet")
-    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events_b.parquet")
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA_NANOS)
-        .format("parquet")
-        .load(src_dir)
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _stream_from_links(spark, sf_dir, "events_redeliver_", 2)
 
 
 def dedup_redelivered(stream: DataFrame) -> DataFrame:
