@@ -2349,6 +2349,8 @@ BENCH_EXTRA = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_revenue",
     "sessionization",
     "asof_orders_before_events",
 ]
@@ -2356,3 +2358,10 @@ BENCH_EXTRA = [
 for _name, _spec in CARD_SPECS.items():
     EXTRA_QUERIES[_name] = _make_card(_spec)
     EXTRA_ORACLES[_name] = _make_card_oracle(_spec)
+
+# Remaining TPC-H shapes (Q2/Q8/Q9/Q10/Q11/Q16 adapted to the testdata
+# schema) live in tpch_extra.py to keep this module navigable.
+from .tpch_extra import TPCH_EXTRA_ORACLES, TPCH_EXTRA_QUERIES  # noqa: E402
+
+EXTRA_QUERIES.update(TPCH_EXTRA_QUERIES)
+EXTRA_ORACLES.update(TPCH_EXTRA_ORACLES)
