@@ -334,3 +334,71 @@ def test_count_min_sketch_bounds(spark):
     ghost = spark.createDataFrame([("zz-never-a-token",)], ["term"])
     g = cm_estimate(merged, ghost, "term", depth, width).collect()[0]
     assert 0 <= g["est_count"] <= max(2, 4.0 * n_total / width)
+
+
+def test_interval_bucket_join_is_equi_join(spark):
+    """The point-in-interval join must compile to a hash/merge EQUI-join on
+    (key, bucket) — never a nested-loop over the cross product."""
+    from ufc_data_warehouse_spark.extra_queries import EXTRA_QUERIES
+
+    df = EXTRA_QUERIES["range_join_order_window_events"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), plan
+
+
+def test_mixture_sample_stable_under_repartition(spark):
+    """mixture_sample must keep the SAME rows regardless of partition
+    layout (unlike df.sample) — that's its whole reason to exist."""
+    from ufc_data_warehouse_spark.operators.training import mixture_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    a = mixture_sample(docs, "doc_id", "source", rates, seed=3)
+    b = mixture_sample(docs.repartition(7), "doc_id", "source", rates, seed=3)
+    ids_a = sorted(r[0] for r in a.select("doc_id").collect())
+    ids_b = sorted(r[0] for r in b.select("doc_id").collect())
+    assert ids_a == ids_b and len(ids_a) > 0
+    assert a.filter(F.col("source") == "src2").count() == 0
+    n0 = docs.filter(F.col("source") == "src0").count()
+    assert a.filter(F.col("source") == "src0").count() == n0
+
+
+def test_dynamic_partition_pruning_on_partitioned_mart(spark, tmp_path):
+    """A mart written partitionBy(month) joined to a filtered dim must get
+    a runtime partition filter (DPP) — the scan reads only the months the
+    dim selects, which is what makes dim-filtered fact queries viable at
+    100 TB."""
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    fact_path = str(tmp_path / "orders_by_month")
+    dim_path = str(tmp_path / "months")
+    (
+        orders.withColumn("o_month", F.date_format("o_orderdate", "yyyy-MM"))
+        .write.partitionBy("o_month")
+        .parquet(fact_path)
+    )
+    # the dim filter is on a DIFFERENT column than the join key, so the
+    # selected months are unknown at plan time — static constant
+    # propagation can't prune, only a runtime DPP subquery can
+    (
+        orders.select(F.date_format("o_orderdate", "yyyy-MM").alias("m"))
+        .distinct()
+        .withColumn(
+            "tag", F.when(F.col("m").endswith("-03"), "mar").otherwise("other")
+        )
+        .write.parquet(dim_path)
+    )
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("tag") == "mar")
+    joined = (
+        fact.join(dim, fact["o_month"] == dim["m"])
+        .groupBy("o_month")
+        .agg(F.count("*").alias("n"))
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    rows = {r["o_month"] for r in joined.collect()}
+    assert rows and all(m.endswith("-03") for m in rows)

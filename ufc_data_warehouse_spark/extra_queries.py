@@ -1088,6 +1088,31 @@ def q_split_stratified_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+_MIX_SEED = 7
+_MIX_DEFAULT = 0.05
+
+
+def q_mixture_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing: per-source keep rates applied as a
+    stateless hash filter (no shuffle, reproducible across cluster sizes —
+    unlike df.sample). Verified by per-source kept-count AND the exact sum
+    of kept ids, so the oracle checks WHICH rows survived, not just how
+    many."""
+    from .operators import training
+
+    docs = _read(spark, sf_dir, "documents")
+    kept = training.mixture_sample(
+        docs, "doc_id", "source", _MIX_RATES, seed=_MIX_SEED,
+        default_rate=_MIX_DEFAULT,
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count("*").alias("n_kept"), F.sum("doc_id").alias("sum_ids"))
+        .orderBy("source")
+    )
+
+
 def q_pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget packing: per-language sequential bins of ~4096 tokens
     (cheap n_chars/4 token proxy). One shuffle, on lang."""
@@ -1480,6 +1505,19 @@ def q_streaming_dedup_redelivered(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("event_id")
 
 
+def q_streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two independent streams (separate sources over the same events
+    file) joined on user_id + a 1-hour time-range bound; append mode."""
+    from .streaming import events as se
+
+    apply_runtime_confs(spark)
+    signups = se.read_events_stream(spark, sf_dir)
+    purchases = se.read_events_stream(spark, sf_dir)
+    return se.run_available_now(
+        se.stream_stream_signup_purchase(signups, purchases), output_mode="append"
+    ).orderBy("user_id", "signup_id", "purchase_id")
+
+
 def q_streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import events as se
 
@@ -1495,6 +1533,38 @@ def q_streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shapes are asserted in tests/test_scale_ops.py; these queries prove the
 # rewrites are EXACT against a plain-SQL oracle)
 # ---------------------------------------------------------------------------
+
+
+def q_range_join_order_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join at scale: purchases landing inside the 3-day
+    window after each signup by the same user, counted per signup. Runs as
+    a hash equi-join on (user, day-bucket) via interval_bucket_join — the
+    oracle states the same thing as a plain theta join."""
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_user"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 3 DAYS")).alias("win_end"),
+    )
+    matched = scale.interval_bucket_join(
+        purchases,
+        signups,
+        point_key="user_id",
+        interval_key="s_user",
+        point_ts="ts",
+        start_col="win_start",
+        end_col="win_end",
+        bucket_seconds=86400,
+    )
+    return (
+        matched.groupBy("signup_id")
+        .agg(F.count("*").alias("n_purchases"))
+        .orderBy("signup_id")
+    )
 
 
 def q_salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1537,6 +1607,7 @@ def q_bucketed_customer_order_totals(spark: SparkSession, sf_dir: str) -> DataFr
 # ---------------------------------------------------------------------------
 
 EXTRA_QUERIES: dict[str, Query] = {
+    "range_join_order_window_events": q_range_join_order_window_events,
     "salted_event_type_stats": q_salted_event_type_stats,
     "bucketed_customer_order_totals": q_bucketed_customer_order_totals,
     "dedup_exact": q_dedup_exact,
@@ -1587,6 +1658,7 @@ EXTRA_QUERIES: dict[str, Query] = {
     "unpivot_lineitem_charges": q_unpivot_lineitem_charges,
     "embedding_norm_stats": q_embedding_norm_stats,
     "split_stratified_counts": q_split_stratified_counts,
+    "mixture_sample_counts": q_mixture_sample_counts,
     "pack_token_bins": q_pack_token_bins,
     "shuffle_order": q_shuffle_order,
     "asof_orders_before_events": q_asof_orders_before_events,
@@ -1604,6 +1676,7 @@ EXTRA_QUERIES: dict[str, Query] = {
     "streaming_session_windows": q_streaming_session_windows,
     "streaming_sliding_windows": q_streaming_sliding_windows,
     "streaming_dedup_redelivered": q_streaming_dedup_redelivered,
+    "streaming_stream_stream_join": q_streaming_stream_stream_join,
     "streaming_stateful_profiles": q_streaming_stateful_profiles,
 }
 
@@ -2236,6 +2309,25 @@ WITH s AS (
 SELECT lang, split, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
 FROM s GROUP BY lang, split ORDER BY lang, split"""
 
+def _mix_thresholds_sql() -> str:
+    # identical truncation to training.mixture_sample: int(rate * 65536)
+    whens = " ".join(
+        f"WHEN '{name}' THEN '{format(min(int(rate * 65536), 65536), '05x')}'"
+        for name, rate in _MIX_RATES.items()
+    )
+    default = format(min(int(_MIX_DEFAULT * 65536), 65536), "05x")
+    return f"CASE source {whens} ELSE '{default}' END"
+
+
+EXTRA_ORACLES["mixture_sample_counts"] = f"""
+WITH kept AS (
+  SELECT source, doc_id FROM documents
+  WHERE '0' || substr(md5('{_MIX_SEED}:' || doc_id::VARCHAR), 1, 4)
+        < {_mix_thresholds_sql()}
+)
+SELECT source, count(*) AS n_kept, sum(doc_id)::BIGINT AS sum_ids
+FROM kept GROUP BY source ORDER BY source"""
+
 EXTRA_ORACLES["shuffle_order"] = f"""
 SELECT doc_id AS id,
   row_number() OVER (
@@ -2339,6 +2431,23 @@ FROM contrib GROUP BY 1, 2 ORDER BY window_start, user_id"""
 EXTRA_ORACLES["streaming_dedup_redelivered"] = """
 SELECT event_id, ts, user_id, event_type, value
 FROM events ORDER BY event_id"""
+
+EXTRA_ORACLES["range_join_order_window_events"] = """
+SELECT s.event_id AS signup_id, count(*) AS n_purchases
+FROM events s JOIN events p
+  ON p.user_id = s.user_id
+ AND s.event_type = 'signup' AND p.event_type = 'purchase'
+ AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 3 DAY
+GROUP BY signup_id ORDER BY signup_id"""
+
+EXTRA_ORACLES["streaming_stream_stream_join"] = """
+SELECT s.user_id, s.event_id AS signup_id, s.ts AS signup_ts,
+  p.event_id AS purchase_id, p.ts AS purchase_ts, p.value
+FROM events s JOIN events p
+  ON s.user_id = p.user_id
+ AND s.event_type = 'signup' AND p.event_type = 'purchase'
+ AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+ORDER BY s.user_id, signup_id, purchase_id"""
 
 # Heavier extra queries worth timing at sf0.1
 BENCH_EXTRA = [

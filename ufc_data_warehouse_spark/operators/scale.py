@@ -269,3 +269,51 @@ def cm_estimate(
     return joined.groupBy("value").agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count")
     )
+
+
+def interval_bucket_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_key: str,
+    interval_key: str,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Point-in-interval join as an EQUI-join (the 100 TB path for
+    SURVEY §2.3 J5 / reference title_reigns.sql:272-286).
+
+    A raw ``p.ts BETWEEN i.start AND i.end`` theta join degenerates to a
+    broadcast-nested-loop (O(|points|·|intervals|)) once the equality keys
+    are low-selectivity. Instead each interval is exploded into the
+    fixed-size time buckets it overlaps (``sequence`` + ``explode`` — rows
+    ∝ interval length / bucket size) and each point hashes to exactly ONE
+    bucket, so the join is a plain hash equi-join on (key, bucket) with the
+    exact range check left as a cheap post-join residual. No dedup is
+    needed: a point matches an interval in precisely the point's own
+    bucket. Shuffle volume scales with data size, never with the cross
+    product; skewed keys get AQE's skew-join handling like any equi-join.
+    """
+    def bkt(c: str) -> Column:
+        # integer div of epoch seconds — exact, no double rounding. The
+        # inner cast lifts TIMESTAMP_NTZ to TIMESTAMP (UTC session →
+        # value-preserving); NTZ has no direct cast to BIGINT.
+        return F.expr(f"cast(cast(`{c}` as timestamp) as long) div {int(bucket_seconds)}")
+
+    exploded = intervals.withColumn(
+        "_bucket", F.explode(F.sequence(bkt(start_col), bkt(end_col)))
+    )
+    bucketed_points = points.withColumn("_bucket", bkt(point_ts))
+    return (
+        bucketed_points.join(
+            exploded,
+            (bucketed_points[point_key] == exploded[interval_key])
+            & (bucketed_points["_bucket"] == exploded["_bucket"]),
+        )
+        .filter(
+            (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) <= F.col(end_col))
+        )
+        .drop("_bucket")
+    )

@@ -29,7 +29,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["split_bounds_hex", "split_column", "assign_split", "token_bins", "shuffled"]
+__all__ = [
+    "split_bounds_hex",
+    "split_column",
+    "assign_split",
+    "token_bins",
+    "shuffled",
+    "mixture_sample",
+]
 
 
 def _seeded_hash(id_col: Column, seed: int) -> Column:
@@ -122,3 +129,39 @@ def shuffled(df: DataFrame, id_col: str, seed: int = 42) -> DataFrame:
         df.withColumn("shuffle_key", h)
         .withColumn("pos", F.row_number().over(w))
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    rates: dict[str, float],
+    seed: int = 42,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-source downsampling — the corpus-mixing step of a
+    pretraining pipeline ("keep 100% of wiki, 30% of web, 5% of logs").
+
+    Each row keeps iff the first 4 hex chars of its seeded md5 fall under
+    its source's rate threshold (65,536 buckets, same hash discipline as
+    ``assign_split``). Pure stateless projection: no shuffle, no sampling
+    state, stable under reruns/retries AND under re-partitioning — unlike
+    ``df.sample``, whose output depends on partition layout, this yields
+    the same rows on 1 executor or 1,000. Rates compose with splits: the
+    hash is seeded differently per operator so decisions are independent.
+    """
+    # '0'-prefixed 5-char bucket so a full-rate threshold of 0x10000
+    # ("10000") lexicographically dominates every bucket ("0ffff" max)
+    bucket = F.concat(
+        F.lit("0"), F.substring(_seeded_hash(F.col(id_col), seed), 1, 4)
+    )
+    thresh = None
+    for name, rate in rates.items():
+        hex_bound = format(min(int(rate * 65536), 65536), "05x")
+        clause = F.col(source_col) == name
+        lit = F.lit(hex_bound)
+        thresh = F.when(clause, lit) if thresh is None else thresh.when(clause, lit)
+    thresh = thresh.otherwise(
+        F.lit(format(min(int(default_rate * 65536), 65536), "05x"))
+    )
+    return df.filter(bucket < thresh)

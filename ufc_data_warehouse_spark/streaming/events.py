@@ -165,6 +165,48 @@ def stream_static_nation_activity(stream: DataFrame, customer: DataFrame) -> Dat
     )
 
 
+def stream_stream_signup_purchase(
+    signups: DataFrame, purchases: DataFrame
+) -> DataFrame:
+    """Watermarked stream-stream inner join: every purchase a user makes
+    within 1 hour of a signup event, emitted in append mode.
+
+    Both sides carry a watermark and the join predicate bounds
+    ``purchase_ts`` relative to ``signup_ts``, so Spark derives a state
+    eviction horizon for BOTH join buffers — state stays proportional to
+    one hour of traffic, not the whole stream. Without the time-range
+    condition the buffers would grow forever; this is the canonical shape
+    for correlating two unbounded firehoses. Equality on user_id keys the
+    state-store partitioning (scales like a keyed shuffle).
+    """
+    s = (
+        signups.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("signup_id"),
+            F.col("ts").alias("signup_ts"),
+        )
+        .withWatermark("signup_ts", "10 minutes")
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    return s.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("user_id", "signup_id", "signup_ts", "purchase_id", "purchase_ts", "value")
+
+
 def stateful_user_profiles(stream: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: a running
     per-user profile (event count, value sum in exact integer cents, latest
