@@ -402,3 +402,43 @@ def test_dynamic_partition_pruning_on_partitioned_mart(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan
     rows = {r["o_month"] for r in joined.collect()}
     assert rows and all(m.endswith("-03") for m in rows)
+
+
+def test_aqe_splits_skewed_join(spark):
+    """With one join key holding most rows, AQE must detect the skewed
+    shuffle partition and split it (skew=true in the final plan) instead
+    of letting one task process the whole hot key — the runtime half of
+    the skew story (salting in scale.py is the static half)."""
+    skew_confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+    }
+    saved = {k: spark.conf.get(k) for k in skew_confs}
+    try:
+        for k, v in skew_confs.items():
+            spark.conf.set(k, v)
+        # sf0.01 so the hot shuffle partition comfortably clears the
+        # (lowered) skew threshold. repartition(32): AQE splits a skewed
+        # reduce partition at MAP-OUTPUT granularity, so the map side must
+        # have multiple tasks (a single small parquet file scans as too
+        # few) — on a real cluster the fact side always does.
+        li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").repartition(32)
+        orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+        # ~90% of fact rows collapse onto one hot key; the dim side stays
+        # uniform — Spark skips partitions skewed on BOTH sides
+        left = li.withColumn(
+            "k",
+            F.when(F.col("l_orderkey") % 10 < 9, F.lit(1)).otherwise(
+                F.col("l_orderkey")
+            ),
+        )
+        right = orders.select(F.col("o_orderkey").alias("k"), "o_totalprice")
+        joined = left.join(right, "k").groupBy("l_returnflag").count()
+        joined.collect()  # run so AQE finalizes the plan
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

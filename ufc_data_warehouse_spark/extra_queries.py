@@ -1518,6 +1518,25 @@ def q_streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFram
     ).orderBy("user_id", "signup_id", "purchase_id")
 
 
+def q_streaming_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end exactly-once into a non-transactional sink: redelivered
+    source → streaming dedup → update-mode totals → foreachBatch MERGE
+    into parquet. Forcing one file per micro-batch makes the sink apply
+    multiple overlapping batches — the final table must still equal the
+    batch ground truth, which is exactly what the oracle states."""
+    import tempfile as _tf
+
+    from .streaming import events as se
+
+    apply_runtime_confs(spark)
+    stream = se.read_events_stream_redelivered(spark, sf_dir, max_files_per_trigger=1)
+    target = _tf.mkdtemp(prefix="upsert_target_") + "/totals"
+    se.run_foreach_batch_upsert(
+        se.user_value_totals(stream), keys=["user_id"], target_dir=target
+    )
+    return spark.read.parquet(target).orderBy("user_id")
+
+
 def q_streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import events as se
 
@@ -1677,6 +1696,7 @@ EXTRA_QUERIES: dict[str, Query] = {
     "streaming_sliding_windows": q_streaming_sliding_windows,
     "streaming_dedup_redelivered": q_streaming_dedup_redelivered,
     "streaming_stream_stream_join": q_streaming_stream_stream_join,
+    "streaming_foreach_batch_upsert": q_streaming_foreach_batch_upsert,
     "streaming_stateful_profiles": q_streaming_stateful_profiles,
 }
 
@@ -2439,6 +2459,11 @@ FROM events s JOIN events p
  AND s.event_type = 'signup' AND p.event_type = 'purchase'
  AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 3 DAY
 GROUP BY signup_id ORDER BY signup_id"""
+
+EXTRA_ORACLES["streaming_foreach_batch_upsert"] = """
+SELECT user_id, count(*) AS n_events,
+  sum(floor(value * 100)::BIGINT)::BIGINT AS value_cents
+FROM events GROUP BY user_id ORDER BY user_id"""
 
 EXTRA_ORACLES["streaming_stream_stream_join"] = """
 SELECT s.user_id, s.event_id AS signup_id, s.ts AS signup_ts,

@@ -41,17 +41,26 @@ def _events_batch_schema(spark: SparkSession, sf_dir: str):
 
 
 def _stream_from_links(
-    spark: SparkSession, sf_dir: str, prefix: str, n_links: int
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str,
+    n_links: int,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-source stream over events.parquet. The file streaming source
     monitors a DIRECTORY; the testdata is a bare file, so a temp dir with
     symlink(s) stands in as the watched source. ``n_links > 1`` models an
-    at-least-once upstream that redelivers every record."""
+    at-least-once upstream that redelivers every record;
+    ``max_files_per_trigger=1`` then forces each delivery into its OWN
+    micro-batch (AvailableNow honors the cap) instead of one batch."""
     schema, ts_is_nanos_long = _events_batch_schema(spark, sf_dir)
     src_dir = tempfile.mkdtemp(prefix=prefix)
     for i in range(n_links):
         os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events_{i}.parquet")
-    raw = spark.readStream.schema(schema).format("parquet").load(src_dir)
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(src_dir)
     if ts_is_nanos_long:
         # integer division: double `/ 1000` loses precision above 2^53 (±1µs)
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -64,11 +73,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stream_from_links(spark, sf_dir, "events_stream_", 1)
 
 
-def read_events_stream_redelivered(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream_redelivered(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """The events stream with the source file linked TWICE into the
     watched directory — an at-least-once upstream that redelivers every
     record, the input shape exactly-once ingestion must absorb."""
-    return _stream_from_links(spark, sf_dir, "events_redeliver_", 2)
+    return _stream_from_links(
+        spark, sf_dir, "events_redeliver_", 2, max_files_per_trigger
+    )
 
 
 def dedup_redelivered(stream: DataFrame) -> DataFrame:
@@ -303,3 +316,62 @@ def run_available_now(
     )
     q.awaitTermination()
     return spark.table(table)
+
+
+def run_foreach_batch_upsert(
+    stream: DataFrame, keys: list[str], target_dir: str
+) -> None:
+    """Streaming sink with MERGE semantics: each micro-batch's rows replace
+    same-key rows in a parquet target (write-audit-swap), unmatched rows
+    pass through.
+
+    This is the write half of end-to-end exactly-once when the sink format
+    has no transactional MERGE: the upsert is IDEMPOTENT per key, so a
+    replayed micro-batch (failure/restart, at-least-once source) converges
+    to the same final table instead of double-counting. Pair with an
+    update-mode aggregation — each batch emits full current values for
+    changed keys, which upsert-by-key applies safely any number of times.
+    Scale: the swap rewrites the target, fine for compact aggregate marts;
+    a 100 TB fact sink would partition the target and swap only affected
+    partitions (etl.incremental_overwrite) or use a MERGE-capable format.
+    """
+    import shutil
+
+    spark = stream.sparkSession
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from .. import etl
+
+        tmp = f"{target_dir}__staged"
+        if os.path.exists(target_dir):
+            base = spark.read.parquet(target_dir)
+            merged = etl.upsert(base, batch_df, keys)
+        else:
+            merged = batch_df
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(target_dir, ignore_errors=True)
+        os.rename(tmp, target_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_upsert_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def user_value_totals(stream: DataFrame) -> DataFrame:
+    """Update-mode running totals per user (exact integer cents), fed to
+    the upsert sink; dedup upstream absorbs source redelivery."""
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    # per-row floor(value*100) → integer sum: deterministic regardless of
+    # accumulation order, and floor matches the oracle (a bare double→long
+    # CAST truncates in Spark but rounds in DuckDB)
+    return deduped.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
