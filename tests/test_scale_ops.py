@@ -442,3 +442,27 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_int8_quantized_search_recall(spark):
+    """Top-10 cosine search over dequantized int8 codes must recover ≥90%
+    of the exact float top-10 — the accuracy side of the 4× memory win."""
+    from ufc_data_warehouse_spark.extra_queries import _read
+    from ufc_data_warehouse_spark.operators import simsearch
+
+    emb = _read(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in simsearch.cosine_topk(emb, queries, k=10).collect()
+    }
+    deq = simsearch.quantize_int8(emb).select(
+        "vec_id", simsearch.dequantized(F.col("codes")).alias("embedding")
+    )
+    dq = deq.filter(F.col("vec_id") % 50 == 0)
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in simsearch.cosine_topk(deq, dq, k=10).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall

@@ -214,6 +214,21 @@ _STOPLIST_SQL = "[" + ", ".join(f"'{s}'" for s in text.EN_STOPWORDS) + "]"
 # ---------------------------------------------------------------------------
 
 
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization (4× memory/shuffle reduction for ANN at
+    scale); codes verified bit-exact via per-vector checksum — floor-based
+    mapping is reproducible in any SQL engine."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = simsearch.quantize_int8(emb)
+    return q.select(
+        "vec_id",
+        F.aggregate(
+            F.col("codes"), F.lit(0).cast("long"), lambda a, c: a + c
+        ).alias("code_sum"),
+        F.element_at("codes", 1).alias("first_code"),
+    ).orderBy("vec_id")
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
@@ -1643,6 +1658,7 @@ EXTRA_QUERIES: dict[str, Query] = {
     "text_chunks": q_text_chunks,
     "text_bpe_estimate": q_text_bpe_estimate,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "embedding_quantize_int8": q_embedding_quantize_int8,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -2451,6 +2467,22 @@ FROM contrib GROUP BY 1, 2 ORDER BY window_start, user_id"""
 EXTRA_ORACLES["streaming_dedup_redelivered"] = """
 SELECT event_id, ts, user_id, event_type, value
 FROM events ORDER BY event_id"""
+
+EXTRA_ORACLES["embedding_quantize_int8"] = """
+WITH stats AS (
+  SELECT min(x)::DOUBLE AS q_min, max(x)::DOUBLE AS q_max
+  FROM (SELECT unnest(embedding) AS x FROM embeddings)
+),
+codes AS (
+  SELECT vec_id,
+    list_transform(embedding, x ->
+      least(255, greatest(0,
+        floor((x::DOUBLE - q_min) / (q_max - q_min) * 255.0)::INT))) AS codes
+  FROM embeddings, stats
+)
+SELECT vec_id, list_aggregate(codes, 'sum')::BIGINT AS code_sum,
+  codes[1] AS first_code
+FROM codes ORDER BY vec_id"""
 
 EXTRA_ORACLES["range_join_order_window_events"] = """
 SELECT s.event_id AS signup_id, count(*) AS n_purchases

@@ -250,3 +250,55 @@ def lsh_bucket_signatures(
             ).otherwise(0)
         ).alias("bucket")
     )
+
+
+def quantize_int8(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Scalar int8 quantization of an embedding column: per-corpus global
+    [min, max] → each component maps to floor((x-min)/(max-min)*255),
+    clamped to [0, 255].
+
+    The memory-bandwidth lever for 100 TB similarity search: 4× smaller
+    vectors (float32→uint8) means 4× more corpus per executor and 4× less
+    shuffle when candidates move. The [min,max] stats are a 1-row aggregate
+    broadcast to every task (no shuffle of the corpus); the mapping itself
+    is a JVM ``transform`` lambda — no Python. ``floor`` (not round) keeps
+    the codes bit-identical across engines, so an external SQL engine can
+    reproduce the codes exactly. Adds ``codes array<int>`` plus the
+    ``q_min``/``q_scale`` needed to dequantize (x ≈ code/255*scale+min).
+    """
+    flat = embeddings.select(F.explode(vec_col).alias("x"))
+    stats = flat.agg(
+        F.min("x").cast("double").alias("q_min"),
+        F.max("x").cast("double").alias("q_max"),
+    ).withColumn("q_scale", F.col("q_max") - F.col("q_min"))
+    return (
+        embeddings.join(F.broadcast(stats))
+        .withColumn(
+            "codes",
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.least(
+                    F.lit(255),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (x.cast("double") - F.col("q_min"))
+                            / F.col("q_scale")
+                            * F.lit(255.0)
+                        ).cast("int"),
+                    ),
+                ),
+            ),
+        )
+        .drop("q_max")
+    )
+
+
+def dequantized(df: DataFrame, codes_col: str = "codes") -> F.Column:
+    """Reconstruct approximate float vectors from int8 codes (midpoint of
+    each quantization cell, the standard unbiased choice)."""
+    return F.transform(
+        F.col(codes_col),
+        lambda c: (c.cast("double") + 0.5) / 255.0 * F.col("q_scale")
+        + F.col("q_min"),
+    )
