@@ -15,3 +15,25 @@ def test_extra_query_matches_oracle(spark, duck, name):
     spark_df = EXTRA_QUERIES[name](spark, SF_DIR)
     duck_df = duck.execute(EXTRA_ORACLES[name]).df()
     assert_frames_match(spark_df, duck_df, label=name)
+
+
+def test_transform_with_state_totals(spark, duck):
+    """Spark 4 transformWithStateInPandas path — gated on google.protobuf,
+    which the TWS python driver worker imports (absent in some containers)."""
+    import pytest as _pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        _pytest.skip("google.protobuf unavailable — TWS driver worker needs it")
+    from ufc_data_warehouse_spark.extra_queries import (
+        q_streaming_transform_with_state,
+    )
+
+    sdf = q_streaming_transform_with_state(spark, SF_DIR)
+    duck_df = duck.execute(
+        """SELECT user_id, count(*) AS n_events,
+  sum(floor(value * 100)::BIGINT)::BIGINT AS value_cents
+FROM events GROUP BY user_id ORDER BY user_id"""
+    ).df()
+    assert_frames_match(sdf, duck_df, label="transform_with_state")

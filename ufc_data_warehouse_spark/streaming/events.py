@@ -375,3 +375,70 @@ def user_value_totals(stream: DataFrame) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
     )
+
+
+def stateful_totals_tws(stream: DataFrame) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-state API (successor to applyInPandasWithState:
+    typed state handles, timers, TTL, multiple state variables per key).
+
+    Semantics mirror :func:`user_value_totals` so the same batch oracle
+    validates both. State is one ValueState tuple per user — O(users),
+    partitioned by the grouping key like any keyed shuffle. Requires the
+    RocksDB state store provider (set by the caller); RocksDB is also the
+    right provider at 100 TB state — changelog checkpointing + native
+    memory instead of JVM-heap HDFSBackedStateStore.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("value_cents", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("cents", LongType())]
+    )
+
+    class TotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as _np
+            import pandas as _pd
+
+            n, cents = (
+                tuple(self._totals.get()) if self._totals.exists() else (0, 0)
+            )
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                n += len(pdf)
+                # per-row floor → integer sum: accumulation-order-free
+                cents += int(
+                    _np.floor(pdf["value"].to_numpy() * 100).astype("int64").sum()
+                )
+            self._totals.update((n, cents))
+            yield _pd.DataFrame(
+                [{"user_id": key[0], "n_events": n, "value_cents": cents}]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=TotalsProcessor(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
