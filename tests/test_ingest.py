@@ -98,3 +98,42 @@ def test_permissive_ingest_quarantines_malformed_rows(spark, tmp_path):
     # default path: strict shape, no quarantine column
     plain = read_csv_all_string(spark, str(p))
     assert "_corrupt_record" not in plain.columns
+
+
+def test_htmltable_python_datasource(spark, tmp_path):
+    """Custom Python Data Source (Spark 4): the reference's out-of-engine
+    HTML-table scrape becomes an in-engine partition-parallel scan."""
+    from ufc_data_warehouse_spark.sources import htmltable
+
+    (tmp_path / "a.html").write_text(
+        """<html><body><h1>Championship history</h1>
+        <table>
+          <tr><th>Date</th><th>Fighter</th><th>Weight Category</th><th>Reason</th></tr>
+          <tr><td>Jan 5, 2020</td><td>A&amp;lpha One</td><td>UFC Lightweight
+              Championship</td><td>vacated   (injury)</td></tr>
+          <tr><td>Mar 9, 2021</td><td>Beta Two</td><td>Heavyweight</td><td>stripped</td></tr>
+        </table>
+        <table><tr><th>Ignored</th></tr><tr><td>second table skipped</td></tr></table>
+        </body></html>"""
+    )
+    (tmp_path / "b.html").write_text(
+        """<table>
+          <tr><th>Date</th><th>Fighter</th><th>Weight Category</th><th>Reason</th></tr>
+          <tr><td>Jul 1, 2022</td><td>Gamma Three</td><td>Flyweight</td><td>retired</td></tr>
+        </table>"""
+    )
+    htmltable.register(spark)
+    df = (
+        spark.read.format("htmltable")
+        .option("path", str(tmp_path / "*.html"))
+        .load()
+    )
+    assert df.columns == ["date", "fighter", "weight_category", "reason"]
+    rows = {tuple(r) for r in df.collect()}
+    assert ("Mar 9, 2021", "Beta Two", "Heavyweight", "stripped") in rows
+    assert ("Jul 1, 2022", "Gamma Three", "Flyweight", "retired") in rows
+    # whitespace collapsed inside cells; second table ignored
+    assert any("vacated (injury)" == r[3] for r in rows)
+    assert len(rows) == 3
+    # partition-parallel: one scan task per file
+    assert df.rdd.getNumPartitions() == 2
