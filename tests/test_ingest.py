@@ -6,6 +6,8 @@ from __future__ import annotations
 import csv
 import os
 
+from pyspark.sql import functions as F
+
 from ufc_data_warehouse_spark.models import REGISTRY
 from ufc_data_warehouse_spark.sources.ingest import (
     ingest_dir,
@@ -137,3 +139,24 @@ def test_htmltable_python_datasource(spark, tmp_path):
     assert len(rows) == 3
     # partition-parallel: one scan task per file
     assert df.rdd.getNumPartitions() == 2
+
+
+def test_seqstream_python_streaming_source(spark):
+    """Custom Python streaming data source: offset-tracked, deterministic,
+    partition-parallel — the exactly-once replay contract in miniature."""
+    from ufc_data_warehouse_spark.sources import htmltable
+    from ufc_data_warehouse_spark.streaming.events import run_available_now
+
+    htmltable.register_seqstream(spark)
+    stream = (
+        spark.readStream.format("seqstream")
+        .option("maxrows", 500)
+        .option("tasks", 4)
+        .load()
+    )
+    agg = stream.groupBy().agg(
+        F.count("*").alias("n"), F.sum("id").alias("id_sum")
+    )
+    out = run_available_now(agg, output_mode="complete").collect()
+    assert out[0]["n"] == 500
+    assert out[0]["id_sum"] == 500 * 499 // 2  # exactly 0..499, no dup/loss

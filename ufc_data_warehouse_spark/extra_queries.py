@@ -193,6 +193,13 @@ def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_score(_read(spark, sf_dir, "documents")).orderBy("id")
 
 
+def q_text_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal as a zero-shuffle map-only projection."""
+    return text.ngram_repetition(_read(spark, sf_dir, "documents"), n=2).orderBy(
+        "id"
+    )
+
+
 def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.chunk_documents(
         _read(spark, sf_dir, "documents"), chunk_chars=200, overlap=50
@@ -1684,6 +1691,7 @@ EXTRA_QUERIES: dict[str, Query] = {
     "text_token_stats": q_text_token_stats,
     "text_language_id": q_text_language_id,
     "text_quality_score": q_text_quality_score,
+    "text_ngram_repetition": q_text_ngram_repetition,
     "vocab_top_terms": q_vocab_top_terms,
     "text_chunks": q_text_chunks,
     "text_bpe_estimate": q_text_bpe_estimate,
@@ -2497,6 +2505,23 @@ FROM contrib GROUP BY 1, 2 ORDER BY window_start, user_id"""
 EXTRA_ORACLES["streaming_dedup_redelivered"] = """
 SELECT event_id, ts, user_id, event_type, value
 FROM events ORDER BY event_id"""
+
+EXTRA_ORACLES["text_ngram_repetition"] = """
+WITH w AS (
+  SELECT doc_id AS id, string_split(text, ' ') AS words FROM documents
+),
+g AS (
+  SELECT id,
+    list_transform(range(1, greatest(len(words) - 1, 0) + 1),
+                   i -> words[i] || ' ' || words[i + 1]) AS grams
+  FROM w
+)
+SELECT id, len(grams) AS total_ngrams,
+  len(list_distinct(grams)) AS distinct_ngrams,
+  CASE WHEN len(grams) > 0
+    THEN 1.0 - len(list_distinct(grams))::DOUBLE / len(grams)::DOUBLE
+    ELSE 0.0 END AS repetition_ratio
+FROM g ORDER BY id"""
 
 EXTRA_ORACLES["embedding_quantize_int8"] = """
 WITH stats AS (

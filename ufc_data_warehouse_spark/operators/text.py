@@ -177,3 +177,38 @@ def vocab_top_terms(
         .orderBy(F.desc("n_occurrences"), F.asc("term"))
         .limit(k)
     )
+
+
+def ngram_repetition(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition quality signal: per document, the fraction
+    of word n-grams that are repeats (1 − distinct/total). High values
+    flag boilerplate/looping text that a pretraining pipeline drops.
+
+    Entirely JVM array expressions on the row — build the n-gram list with
+    ``transform`` over an index ``sequence``, count via ``array_distinct``
+    — so the operator is a ZERO-shuffle projection: no explode, no
+    per-ngram rows, no aggregation. At 100 TB that's the difference
+    between a map-only scan and materializing ~|tokens| rows per document.
+    The ratio is one INT/INT division done in DOUBLE at the end, so it is
+    bit-stable across engines.
+    """
+    words = F.split(F.col(text_col), " ")
+    k = F.size(words) - (n - 1)  # number of n-grams
+    grams = F.when(k >= 1, F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j).cast("int")) for j in range(n)]
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return df.select(
+        F.col(id_col).alias("id"),
+        total.alias("total_ngrams"),
+        distinct.alias("distinct_ngrams"),
+        F.when(total > 0, 1.0 - distinct.cast("double") / total.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("repetition_ratio"),
+    )
