@@ -37,3 +37,31 @@ def test_transform_with_state_totals(spark, duck):
 FROM events GROUP BY user_id ORDER BY user_id"""
     ).df()
     assert_frames_match(sdf, duck_df, label="transform_with_state")
+
+
+def test_chunk_udtf_matches_column_chunker(spark):
+    """The SQL UDTF surface must be row-identical to the production
+    Column-based chunker."""
+    from pyspark.sql import functions as F
+
+    from ufc_data_warehouse_spark.extra_queries import _read
+    from ufc_data_warehouse_spark.operators import text as t
+
+    docs = _read(spark, SF_DIR, "documents").limit(100)
+    col_rows = {
+        (r["id"], r["chunk_idx"], r["chunk_text"], r["chunk_chars"])
+        for r in t.chunk_documents(docs, chunk_chars=200, overlap=50).collect()
+    }
+    t.register_sql_udtfs(spark)
+    docs.select(
+        F.col("doc_id").alias("id"),
+        t.normalized_text(F.col("text")).alias("norm"),
+    ).createOrReplaceTempView("docs_norm")
+    udtf_rows = {
+        tuple(r)
+        for r in spark.sql(
+            """SELECT d.id, c.chunk_idx, c.chunk_text, c.chunk_chars
+               FROM docs_norm d, LATERAL chunk_udtf(d.norm, 200, 50) c"""
+        ).collect()
+    }
+    assert udtf_rows == col_rows and len(col_rows) > 0

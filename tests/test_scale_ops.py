@@ -466,3 +466,48 @@ def test_int8_quantized_search_recall(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """When a selectively-filtered dim joins a big fact on a NON-partition
+    column (where DPP can't help), the optimizer must inject a runtime
+    bloom filter: build on the dim side, probe (might_contain) on the fact
+    scan — rows that can't join die before the shuffle."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # test-scale inputs sit below the production defaults
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+        with_bloom = {(r["l_returnflag"], r["n"]) for r in j.collect()}
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        plain = {
+            (r["l_returnflag"], r["n"])
+            for r in li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert with_bloom == plain
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
