@@ -75,3 +75,55 @@ def test_shuffled_is_permutation_and_deterministic(spark):
     # and it is not the identity order
     by_pos = [r["id"] for r in a.orderBy("pos").limit(10).collect()]
     assert by_pos != sorted(by_pos)
+
+
+def test_write_shards_roundtrip_one_file_per_shard(spark, tmp_path):
+    docs = _docs(spark)
+    out = str(tmp_path / "shards")
+    training.write_shards(docs, out, "doc_id", n_shards=8)
+
+    back = spark.read.parquet(out)
+    # lossless: same rows, same ids
+    assert back.count() == docs.count()
+    assert (
+        back.select("doc_id").exceptAll(docs.select("doc_id")).count() == 0
+    )
+    # shard column materialized as partition dirs, all 8 present
+    shards = {r["shard"] for r in back.select("shard").distinct().collect()}
+    assert shards == set(range(8))
+    # one data file per shard dir (repartition before partitioned write)
+    import glob
+
+    for k in range(8):
+        files = glob.glob(f"{out}/shard={k}/*.parquet")
+        assert len(files) == 1, f"shard {k} has {len(files)} files"
+    # assignment matches the pure-projection operator (stable layout)
+    assigned = training.shard_assignments(docs, "doc_id", 8).select(
+        "doc_id", "shard"
+    )
+    assert back.select("doc_id", "shard").exceptAll(assigned).count() == 0
+
+
+def test_quota_top_per_source_respects_quota_and_order(spark):
+    docs = _docs(spark).select(
+        F.col("doc_id").alias("id"), "source", F.col("n_chars").alias("score")
+    )
+    kept = training.quota_top_per_source(docs, quota=5)
+    per_src = kept.groupBy("source").count().collect()
+    assert all(r["count"] <= 5 for r in per_src)
+    # within each source the kept rows are the top-5 by (score desc, id)
+    rows = kept.orderBy("source", "rk").collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append((r["score"], r["id"], r["rk"]))
+    all_rows = docs.collect()
+    for src, kept_rows in by_src.items():
+        universe = sorted(
+            ((r["score"], r["id"]) for r in all_rows if r["source"] == src),
+            key=lambda t: (-t[0], t[1]),
+        )
+        expect = universe[: len(kept_rows)]
+        assert [(s, i) for s, i, _ in kept_rows] == expect
+        assert [rk for _, _, rk in kept_rows] == list(
+            range(1, len(kept_rows) + 1)
+        )

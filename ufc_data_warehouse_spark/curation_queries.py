@@ -1,0 +1,215 @@
+"""Training-data curation queries: PII redaction, benchmark
+decontamination, per-domain quota retention, and sharded export — the
+curation steps a pretraining pipeline runs between dedup/quality filtering
+and the final training-set write.
+
+No reference analog (reshefsharvit/ufc-data-warehouse is a batch warehouse
+with no curation surface — SURVEY.md §2.9/§2.10); these extend it the same
+way operators/dedup.py and operators/training.py do. Each query pairs a
+Spark callable with a DuckDB oracle over the same parquet views; string
+and integer outputs only, so cross-engine hash comparison is exact.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup, text, training
+
+Query = Callable[[SparkSession, str], DataFrame]
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from .extra_queries import _read as read
+
+    return read(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# The synthetic documents table carries no PII, so the query seeds
+# deterministic PII spans (built from doc_id, identically in both engines)
+# before scrubbing — the redaction path is exercised on real matches, not
+# no-ops.
+_PII_SEED_SQL = """
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' mail u' || doc_id || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' from 10.0.' || (doc_id % 256) || '.1' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' call 555-010-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+            ELSE '' END AS text
+  FROM documents
+"""
+
+
+def _pii_seeded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    email = F.when(
+        did % 7 == 0,
+        F.concat(F.lit(" mail u"), did.cast("string"), F.lit("@example.com")),
+    ).otherwise("")
+    ip = F.when(
+        did % 5 == 0,
+        F.concat(F.lit(" from 10.0."), (did % 256).cast("string"), F.lit(".1")),
+    ).otherwise("")
+    phone = F.when(
+        did % 11 == 0,
+        F.concat(
+            F.lit(" call 555-010-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise("")
+    return docs.select(
+        "doc_id", F.concat(F.col("text"), email, ip, phone).alias("text")
+    )
+
+
+def q_text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-shuffle map-only scrub: counts + typed-placeholder redaction."""
+    return text.redact_pii(_pii_seeded_docs(spark, sf_dir)).orderBy("id")
+
+
+def _pii_oracle() -> str:
+    counts = ",\n  ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::INT AS n_{name}"
+        for name, pat, _ in text.PII_PATTERNS
+    )
+    red = "text"
+    for _, pat, token in text.PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    return f"""
+WITH seeded AS ({_PII_SEED_SQL})
+SELECT doc_id AS id,
+  {counts},
+  {red} AS redacted
+FROM seeded ORDER BY id"""
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def q_decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train docs sharing >=3 word-3-gram shingles with the eval subset
+    (doc_id % 23 == 0 stands in for a benchmark corpus). The eval side is
+    benchmark-sized regardless of train scale -> BROADCAST inverted-index
+    probe; train shingles never shuffle."""
+    from .extra_queries import _shingles
+
+    sh = _shingles(spark, sf_dir)
+    ev = sh.filter(F.col("id") % 23 == 0)
+    tr = sh.filter(F.col("id") % 23 != 0)
+    return dedup.contamination_pairs(tr, ev, min_shared=3).orderBy(
+        "train_id", "eval_id"
+    )
+
+
+_DECONTAM_ORACLE_TMPL = """
+WITH {shingles},
+ev AS (SELECT id, shingle FROM shingles WHERE id % 23 = 0),
+tr AS (SELECT id, shingle FROM shingles WHERE id % 23 <> 0)
+SELECT t.id AS train_id, e.id AS eval_id, count(*) AS shared_shingles
+FROM tr t JOIN ev e ON t.shingle = e.shingle
+GROUP BY t.id, e.id HAVING count(*) >= 3
+ORDER BY train_id, eval_id"""
+
+
+# ---------------------------------------------------------------------------
+# per-domain quota retention
+# ---------------------------------------------------------------------------
+
+
+def q_quota_top_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the 30 best-quality docs per source ("at most N pages per
+    domain"): quality scoring is a map-only projection; the quota is ONE
+    keyed window shuffle on the source key."""
+    docs = _read(spark, sf_dir, "documents")
+    scored = docs.select(F.col("doc_id").alias("id"), "source").join(
+        text.quality_score(docs), "id"
+    )
+    kept = training.quota_top_per_source(
+        scored.select("id", "source", F.col("quality").alias("score")),
+        quota=30,
+    )
+    return kept.select("source", "rk", "id", "score").orderBy("source", "rk")
+
+
+def _quota_oracle(norm_sql: str, toks_sql: str) -> str:
+    return f"""
+WITH q AS (
+  SELECT doc_id AS id, source,
+    (CASE WHEN length({norm_sql}) BETWEEN 100 AND 20000 THEN 1 ELSE 0 END
+     + CASE WHEN len(list_distinct({toks_sql})) * 5 >= len({toks_sql})
+            THEN 1 ELSE 0 END
+     + CASE WHEN length(regexp_replace({norm_sql}, '[^a-z]', '', 'g')) * 5
+              >= length({norm_sql}) * 3 THEN 1 ELSE 0 END) AS score
+  FROM documents
+),
+ranked AS (
+  SELECT source, id, score,
+    row_number() OVER (PARTITION BY source ORDER BY score DESC, id ASC) AS rk
+  FROM q
+)
+SELECT source, rk::INT AS rk, id, score
+FROM ranked WHERE rk <= 30 ORDER BY source, rk"""
+
+
+# ---------------------------------------------------------------------------
+# sharded export
+# ---------------------------------------------------------------------------
+
+
+def q_shard_assignment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-mod shard layout of the export: per-shard row
+    count + id range. Assignment is a pure projection (no shuffle); the
+    verifying agg is one exchange on the 8 shard keys."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        training.shard_assignments(docs, "doc_id", n_shards=8)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("shard")
+    )
+
+
+_SHARD_ORACLE = """
+WITH assigned AS (
+  SELECT doc_id,
+    (('0x' || substr(md5('42:' || doc_id), 1, 8))::BIGINT % 8)::INT AS shard
+  FROM documents
+)
+SELECT shard, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM assigned GROUP BY shard ORDER BY shard"""
+
+
+def build_registry(
+    shingles_sql: str, norm_sql: str, toks_sql: str
+) -> tuple[dict[str, Query], dict[str, str]]:
+    queries: dict[str, Query] = {
+        "text_pii_redaction": q_text_pii_redaction,
+        "decontaminate_ngram_overlap": q_decontaminate_ngram_overlap,
+        "quota_top_docs_per_source": q_quota_top_docs_per_source,
+        "shard_assignment_counts": q_shard_assignment_counts,
+    }
+    oracles: dict[str, str] = {
+        "text_pii_redaction": _pii_oracle(),
+        "decontaminate_ngram_overlap": _DECONTAM_ORACLE_TMPL.format(
+            shingles=shingles_sql.strip().lstrip(",")
+        ),
+        "quota_top_docs_per_source": _quota_oracle(norm_sql, toks_sql),
+        "shard_assignment_counts": _SHARD_ORACLE,
+    }
+    return queries, oracles

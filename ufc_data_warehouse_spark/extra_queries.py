@@ -2586,3 +2586,13 @@ from .tpch_extra import TPCH_EXTRA_ORACLES, TPCH_EXTRA_QUERIES  # noqa: E402
 
 EXTRA_QUERIES.update(TPCH_EXTRA_QUERIES)
 EXTRA_ORACLES.update(TPCH_EXTRA_ORACLES)
+
+# Training-data curation surface (PII redaction, decontamination, quota
+# retention, sharded export) lives in curation_queries.py.
+from .curation_queries import build_registry as _curation_registry  # noqa: E402
+
+_CURATION_QUERIES, _CURATION_ORACLES = _curation_registry(
+    _SHINGLES_SQL, _NORM_SQL, _TOKS_SQL
+)
+EXTRA_QUERIES.update(_CURATION_QUERIES)
+EXTRA_ORACLES.update(_CURATION_ORACLES)

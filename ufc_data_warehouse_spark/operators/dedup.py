@@ -361,3 +361,34 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 6) -> DataFrame:
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def contamination_pairs(
+    train_shingles: DataFrame,
+    eval_shingles: DataFrame,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: (train_id, eval_id, shared_shingles)
+    for every training document sharing >= ``min_shared`` word n-grams
+    with an eval/benchmark document — the standard n-gram-collision
+    contamination check a pretraining pipeline runs before training
+    (flagged train docs are dropped or quarantined).
+
+    Inputs are ``word_shingles``-shaped frames (id, shingle), distinct
+    per doc. The join is an inverted-index probe: the eval corpus is
+    benchmark-sized (MBs even when the train side is 100 TB), so it is
+    BROADCAST — the train side streams through map-side, no shuffle of
+    train data at all; the only exchange is the pair aggregation, keyed
+    on (train_id, eval_id) whose cardinality is bounded by collisions,
+    not corpus size.
+    """
+    ev = eval_shingles.select(
+        F.col("id").alias("eval_id"), F.col("shingle")
+    )
+    return (
+        train_shingles.select(F.col("id").alias("train_id"), "shingle")
+        .join(F.broadcast(ev), "shingle")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("shared_shingles"))
+        .filter(F.col("shared_shingles") >= min_shared)
+    )

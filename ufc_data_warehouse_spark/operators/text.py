@@ -214,6 +214,45 @@ def ngram_repetition(
     )
 
 
+# PII patterns shared by the Spark operator and the DuckDB oracle. Java
+# regex and DuckDB (RE2) agree on this subset: char classes, \d, \b,
+# bounded/unbounded repetition. Replacement order is fixed and the
+# patterns are mutually non-overlapping (separator characters differ),
+# so per-pattern counts on the ORIGINAL text equal counts-at-replace.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrubbing for training-data curation: (id, n_email, n_ipv4,
+    n_phone, redacted) — emails, IPv4 addresses, and phone numbers
+    replaced by typed placeholder tokens, with per-document match counts
+    for audit/reporting.
+
+    Pure ``regexp_extract_all`` / ``regexp_replace`` Column work: a
+    ZERO-shuffle map-only projection that stays in whole-stage codegen —
+    at 100 TB this runs at scan speed with no exchange at all. (The
+    reference repo has no scrubbing step; this extends it the way the
+    rest of this module does.)
+    """
+    out = [F.col(id_col).alias("id")]
+    red = F.col(text_col)
+    for name, pat, token in PII_PATTERNS:
+        out.append(
+            F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+            ).alias(f"n_{name}")
+        )
+        red = F.regexp_replace(red, pat, token)
+    out.append(red.alias("redacted"))
+    return df.select(*out)
+
+
 def register_sql_udtfs(spark) -> None:
     """SQL-callable table functions (Spark 4 Python UDTF).
 

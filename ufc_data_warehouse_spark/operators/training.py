@@ -36,6 +36,9 @@ __all__ = [
     "token_bins",
     "shuffled",
     "mixture_sample",
+    "quota_top_per_source",
+    "shard_assignments",
+    "write_shards",
 ]
 
 
@@ -165,3 +168,69 @@ def mixture_sample(
         F.lit(format(min(int(default_rate * 65536), 65536), "05x"))
     )
     return df.filter(bucket < thresh)
+
+
+def quota_top_per_source(
+    df: DataFrame,
+    quota: int,
+    source_col: str = "source",
+    score_col: str = "score",
+    id_col: str = "id",
+) -> DataFrame:
+    """Per-domain quota retention: keep the ``quota`` highest-``score_col``
+    rows per ``source_col`` (ties broken deterministically by id) and add
+    their 1-based ``rk``. The quality-weighted sibling of
+    ``mixture_sample``: where mixture_sample keeps a *rate* per source,
+    this keeps a *count* — the "at most N pages per domain" rule of web
+    corpus curation.
+
+    One keyed window = ONE shuffle on the source key, each partition
+    sorted independently — no global sort. Domain keys are Zipf-skewed at
+    corpus scale; for a hot domain, pre-filter with an approximate
+    per-source score threshold (computed via partial agg) so the window
+    only sees candidate rows — same two-pass trick as top-k-per-group.
+    """
+    w = Window.partitionBy(source_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= quota)
+    )
+
+
+def shard_assignments(
+    df: DataFrame, id_col: str, n_shards: int, seed: int = 42
+) -> DataFrame:
+    """Deterministic shard id per row: first 8 hex chars of the seeded md5
+    mod ``n_shards``. A pure projection (no shuffle), stable across
+    reruns, engines, and partition layouts — the file-level unit of a
+    training-data export (readers stream shard files independently).
+    """
+    bucket = F.conv(F.substring(_seeded_hash(F.col(id_col), seed), 1, 8), 16, 10)
+    return df.withColumn(
+        "shard", (bucket.cast("bigint") % n_shards).cast("int")
+    )
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    seed: int = 42,
+) -> None:
+    """Export as ``shard=K/`` parquet directories, rows ordered by id
+    within each shard. ``repartition(n, shard)`` puts each shard's rows in
+    one task before the partitioned write, so each shard directory gets
+    ONE file (not one-per-upstream-task: a 1000-executor job would
+    otherwise emit up to 1000 tiny files per shard).
+    """
+    out = shard_assignments(df, id_col, n_shards, seed)
+    (
+        out.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
