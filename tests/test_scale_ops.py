@@ -511,3 +511,31 @@ def test_runtime_bloom_filter_join_pruning(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_kmeans_deterministic_and_improves_sse(spark):
+    """Lloyd's iterations must be rerun-stable and monotonically
+    non-increasing in within-cluster SSE (1 pass vs 2 passes)."""
+    from pyspark.sql import functions as F
+
+    from ufc_data_warehouse_spark.operators import simsearch
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a1, c1 = simsearch.kmeans(emb, k=4, n_assign=1)
+    a2, c2 = simsearch.kmeans(emb, k=4, n_assign=2)
+    b2, _ = simsearch.kmeans(emb, k=4, n_assign=2)
+    assert a2.exceptAll(b2).count() == 0  # deterministic
+
+    def sse(assign, cents):
+        joined = emb.select(
+            F.col("vec_id").alias("id"), simsearch._quantized(F.col("embedding")).alias("q")
+        ).join(assign, "id")
+        total = 0.0
+        for j, c in enumerate(cents):
+            part = joined.filter(F.col("cluster") == j).select(
+                simsearch._sq_dist_to(F.col("q"), c).alias("d")
+            )
+            total += part.agg(F.sum("d")).first()[0] or 0.0
+        return total
+
+    assert sse(a2, c2) <= sse(a1, c1) + 1e-9

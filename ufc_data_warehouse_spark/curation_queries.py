@@ -17,7 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import dedup, text, training
+from .operators import dedup, simsearch, text, training
 
 Query = Callable[[SparkSession, str], DataFrame]
 
@@ -195,6 +195,103 @@ SELECT shard, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
 FROM assigned GROUP BY shard ORDER BY shard"""
 
 
+# ---------------------------------------------------------------------------
+# k-means + semantic dedup (SemDeDup shape)
+# ---------------------------------------------------------------------------
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means (k=4, 2 assignment passes) over the
+    embeddings table. Fixed-point centroid sums make the whole algorithm
+    engine-exact — the DuckDB oracle replays it fully unrolled."""
+    emb = _read(spark, sf_dir, "embeddings")
+    assignments, _ = simsearch.kmeans(emb, k=4, n_assign=2)
+    return assignments.orderBy("id")
+
+
+def q_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: near-dup candidate pairs restricted to the same k-means
+    cluster (Σ|cluster|² pair space, cluster key = shuffle key), exact
+    cosine verify at 0.4."""
+    emb = _read(spark, sf_dir, "embeddings")
+    assignments, _ = simsearch.kmeans(emb, k=4, n_assign=2)
+    return simsearch.semantic_dedup_pairs(
+        emb, assignments, threshold=0.4
+    ).orderBy("cluster", "id_a", "id_b")
+
+
+# k-means unrolled in SQL: init = 4 lowest-id vectors; assign → update →
+# assign. Fixed-point (floor(x*1e6) BIGINT) component sums are exact
+# integers, so centroids/distances/assignments match Spark bit-for-bit.
+# Clusters are assumed non-empty after pass 1 (k=4 over >=500 docs; the
+# Spark side would keep the previous centroid for an empty cluster).
+_KMEANS_CTES = """
+e AS (
+  SELECT vec_id AS id,
+    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS q
+  FROM embeddings
+),
+init AS (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS cluster,
+    list_transform(q, v -> v::DOUBLE / 1000000.0) AS c
+  FROM (SELECT id, q FROM e ORDER BY id LIMIT 4)
+),
+d1 AS (
+  SELECT e.id, i.cluster,
+    list_sum(list_transform(range(1, 65),
+      j -> (e.q[j]::DOUBLE / 1000000.0 - i.c[j])
+         * (e.q[j]::DOUBLE / 1000000.0 - i.c[j]))) AS dist
+  FROM e, init i
+),
+a1 AS (
+  SELECT id, cluster FROM (
+    SELECT id, cluster,
+      row_number() OVER (PARTITION BY id ORDER BY dist ASC, cluster ASC) AS rn
+    FROM d1
+  ) WHERE rn = 1
+),
+u1 AS (
+  SELECT a1.cluster, t.j AS dim, sum(e.q[t.j]) AS s, count(*) AS cnt
+  FROM a1 JOIN e USING (id), unnest(generate_series(1, 64)) AS t(j)
+  GROUP BY a1.cluster, t.j
+),
+c1 AS (
+  SELECT cluster, list(s::DOUBLE / (cnt * 1000000.0) ORDER BY dim) AS c
+  FROM u1 GROUP BY cluster
+),
+d2 AS (
+  SELECT e.id, i.cluster,
+    list_sum(list_transform(range(1, 65),
+      j -> (e.q[j]::DOUBLE / 1000000.0 - i.c[j])
+         * (e.q[j]::DOUBLE / 1000000.0 - i.c[j]))) AS dist
+  FROM e, c1 i
+),
+a2 AS (
+  SELECT id, cluster FROM (
+    SELECT id, cluster,
+      row_number() OVER (PARTITION BY id ORDER BY dist ASC, cluster ASC) AS rn
+    FROM d2
+  ) WHERE rn = 1
+)"""
+
+_KMEANS_ORACLE = f"""
+WITH {_KMEANS_CTES.strip()}
+SELECT id, cluster::INT AS cluster FROM a2 ORDER BY id"""
+
+_SEMANTIC_DEDUP_ORACLE = f"""
+WITH {_KMEANS_CTES.strip()},
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT aa.cluster::INT AS cluster, a.vec_id AS id_a, b.vec_id AS id_b
+FROM a2 aa JOIN emb a ON a.vec_id = aa.id
+JOIN a2 ab ON ab.cluster = aa.cluster
+JOIN emb b ON b.vec_id = ab.id
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      >= 0.4
+ORDER BY cluster, id_a, id_b"""
+
+
 def build_registry(
     shingles_sql: str, norm_sql: str, toks_sql: str
 ) -> tuple[dict[str, Query], dict[str, str]]:
@@ -203,6 +300,8 @@ def build_registry(
         "decontaminate_ngram_overlap": q_decontaminate_ngram_overlap,
         "quota_top_docs_per_source": q_quota_top_docs_per_source,
         "shard_assignment_counts": q_shard_assignment_counts,
+        "kmeans_clusters": q_kmeans_clusters,
+        "semantic_dedup_pairs": q_semantic_dedup_pairs,
     }
     oracles: dict[str, str] = {
         "text_pii_redaction": _pii_oracle(),
@@ -211,5 +310,7 @@ def build_registry(
         ),
         "quota_top_docs_per_source": _quota_oracle(norm_sql, toks_sql),
         "shard_assignment_counts": _SHARD_ORACLE,
+        "kmeans_clusters": _KMEANS_ORACLE,
+        "semantic_dedup_pairs": _SEMANTIC_DEDUP_ORACLE,
     }
     return queries, oracles

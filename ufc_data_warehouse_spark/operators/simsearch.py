@@ -302,3 +302,143 @@ def dequantized(df: DataFrame, codes_col: str = "codes") -> F.Column:
         lambda c: (c.cast("double") + 0.5) / 255.0 * F.col("q_scale")
         + F.col("q_min"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means + semantic dedup
+# ---------------------------------------------------------------------------
+
+_KM_SCALE = 1_000_000  # fixed-point quantization for engine-exact centroids
+
+
+def _quantized(vec_col: F.Column) -> F.Column:
+    """floor(x * 1e6) as bigint — fixed-point components whose cross-row
+    SUMS are exact integers, so centroid means are order-independent and
+    bit-identical across engines (a plain float mean would depend on
+    accumulation order and could flip boundary assignments)."""
+    return F.transform(
+        vec_col, lambda x: F.floor(x.cast("double") * _KM_SCALE).cast("long")
+    )
+
+
+def _sq_dist_to(q_col: F.Column, centroid: list[float]) -> F.Column:
+    """Squared L2 distance from the quantized vector to a literal centroid.
+    Row-local sequential fold in index order — deterministic IEEE doubles,
+    reproducible by any engine that evaluates lists in order."""
+    c = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(
+            q_col,
+            c,
+            lambda x, y: (x.cast("double") / _KM_SCALE - y)
+            * (x.cast("double") / _KM_SCALE - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans(
+    embeddings: DataFrame,
+    k: int = 4,
+    n_assign: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Lloyd's k-means over an embedding column, fully deterministic:
+    returns (assignments (id, cluster), final centroids).
+
+    Init = the ``k`` lowest-id vectors (no RNG). Each iteration is the
+    canonical distributed shape:
+
+    - **assign**: centroids are collected to the driver (k×d doubles —
+      KBs even at 100 TB corpus scale) and inlined as literal arrays, so
+      assignment is a ZERO-shuffle map-only projection; argmin ties break
+      to the lowest cluster index.
+    - **update**: per-(cluster, dim) sums of the fixed-point components —
+      posexplode is a narrow flatMap and the agg partial-aggregates
+      map-side, so the exchange carries k×d partial rows per map task,
+      not the corpus. Empty clusters keep their previous centroid.
+
+    ``n_assign`` assignment passes ⇒ ``n_assign − 1`` centroid updates.
+    Exact integer sums + single final division make every centroid, every
+    distance, and every assignment bit-reproducible in DuckDB SQL — the
+    oracle replays the whole algorithm unrolled.
+    """
+    q = embeddings.select(
+        F.col(id_col).alias("id"), _quantized(F.col(vec_col)).alias("q")
+    )
+    init_rows = q.orderBy("id").limit(k).collect()
+    centroids = [[qi / _KM_SCALE for qi in r["q"]] for r in init_rows]
+
+    def assign(frame: DataFrame) -> DataFrame:
+        dists = [_sq_dist_to(F.col("q"), c) for c in centroids]
+        best_d, best_j = dists[0], F.lit(0)
+        for j in range(1, k):
+            cond = dists[j] < best_d
+            best_j = F.when(cond, j).otherwise(best_j)
+            best_d = F.when(cond, dists[j]).otherwise(best_d)
+        return frame.withColumn("cluster", best_j.cast("int"))
+
+    assigned = assign(q)
+    for _ in range(n_assign - 1):
+        sums = (
+            assigned.select("cluster", F.posexplode("q").alias("dim", "qx"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("qx").alias("s"), F.count("*").alias("cnt"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = (r["s"], r["cnt"])
+        centroids = [
+            [
+                float(by_cluster[j][i][0]) / (by_cluster[j][i][1] * float(_KM_SCALE))
+                for i in range(len(centroids[j]))
+            ]
+            if j in by_cluster
+            else centroids[j]
+            for j in range(k)
+        ]
+        assigned = assign(q)
+    return assigned.select("id", "cluster"), centroids
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    assignments: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: candidate pairs come ONLY
+    from the same k-means cluster (the cluster key is the join/shuffle
+    key), then an exact cosine verify — at corpus scale the pair space is
+    Σ|cluster|² instead of n², and each cluster's pairs compute
+    independently in parallel. Returns (cluster, id_a, id_b).
+    """
+    side = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    ).join(assignments, "id")
+    a = side.select(
+        F.col("cluster"),
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = side.select(
+        F.col("cluster"),
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("cluster", "id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .select("cluster", "id_a", "id_b")
+    )
