@@ -133,3 +133,69 @@ def load_raw(spark: SparkSession, warehouse_dir: str) -> dict[str, DataFrame]:
         name: spark.read.parquet(os.path.join(base, name))
         for name in sorted(os.listdir(base))
     }
+
+
+# ---------------------------------------------------------------------------
+# additional interchange formats (beyond-parity source/sink surface)
+# ---------------------------------------------------------------------------
+#
+# The reference ingests only CSV (dlt/load.py:46); a 100 TB pipeline also
+# exchanges JSONL (scraper/API dumps, training-data interchange) and ORC
+# (warehouse interchange with Hive/Trino ecosystems). Both are native Spark
+# readers — splittable, predicate/column-pruned at the source (ORC), and
+# schema-explicit here so raw stays deterministic (no sampling-dependent
+# inference at scale).
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    keep_corrupt: bool = False,
+) -> DataFrame:
+    """Newline-delimited JSON → DataFrame. With ``schema=None`` Spark
+    samples the input to infer one — fine interactively, but at scale pass
+    the explicit ``StructType``: inference costs an extra pass and can
+    drift between runs as data evolves. ``keep_corrupt`` quarantines
+    malformed lines into ``_corrupt_record`` (PERMISSIVE), same contract
+    as the CSV reader."""
+    reader = spark.read
+    if schema is not None:
+        if keep_corrupt:
+            from pyspark.sql.types import StringType, StructField, StructType
+
+            schema = StructType(
+                list(schema.fields) + [StructField("_corrupt_record", StringType())]
+            )
+        reader = reader.schema(schema)
+    if keep_corrupt:
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", "_corrupt_record"
+        )
+    df = reader.json(path)
+    return df.select(
+        *[
+            F.col(c).alias(
+                c if c == "_corrupt_record" else normalize_identifier(c)
+            )
+            for c in df.columns
+        ]
+    )
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """Full-replace JSONL sink (interchange export). Narrow rewrite — no
+    shuffle; one output file per input partition."""
+    df.write.mode("overwrite").json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — columnar like parquet, with predicate pushdown and
+    column pruning at the stripe level (check ``.explain`` for
+    PushedFilters just as with parquet)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """Full-replace ORC sink for Hive/Trino-ecosystem interchange."""
+    df.write.mode("overwrite").orc(path)
