@@ -539,3 +539,31 @@ def test_kmeans_deterministic_and_improves_sse(spark):
         return total
 
     assert sse(a2, c2) <= sse(a1, c1) + 1e-9
+
+
+def test_winnowing_guarantee_shared_substring_shares_fingerprint(spark):
+    """MOSS guarantee: two docs sharing a substring of length >= k + w - 1
+    (= 11 here) must share at least one selected fingerprint hash."""
+    from ufc_data_warehouse_spark.operators import dedup as dd
+
+    shared = [
+        "the rain in spain falls mainly",
+        "pack my box with five dozen jugs",
+        "sphinx of black quartz judge vow",
+    ]
+    rows = []
+    for i, s in enumerate(shared):
+        rows.append((2 * i, f"left padding text {i} then {s} and a left tail"))
+        rows.append((2 * i + 1, f"other prefix {i * 7} {s} different ending here"))
+    # one pair with NO shared >=11-char substring as the negative control
+    rows.append((100, "completely unrelated alpha beta gamma"))
+    rows.append((101, "nothing in common delta epsilon zeta"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = dd.winnow_fingerprints(df, k=8, w=4)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dd.winnow_match_pairs(fps, min_shared=1).collect()
+    }
+    for i in range(len(shared)):
+        assert (2 * i, 2 * i + 1) in got, f"pair {i} shares no fingerprint"
+    assert (100, 101) not in got

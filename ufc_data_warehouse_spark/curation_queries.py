@@ -196,6 +196,71 @@ FROM assigned GROUP BY shard ORDER BY shard"""
 
 
 # ---------------------------------------------------------------------------
+# Pandas grouped-agg UDAF (robust stats)
+# ---------------------------------------------------------------------------
+
+
+def q_udaf_robust_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched grouped-agg UDAF: exact median + MAD of event value
+    per event_type (one keyed exchange, one Arrow batch per group)."""
+    from .operators import udafs
+
+    events = _read(spark, sf_dir, "events")
+    return udafs.robust_stats(events, "event_type", "value")
+
+
+_UDAF_ORACLE = """
+WITH med AS (
+  SELECT event_type, median(value) AS m FROM events GROUP BY event_type
+)
+SELECT e.event_type, count(*) AS n,
+  round(median(e.value), 6) AS median_value,
+  round(median(abs(e.value - m.m)), 6) AS mad_value
+FROM events e JOIN med m USING (event_type)
+GROUP BY e.event_type ORDER BY e.event_type"""
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (MOSS)
+# ---------------------------------------------------------------------------
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (k=8, w=4) selected-hash fingerprints per document —
+    zero-shuffle map-only before the distinct."""
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.winnow_fingerprints(docs, k=8, w=4).orderBy("id", "pos", "fp")
+
+
+def q_winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap pairs via shared winnowing fingerprints (inverted-
+    index join on the hash, >=30 shared)."""
+    docs = _read(spark, sf_dir, "documents")
+    fps = dedup.winnow_fingerprints(docs, k=8, w=4)
+    return dedup.winnow_match_pairs(fps, min_shared=30).orderBy("id_a", "id_b")
+
+
+_WINNOW_CTES = """
+base AS (
+  SELECT doc_id AS id, {norm} AS norm FROM documents
+  WHERE length({norm}) >= 11
+),
+hs AS (
+  SELECT id, list_transform(range(0, length(norm) - 8 + 1),
+    i -> ('0x' || substr(md5(substr(norm, i + 1, 8)), 1, 15))::BIGINT) AS hashes
+  FROM base
+),
+wins AS (
+  SELECT id, unnest(list_transform(range(0, len(hashes) - 3),
+    j -> struct_pack(pos := j + list_position(list_slice(hashes, j + 1, j + 4),
+                        list_min(list_slice(hashes, j + 1, j + 4))) - 1,
+                     fp := list_min(list_slice(hashes, j + 1, j + 4))))) AS s
+  FROM hs
+),
+fps AS (SELECT DISTINCT id, s.pos::INT AS pos, s.fp AS fp FROM wins)"""
+
+
+# ---------------------------------------------------------------------------
 # k-means + semantic dedup (SemDeDup shape)
 # ---------------------------------------------------------------------------
 
@@ -302,6 +367,9 @@ def build_registry(
         "shard_assignment_counts": q_shard_assignment_counts,
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup_pairs": q_semantic_dedup_pairs,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_match_pairs": q_winnow_match_pairs,
+        "udaf_robust_value_stats": q_udaf_robust_value_stats,
     }
     oracles: dict[str, str] = {
         "text_pii_redaction": _pii_oracle(),
@@ -312,5 +380,15 @@ def build_registry(
         "shard_assignment_counts": _SHARD_ORACLE,
         "kmeans_clusters": _KMEANS_ORACLE,
         "semantic_dedup_pairs": _SEMANTIC_DEDUP_ORACLE,
+        "winnow_fingerprints": f"""
+WITH {_WINNOW_CTES.format(norm=norm_sql).strip()}
+SELECT id, pos, fp FROM fps ORDER BY id, pos, fp""",
+        "winnow_match_pairs": f"""
+WITH {_WINNOW_CTES.format(norm=norm_sql).strip()}
+SELECT a.id AS id_a, b.id AS id_b, count(DISTINCT a.fp) AS shared_fps
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.id < b.id
+GROUP BY a.id, b.id HAVING count(DISTINCT a.fp) >= 30
+ORDER BY id_a, id_b""",
+        "udaf_robust_value_stats": _UDAF_ORACLE,
     }
     return queries, oracles

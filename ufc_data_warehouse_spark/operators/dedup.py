@@ -392,3 +392,80 @@ def contamination_pairs(
         .agg(F.count("*").alias("shared_shingles"))
         .filter(F.col("shared_shingles") >= min_shared)
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    2003 — the MOSS algorithm): (id, pos, fp), the selected k-gram hashes.
+
+    Char k-grams of the normalized text are hashed; every sliding window
+    of ``w`` hashes contributes its minimum (leftmost on ties, recorded
+    with its k-gram position); the distinct selected set is the
+    fingerprint. Guarantees: any shared substring of length >= k + w - 1
+    produces at least one shared fingerprint, so matching on fingerprints
+    finds partial overlaps (plagiarism/quotation), which whole-document
+    hashing (``fingerprint``) and set-Jaccard (``jaccard_pairs``) miss.
+
+    Entirely row-local array expressions (transform/slice/array_min) —
+    a ZERO-shuffle map-only projection before the final distinct. Hashes
+    are md5-derived bigints, bit-reproducible in the DuckDB oracle.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), normalized_text(F.col(text_col)).alias("norm")
+    ).filter(F.length("norm") >= k + w - 1)
+
+    def gram_hash(sub: F.Column) -> F.Column:
+        return F.conv(
+            F.substring(F.md5(F.encode(sub, "utf-8")), 1, 15), 16, 10
+        ).cast("long")
+
+    hs = base.select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(0), F.length("norm") - k),
+            lambda i: gram_hash(F.substring(F.col("norm"), i + 1, F.lit(k))),
+        ).alias("hs"),
+    )
+
+    def window_pick(j: F.Column) -> F.Column:
+        sl = F.slice(F.col("hs"), j + 1, w)
+        m = F.array_min(sl)
+        return F.struct(
+            (j + F.array_position(sl, m) - 1).cast("int").alias("pos"),
+            m.alias("fp"),
+        )
+
+    return (
+        hs.select(
+            "id",
+            F.explode(
+                F.transform(F.sequence(F.lit(0), F.size("hs") - w), window_pick)
+            ).alias("s"),
+        )
+        .select("id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_match_pairs(fps: DataFrame, min_shared: int = 2) -> DataFrame:
+    """Overlap detection on winnowing fingerprints: (id_a, id_b,
+    shared_fps) for pairs sharing >= ``min_shared`` selected hashes.
+    The join key is the fingerprint hash (an inverted index, same scale
+    shape as LSH bucket pairing); the pair agg's cardinality is bounded
+    by real hash collisions, never the n² pair space.
+    """
+    a = fps.select(F.col("id").alias("id_a"), "fp")
+    b = fps.select(F.col("id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.countDistinct("fp").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
