@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import dedup, simsearch, text, training
@@ -196,6 +196,110 @@ FROM assigned GROUP BY shard ORDER BY shard"""
 
 
 # ---------------------------------------------------------------------------
+# SCD Type 2 + CDC apply (warehouse dimension maintenance)
+# ---------------------------------------------------------------------------
+
+
+def q_scd2_user_status_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """History-preserving dimension build: user status (event_type)
+    versions with validity intervals; consecutive duplicates collapsed.
+    Both windows share one (key, order) spec — ONE exchange total."""
+    from .operators import scd
+
+    ev = _read(spark, sf_dir, "events")
+    return scd.scd2_build(ev, "user_id", "event_type", "ts", "event_id").orderBy(
+        "key", "version"
+    )
+
+
+_SCD2_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_type, ts, event_id FROM ordered
+  WHERE prev IS DISTINCT FROM event_type
+)
+SELECT user_id AS key,
+  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)::INT AS version,
+  event_type AS attr, ts AS valid_from,
+  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+  CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+       THEN 1 ELSE 0 END AS is_current
+FROM changes ORDER BY key, version"""
+
+
+def q_cdc_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply: even event_ids form the base snapshot (latest value per
+    user), odd signup/purchase/error events form an I/U/D feed;
+    last-writer-wins merge yields the final per-user state."""
+    from .operators import scd
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "value_cents", F.floor(F.col("value") * 100).cast("long")
+    )
+    wb = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    base = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .withColumn("_rn", F.row_number().over(wb))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "value_cents")
+    )
+    changes = (
+        ev.filter(
+            (F.col("event_id") % 2 == 1)
+            & F.col("event_type").isin("signup", "purchase", "error")
+        )
+        .withColumn(
+            "op",
+            F.when(F.col("event_type") == "signup", "I")
+            .when(F.col("event_type") == "purchase", "U")
+            .otherwise("D"),
+        )
+        .select("user_id", "ts", "event_id", "op", "value_cents")
+    )
+    return scd.cdc_apply(
+        base, changes, "user_id", "op", ["ts", "event_id"], ["value_cents"]
+    ).orderBy("user_id")
+
+
+_CDC_ORACLE = """
+WITH ev AS (
+  SELECT event_id, ts, user_id, event_type,
+    floor(value * 100)::BIGINT AS value_cents
+  FROM events
+),
+base AS (
+  SELECT user_id, value_cents FROM (
+    SELECT user_id, value_cents,
+      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ev WHERE event_id % 2 = 0
+  ) WHERE rn = 1
+),
+chg AS (
+  SELECT user_id, ts, event_id, value_cents,
+    CASE event_type WHEN 'signup' THEN 'I' WHEN 'purchase' THEN 'U'
+         ELSE 'D' END AS op
+  FROM ev
+  WHERE event_id % 2 = 1 AND event_type IN ('signup', 'purchase', 'error')
+),
+latest AS (
+  SELECT user_id, op, value_cents FROM (
+    SELECT user_id, op, value_cents,
+      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM chg
+  ) WHERE rn = 1
+)
+SELECT b.user_id, b.value_cents
+FROM base b LEFT JOIN latest l USING (user_id) WHERE l.user_id IS NULL
+UNION ALL
+SELECT user_id, value_cents FROM latest WHERE op <> 'D'
+ORDER BY user_id"""
+
+
+# ---------------------------------------------------------------------------
 # Pandas grouped-agg UDAF (robust stats)
 # ---------------------------------------------------------------------------
 
@@ -370,6 +474,8 @@ def build_registry(
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_match_pairs": q_winnow_match_pairs,
         "udaf_robust_value_stats": q_udaf_robust_value_stats,
+        "scd2_user_status_versions": q_scd2_user_status_versions,
+        "cdc_user_state": q_cdc_user_state,
     }
     oracles: dict[str, str] = {
         "text_pii_redaction": _pii_oracle(),
@@ -390,5 +496,7 @@ FROM fps a JOIN fps b ON a.fp = b.fp AND a.id < b.id
 GROUP BY a.id, b.id HAVING count(DISTINCT a.fp) >= 30
 ORDER BY id_a, id_b""",
         "udaf_robust_value_stats": _UDAF_ORACLE,
+        "scd2_user_status_versions": _SCD2_ORACLE,
+        "cdc_user_state": _CDC_ORACLE,
     }
     return queries, oracles
