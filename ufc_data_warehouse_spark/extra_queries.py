@@ -1258,6 +1258,74 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-signup DAY,
+    counted distinct-active per days-since-signup. Two keyed aggs and
+    one join, all hashed on user_id — at scale the activity join
+    co-partitions with the cohort frame (AQE), and day arithmetic is
+    pure integer math so cross-engine results are exact."""
+    ev = _read(spark, sf_dir, "events")
+    cohorts = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_signup"))
+        .select("user_id", F.to_date("first_signup").alias("cohort_day"))
+    )
+    activity = ev.select(
+        "user_id", F.to_date("ts").alias("active_day")
+    ).distinct()
+    return (
+        activity.join(cohorts, "user_id")
+        .withColumn("day_offset", F.datediff("active_day", "cohort_day"))
+        .filter(F.col("day_offset") >= 0)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup → click → purchase: each stage's first
+    qualifying timestamp must follow the previous stage's within 1 day. Three aggs +
+    two joins, ALL keyed on user_id — one partitioning reused end-to-end;
+    the final count is a single-row rollup."""
+    ev = _read(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    c = (
+        ev.join(s, "user_id")
+        .filter(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("s_ts"))
+            & (F.col("ts") <= F.col("s_ts") + F.expr("INTERVAL 1 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.join(c, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("c_ts"))
+            & (F.col("ts") <= F.col("c_ts") + F.expr("INTERVAL 1 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        s.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count("s_ts").alias("n_signup"),
+            F.count("c_ts").alias("n_click_after_signup"),
+            F.count("p_ts").alias("n_purchase_after_click"),
+        )
+    )
+
+
 def q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed event rollup with FILTER-agg + exact decimal sums."""
     ev = _read(spark, sf_dir, "events")
@@ -1737,6 +1805,8 @@ EXTRA_QUERIES: dict[str, Query] = {
     "asof_orders_before_events": q_asof_orders_before_events,
     "sessionization": q_sessionization,
     "event_type_stats": q_event_type_stats,
+    "cohort_retention": q_cohort_retention,
+    "funnel_conversion": q_funnel_conversion,
     "card_fighters_by_wins_top50": _card("fighters_by_wins", "wins", 50),
     "card_title_reigns_days_top200": None,  # filled below (custom metric)
     "card_quality_of_opposition_top25": _card(
@@ -2546,6 +2616,43 @@ FROM events s JOIN events p
  AND s.event_type = 'signup' AND p.event_type = 'purchase'
  AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 3 DAY
 GROUP BY signup_id ORDER BY signup_id"""
+
+EXTRA_ORACLES["cohort_retention"] = """
+WITH cohorts AS (
+  SELECT user_id, min(ts)::DATE AS cohort_day
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, ts::DATE AS active_day FROM events
+)
+SELECT c.cohort_day,
+  (a.active_day - c.cohort_day)::INT AS day_offset,
+  count(DISTINCT a.user_id) AS n_active_users
+FROM activity a JOIN cohorts c USING (user_id)
+WHERE a.active_day - c.cohort_day >= 0
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+EXTRA_ORACLES["funnel_conversion"] = """
+WITH s AS (
+  SELECT user_id, min(ts) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS c_ts
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s.s_ts
+    AND e.ts <= s.s_ts + INTERVAL 1 DAY GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS p_ts
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+    AND e.ts <= c.c_ts + INTERVAL 1 DAY GROUP BY e.user_id
+)
+SELECT count(s.s_ts) AS n_signup,
+  count(c.c_ts) AS n_click_after_signup,
+  count(p.p_ts) AS n_purchase_after_click
+FROM s LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""
 
 EXTRA_ORACLES["streaming_foreach_batch_upsert"] = """
 SELECT user_id, count(*) AS n_events,
