@@ -567,3 +567,31 @@ def test_winnowing_guarantee_shared_substring_shares_fingerprint(spark):
     for i in range(len(shared)):
         assert (2 * i, 2 * i + 1) in got, f"pair {i} shares no fingerprint"
     assert (100, 101) not in got
+
+
+def test_drop_frequent_shingles_bounds_join_fanout(spark):
+    """Stop-shingle removal must (a) be identity at an unreachable
+    threshold, (b) strictly shrink the candidate pair space when cutting
+    the Zipf head, and (c) never drop a rare shingle."""
+    from ufc_data_warehouse_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sh = dd.word_shingles(docs, n=3).persist()
+    try:
+        total = sh.count()
+        assert dd.drop_frequent_shingles(sh, max_doc_freq=10**9).count() == total
+
+        cut = dd.drop_frequent_shingles(sh, max_doc_freq=5)
+        assert cut.count() < total
+        # no shingle with doc_freq <= 5 was lost
+        freq = dd.shingle_doc_frequency(sh)
+        rare = freq.filter(F.col("doc_freq") <= 5).count()
+        assert (
+            dd.shingle_doc_frequency(cut).count() == rare
+        )
+        # pair fan-out shrinks: hot-key contribution is quadratic
+        pairs_all = dd.jaccard_pairs(sh, min_jaccard=0.0).count()
+        pairs_cut = dd.jaccard_pairs(cut, min_jaccard=0.0).count()
+        assert pairs_cut < pairs_all
+    finally:
+        sh.unpersist()

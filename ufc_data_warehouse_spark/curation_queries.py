@@ -124,6 +124,67 @@ ORDER BY train_id, eval_id"""
 
 
 # ---------------------------------------------------------------------------
+# incremental dedup + shingle frequency
+# ---------------------------------------------------------------------------
+
+
+def q_incremental_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-load dedup: new docs (doc_id % 3 == 0 stands in for the
+    incoming batch) exactly-Jaccard-matched against the existing corpus;
+    the corpus×corpus pair space never materializes."""
+    from .extra_queries import _shingles
+
+    sh = _shingles(spark, sf_dir)
+    new = sh.filter(F.col("id") % 3 == 0)
+    old = sh.filter(F.col("id") % 3 != 0)
+    return dedup.cross_corpus_jaccard(new, old, min_jaccard=0.2).orderBy(
+        "new_id", "old_id"
+    )
+
+
+_INCR_DEDUP_ORACLE_TMPL = """
+WITH {shingles},
+new_sh AS (SELECT id, shingle FROM shingles WHERE id % 3 = 0),
+old_sh AS (SELECT id, shingle FROM shingles WHERE id % 3 <> 0),
+n_sizes AS (SELECT id, count(*) AS n_new FROM new_sh GROUP BY id),
+o_sizes AS (SELECT id, count(*) AS n_old FROM old_sh GROUP BY id),
+shared AS (
+  SELECT n.id AS new_id, o.id AS old_id, count(*) AS shared
+  FROM new_sh n JOIN old_sh o ON n.shingle = o.shingle
+  GROUP BY n.id, o.id
+)
+SELECT s.new_id, s.old_id, s.shared,
+  (ns.n_new + os.n_old - s.shared) AS union_size,
+  s.shared::DOUBLE / (ns.n_new + os.n_old - s.shared) AS jaccard
+FROM shared s
+JOIN n_sizes ns ON s.new_id = ns.id
+JOIN o_sizes os ON s.old_id = os.id
+WHERE s.shared::DOUBLE / (ns.n_new + os.n_old - s.shared) >= 0.2
+ORDER BY new_id, old_id"""
+
+
+def q_shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle document-frequency histogram — the profiling step behind
+    stop-shingle removal (two chained aggs; the first partial-aggregates
+    the Zipf head map-side)."""
+    from .extra_queries import _shingles
+
+    freq = dedup.shingle_doc_frequency(_shingles(spark, sf_dir))
+    return (
+        freq.groupBy("doc_freq")
+        .agg(F.count("*").alias("n_shingles"))
+        .orderBy("doc_freq")
+    )
+
+
+_SHINGLE_DF_ORACLE_TMPL = """
+WITH {shingles},
+freq AS (SELECT shingle, count(*) AS doc_freq FROM shingles GROUP BY shingle)
+SELECT doc_freq, count(*) AS n_shingles
+FROM freq GROUP BY doc_freq ORDER BY doc_freq"""
+
+
+# ---------------------------------------------------------------------------
 # per-domain quota retention
 # ---------------------------------------------------------------------------
 
@@ -476,6 +537,8 @@ def build_registry(
         "udaf_robust_value_stats": q_udaf_robust_value_stats,
         "scd2_user_status_versions": q_scd2_user_status_versions,
         "cdc_user_state": q_cdc_user_state,
+        "incremental_dedup_pairs": q_incremental_dedup_pairs,
+        "shingle_df_histogram": q_shingle_df_histogram,
     }
     oracles: dict[str, str] = {
         "text_pii_redaction": _pii_oracle(),
@@ -498,5 +561,11 @@ ORDER BY id_a, id_b""",
         "udaf_robust_value_stats": _UDAF_ORACLE,
         "scd2_user_status_versions": _SCD2_ORACLE,
         "cdc_user_state": _CDC_ORACLE,
+        "incremental_dedup_pairs": _INCR_DEDUP_ORACLE_TMPL.format(
+            shingles=shingles_sql.strip().lstrip(",")
+        ),
+        "shingle_df_histogram": _SHINGLE_DF_ORACLE_TMPL.format(
+            shingles=shingles_sql.strip().lstrip(",")
+        ),
     }
     return queries, oracles

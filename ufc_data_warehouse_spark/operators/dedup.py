@@ -469,3 +469,76 @@ def winnow_match_pairs(fps: DataFrame, min_shared: int = 2) -> DataFrame:
         .agg(F.countDistinct("fp").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def shingle_doc_frequency(shingles: DataFrame) -> DataFrame:
+    """(shingle, doc_freq): how many documents contain each shingle — one
+    map-side-combinable agg on the shingle key."""
+    return shingles.groupBy("shingle").agg(F.count("*").alias("doc_freq"))
+
+
+def drop_frequent_shingles(
+    shingles: DataFrame, max_doc_freq: int
+) -> DataFrame:
+    """Stop-shingle removal: drop shingles appearing in more than
+    ``max_doc_freq`` documents before any inverted-index pair join.
+
+    The scale lever for every shingle-keyed join (near-dup verify,
+    contamination, winnow matching): shingle keys are Zipf-distributed,
+    and one corpus-wide shingle ("in the") alone contributes
+    O(doc_freq²) candidate pairs while carrying no dedup signal. Cutting
+    the head bounds the per-key join fan-out; the doc-frequency frame is
+    tiny relative to the corpus and broadcasts.
+    """
+    keep = shingle_doc_frequency(shingles).filter(
+        F.col("doc_freq") <= max_doc_freq
+    )
+    return shingles.join(F.broadcast(keep.select("shingle")), "shingle", "left_semi")
+
+
+def cross_corpus_jaccard(
+    new_shingles: DataFrame,
+    old_shingles: DataFrame,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Incremental dedup: exact Jaccard of every NEW document against the
+    EXISTING corpus — (new_id, old_id, shared, union_size, jaccard ≥ t).
+
+    The 100 TB load pattern: an incremental batch dedups against the
+    already-ingested corpus without re-pairing the corpus with itself
+    (the corpus×corpus pair space never exists here). The inverted-index
+    join hashes on the shingle; the increment side is load-batch-sized,
+    so its shingles broadcast and the corpus never shuffles. Store
+    ``word_shingles`` (or MinHash signatures) as a maintained table and
+    each load pays only increment × collision cost.
+    """
+    n_sizes = new_shingles.groupBy("id").agg(F.count("*").alias("n_new"))
+    o_sizes = old_shingles.groupBy("id").agg(F.count("*").alias("n_old"))
+    shared = (
+        new_shingles.select(F.col("id").alias("new_id"), "shingle")
+        .join(
+            old_shingles.select(F.col("id").alias("old_id"), "shingle"),
+            "shingle",
+        )
+        .groupBy("new_id", "old_id")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(
+            n_sizes.select(F.col("id").alias("new_id"), "n_new"), "new_id"
+        )
+        .join(o_sizes.select(F.col("id").alias("old_id"), "n_old"), "old_id")
+        .select(
+            "new_id",
+            "old_id",
+            "shared",
+            (F.col("n_new") + F.col("n_old") - F.col("shared")).alias(
+                "union_size"
+            ),
+            (
+                F.col("shared").cast("double")
+                / (F.col("n_new") + F.col("n_old") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
