@@ -1,0 +1,56 @@
+"""Structural/plan tests for the statistical analytics and grouped-map
+operators (result correctness is covered by the DuckDB oracle sweep in
+test_extra_queries.py — these assert the SHAPE of the physical plan, the
+property that survives a 100×/1000× scale-up)."""
+
+from __future__ import annotations
+
+from ufc_data_warehouse_spark.analytics_queries import (
+    q_cogroup_asof_view_purchase,
+    q_fuzzy_part_name_pairs,
+    q_grouped_minmax_norm,
+    q_ts_ols_trend,
+    q_ts_zscore_outliers,
+)
+
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ols_trend_is_single_exchange_jvm_only(spark):
+    plan = _plan(q_ts_ols_trend(spark, SF_DIR))
+    # one hash exchange for the groupBy + one for the final orderBy range
+    # partitioning — and no Python evaluation anywhere (pure Column math)
+    assert plan.count("Exchange") <= 2
+    assert "Python" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_zscore_window_and_agg_share_one_partitioning(spark):
+    plan = _plan(q_ts_zscore_outliers(spark, SF_DIR))
+    # the window's hashpartitioning(event_type) must be reused by the
+    # groupBy(event_type) — a second hash exchange would mean the moment
+    # computation re-shuffles the full table
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Python" not in plan
+
+
+def test_grouped_map_uses_arrow_grouped_map(spark):
+    plan = _plan(q_grouped_minmax_norm(spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_cogroup_asof_uses_arrow_cogroup(spark):
+    plan = _plan(q_cogroup_asof_view_purchase(spark, SF_DIR))
+    assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_fuzzy_blocking_is_hash_join_not_product(spark):
+    plan = _plan(q_fuzzy_part_name_pairs(spark, SF_DIR))
+    # the candidate space must come from an equi-join on the block key —
+    # never a cartesian/nested-loop pair enumeration
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

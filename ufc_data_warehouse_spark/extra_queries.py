@@ -2703,3 +2703,14 @@ _CURATION_QUERIES, _CURATION_ORACLES = _curation_registry(
 )
 EXTRA_QUERIES.update(_CURATION_QUERIES)
 EXTRA_ORACLES.update(_CURATION_ORACLES)
+
+# Statistical/time-series analytics + grouped-map pandas API surface
+# (OLS trend, z-score outliers, TWA, histogram, applyInPandas/cogroup,
+# blocked fuzzy matching) live in analytics_queries.py.
+from .analytics_queries import (  # noqa: E402
+    ANALYTICS_ORACLES,
+    ANALYTICS_QUERIES,
+)
+
+EXTRA_QUERIES.update(ANALYTICS_QUERIES)
+EXTRA_ORACLES.update(ANALYTICS_ORACLES)

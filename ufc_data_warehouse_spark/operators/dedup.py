@@ -542,3 +542,42 @@ def cross_corpus_jaccard(
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
+
+
+def blocked_edit_distance_pairs(
+    df: DataFrame,
+    key: str,
+    name: str,
+    block: str,
+    max_dist: int = 4,
+) -> DataFrame:
+    """Entity-resolution fuzzy matching: pairs of rows in the same
+    ``block`` whose ``name`` strings are within Levenshtein distance
+    ``max_dist`` — (id_1, id_2, dist), id_1 < id_2.
+
+    Scale design: the classic blocking pattern. The candidate space is a
+    hash **equi-join on the block key** (never an all-pairs cross join),
+    so pair cost is Σ|block|² instead of N² — the block key is chosen as
+    a semantic constraint (same brand / same zip / same length band), so
+    blocking is part of the match definition, not a lossy approximation.
+    The Levenshtein residual runs JVM-side with an early-exit threshold
+    (``levenshtein(l, r, threshold)`` abandons a pair once the running
+    distance exceeds the bound — O(d·min(m,n)) instead of O(m·n)).
+    """
+    l = df.select(
+        F.col(key).alias("id_1"),
+        F.col(name).alias("name_1"),
+        F.col(block).alias("_block"),
+    )
+    r = df.select(
+        F.col(key).alias("id_2"),
+        F.col(name).alias("name_2"),
+        F.col(block).alias("_block"),
+    )
+    bounded = F.levenshtein(F.col("name_1"), F.col("name_2"), max_dist)
+    return (
+        l.join(r, "_block")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2", bounded.alias("dist"))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+    )

@@ -1,0 +1,129 @@
+"""Arrow-batched grouped-map operators: ``groupBy().applyInPandas`` and
+``cogroup().applyInPandas``.
+
+These complete the Python-UDF API surface (SURVEY §2.10 — the reference
+has no in-database UDFs at all; `operators/udafs.py` covers grouped-AGG
+pandas UDFs, `operators/multimodal.py` covers scalar/iterator pandas
+UDFs, this module covers the grouped-MAP and COGROUPED-MAP forms).
+
+Both operators here exist as built-in-expressible queries too (window
+min/max; union-merge as-of) — they are implemented through the pandas
+API deliberately, as the pattern template for logic that genuinely needs
+per-group imperative code (model scoring, merge_asof with tolerance,
+per-group curve fitting). The semantics are pinned to engine-neutral
+definitions so a plain-SQL oracle can verify them bit-for-bit.
+
+Scale posture: ``applyInPandas`` is ONE hash exchange on the group key;
+each group must fit in one executor's memory as a pandas frame — fine
+for per-user/per-type groups (bounded cardinality per key), wrong for
+whole-table groups. Arrow transfers batches columnar; no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["minmax_normalize", "cogroup_asof"]
+
+
+def minmax_normalize(df: DataFrame, key: str, value: str) -> DataFrame:
+    """Per-group min-max normalization via grouped-map ``applyInPandas``.
+
+    norm = (x − min) / (max − min), 0.0 for degenerate single-valued
+    groups. Division of two IEEE doubles in the same expression shape an
+    SQL engine would use — bit-identical to a window-function oracle.
+
+    Returns (event_id, key, value, norm_value).
+    """
+    import pandas as pd
+
+    out_schema = f"event_id long, {key} string, {value} double, norm_value double"
+
+    def normalize(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        lo = pdf[value].min()
+        hi = pdf[value].max()
+        span = hi - lo
+        norm = (pdf[value] - lo) / span if span > 0 else pdf[value] * 0.0
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                key: pdf[key],
+                value: pdf[value],
+                "norm_value": norm,
+            }
+        )
+
+    return (
+        df.select("event_id", key, value)
+        .groupBy(key)
+        .applyInPandas(normalize, schema=out_schema)
+    )
+
+
+def cogroup_asof(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str = "ts",
+) -> DataFrame:
+    """As-of join via ``cogroup().applyInPandas`` + ``pd.merge_asof``.
+
+    For every left row, attach the latest right row of the same ``key``
+    with ``right.ts < left.ts`` (strictly before — no exact matches),
+    or nulls when no such row exists. This is the cogrouped-map
+    formulation of the as-of join (`extra_queries.q_asof_orders_before_
+    events` is the pure-Column union-merge formulation of the same
+    operator; at 100 TB prefer that one — it is whole-stage codegen and
+    never materializes a group in Python).
+
+    One hash exchange per side on ``key``; each (left-group,
+    right-group) pair arrives as two pandas frames, merged with the
+    vectorized ``merge_asof`` (binary search per row, not a pair join).
+
+    Returns (key, left_event_id, left_ts, right_event_id, right_value).
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{key} long, left_event_id long, left_ts timestamp, "
+        "right_event_id long, right_value double"
+    )
+
+    def merge(lg: "pd.DataFrame", rg: "pd.DataFrame") -> "pd.DataFrame":
+        if lg.empty:
+            return pd.DataFrame(
+                columns=[
+                    key,
+                    "left_event_id",
+                    "left_ts",
+                    "right_event_id",
+                    "right_value",
+                ]
+            )
+        lg = lg.sort_values(ts, kind="mergesort")
+        rg = rg.sort_values(ts, kind="mergesort")
+        merged = pd.merge_asof(
+            lg,
+            rg.rename(
+                columns={"event_id": "right_event_id", "value": "right_value"}
+            )[[ts, "right_event_id", "right_value"]],
+            on=ts,
+            direction="backward",
+            allow_exact_matches=False,
+        )
+        return pd.DataFrame(
+            {
+                key: merged[key],
+                "left_event_id": merged["event_id"],
+                "left_ts": merged[ts],
+                "right_event_id": merged["right_event_id"].astype("Int64"),
+                "right_value": merged["right_value"],
+            }
+        )
+
+    lsel = left.select(key, "event_id", ts)
+    rsel = right.select(key, "event_id", ts, "value")
+    return lsel.groupBy(key).cogroup(rsel.groupBy(key)).applyInPandas(
+        merge, schema=out_schema
+    )
