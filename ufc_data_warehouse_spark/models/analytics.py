@@ -110,8 +110,17 @@ def fight_time_per_division(d: dict[str, DataFrame]) -> DataFrame:
         .groupBy("weightclass")
         .agg(
             F.count("*").alias("fight_count"),
-            F.avg("fight_time_minutes").alias("avg_fight_time_minutes"),
-            F.avg("fight_time_seconds").alias("avg_fight_time_seconds"),
+            # order-free: exact integer sum of seconds, ONE final division
+            # (avg() over per-row seconds/60.0 doubles is accumulation-order
+            # dependent and differs in the last ulp across engines/shuffles)
+            (
+                F.sum("fight_time_seconds").cast("double")
+                / (F.count("*") * 60).cast("double")
+            ).alias("avg_fight_time_minutes"),
+            (
+                F.sum("fight_time_seconds").cast("double")
+                / F.count("*").cast("double")
+            ).alias("avg_fight_time_seconds"),
         )
         .orderBy(F.desc("avg_fight_time_minutes"), F.desc("fight_count"), F.asc("weightclass"))
     )
@@ -126,15 +135,19 @@ def fightrers_by_avg_fight_time_min_5(d: dict[str, DataFrame]) -> DataFrame:
     """Avg fight time per fighter, ≥5 min (fightrers_by_avg_fight_time_min_5.sql:3-31;
     model name keeps the reference's typo for parity)."""
     base = d["stg_fight_results"].filter(F.col("fight_time_minutes").isNotNull())
-    fighters = base.select(F.col("fighter_1").alias("fighter"), "fight_time_minutes").unionByName(
-        base.select(F.col("fighter_2").alias("fighter"), "fight_time_minutes")
+    fighters = base.select(F.col("fighter_1").alias("fighter"), "fight_time_seconds").unionByName(
+        base.select(F.col("fighter_2").alias("fighter"), "fight_time_seconds")
     )
     return (
         fighters.filter(not_null_or_empty("fighter"))
         .groupBy("fighter")
         .agg(
             F.count("*").alias("fight_count"),
-            F.avg("fight_time_minutes").alias("avg_fight_time_minutes"),
+            # order-free exact form (see fight_time_per_division)
+            (
+                F.sum("fight_time_seconds").cast("double")
+                / (F.count("*") * 60).cast("double")
+            ).alias("avg_fight_time_minutes"),
         )
         .filter(F.col("avg_fight_time_minutes") >= 5)
         .orderBy(F.desc("avg_fight_time_minutes"), F.desc("fight_count"))
@@ -467,10 +480,24 @@ def quality_of_opposition_faced(d: dict[str, DataFrame]) -> DataFrame:
         .agg(
             F.count("*").alias("fights"),
             F.max("career_wins").cast("long").alias("wins"),
-            F.avg(
-                F.when(denom > 0, F.col("o_prior_wins").cast("double") / denom)
+            # order-free: each per-row ratio is rounded to DECIMAL(18,10)
+            # (identical nearest-rounding on both engines), summed exactly,
+            # then divided once — avg() over raw doubles is accumulation-
+            # order dependent and drifts a ulp across engines/shuffles
+            (
+                F.sum(
+                    F.when(
+                        denom > 0, F.col("o_prior_wins").cast("double") / denom
+                    ).cast("decimal(18,10)")
+                ).cast("double")
+                / F.count(
+                    F.when(denom > 0, F.lit(1))
+                ).cast("double")
             ).alias("avg_opponent_win_pct_at_time"),
-            F.avg(F.col("o_career_wins").cast("double")).alias("avg_opponent_career_wins"),
+            (
+                F.sum("o_career_wins").cast("double")
+                / F.count("*").cast("double")
+            ).alias("avg_opponent_career_wins"),
         )
         .filter(F.col("wins") >= 10)
         .orderBy(

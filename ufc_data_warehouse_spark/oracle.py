@@ -316,8 +316,8 @@ GROUP BY winner ORDER BY wins DESC""",
         "",
         """
 SELECT weightclass, count(*) AS fight_count,
-  avg(fight_time_minutes) AS avg_fight_time_minutes,
-  avg(fight_time_seconds) AS avg_fight_time_seconds
+  sum(fight_time_seconds)::DOUBLE / (count(*) * 60)::DOUBLE AS avg_fight_time_minutes,
+  sum(fight_time_seconds)::DOUBLE / count(*)::DOUBLE AS avg_fight_time_seconds
 FROM stg_fight_results
 WHERE weightclass IS NOT NULL AND fight_time_minutes IS NOT NULL
 GROUP BY weightclass
@@ -326,16 +326,18 @@ ORDER BY avg_fight_time_minutes DESC, fight_count DESC, weightclass""",
     "fightrers_by_avg_fight_time_min_5": (
         """
 ft_rows AS (
-  SELECT fighter_1 AS fighter, fight_time_minutes
+  SELECT fighter_1 AS fighter, fight_time_seconds
   FROM stg_fight_results WHERE fight_time_minutes IS NOT NULL
   UNION ALL
-  SELECT fighter_2, fight_time_minutes
+  SELECT fighter_2, fight_time_seconds
   FROM stg_fight_results WHERE fight_time_minutes IS NOT NULL
 )""",
         """
-SELECT fighter, count(*) AS fight_count, avg(fight_time_minutes) AS avg_fight_time_minutes
+SELECT fighter, count(*) AS fight_count,
+  sum(fight_time_seconds)::DOUBLE / (count(*) * 60)::DOUBLE AS avg_fight_time_minutes
 FROM ft_rows WHERE fighter IS NOT NULL AND fighter <> ''
-GROUP BY fighter HAVING avg(fight_time_minutes) >= 5
+GROUP BY fighter
+HAVING sum(fight_time_seconds)::DOUBLE / (count(*) * 60)::DOUBLE >= 5
 ORDER BY avg_fight_time_minutes DESC, fight_count DESC""",
     ),
     "fighters_best_record": (
@@ -491,10 +493,12 @@ qof_records AS (
 )""",
         """
 SELECT a.fighter, count(*) AS fights, max(a.career_wins)::BIGINT AS wins,
-  avg(CASE WHEN b.prior_wins + b.prior_losses > 0
-        THEN b.prior_wins::DOUBLE / (b.prior_wins + b.prior_losses) END)
+  sum((CASE WHEN b.prior_wins + b.prior_losses > 0
+        THEN b.prior_wins::DOUBLE / (b.prior_wins + b.prior_losses)
+      END)::DECIMAL(18,10))::DOUBLE
+    / count(CASE WHEN b.prior_wins + b.prior_losses > 0 THEN 1 END)::DOUBLE
     AS avg_opponent_win_pct_at_time,
-  avg(b.career_wins::DOUBLE) AS avg_opponent_career_wins
+  sum(b.career_wins)::DOUBLE / count(*)::DOUBLE AS avg_opponent_career_wins
 FROM qof_records a
 JOIN qof_records b ON a.fight_id = b.fight_id AND a.opponent = b.fighter
 WHERE a.fighter IS NOT NULL AND a.fighter <> ''

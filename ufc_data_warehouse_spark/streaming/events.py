@@ -442,3 +442,49 @@ def stateful_totals_tws(stream: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def stream_stream_signup_purchase_outer(
+    signups: DataFrame, purchases: DataFrame
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: every signup with the
+    purchases made within 1 hour of it — or a null-padded row once the
+    watermark proves no purchase can still arrive.
+
+    Same state-bounding shape as the inner variant
+    (``stream_stream_signup_purchase``): equality on user_id keys the
+    state store, the time-range condition derives an eviction horizon
+    for both buffers. The outer semantics add the null-completion rule:
+    an unmatched signup row is emitted with nulls only when the
+    watermark passes ``signup_ts + 1h`` (the latest time a qualifying
+    purchase could carry) — the streaming-correct version of "we waited
+    long enough". Rows younger than that at end-of-stream are withheld,
+    NOT null-completed: emitting them would be wrong if the stream
+    resumed. The oracle states exactly this final-watermark cutoff.
+    """
+    s = (
+        signups.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("signup_id"),
+            F.col("ts").alias("signup_ts"),
+        )
+        .withWatermark("signup_ts", "10 minutes")
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    return s.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select("user_id", "signup_id", "signup_ts", "purchase_id", "purchase_ts", "value")
