@@ -2714,3 +2714,63 @@ from .analytics_queries import (  # noqa: E402
 
 EXTRA_QUERIES.update(ANALYTICS_QUERIES)
 EXTRA_ORACLES.update(ANALYTICS_ORACLES)
+
+
+def q_streaming_outer_join_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join with flush sentinels:
+    every signup with its purchases within 1 hour, null-completed once
+    the watermark proves no match can arrive.
+
+    Two subtleties this query pins down (both discovered empirically,
+    verified via StreamingQueryProgress):
+
+    1. The global watermark is min() across BOTH sides' watermark
+       nodes, computed from rows that REACH those nodes. A finite
+       replay therefore withholds null-completion for the tail of the
+       stream (here: everything within 1h10m of the last signup) —
+       correct streaming semantics, but it makes end-of-stream results
+       partial. The flush sentinels (user_id −1, ts one day past the
+       data, one per join role) raise both sides' max event time so the
+       AvailableNow cleanup batch evicts — and null-completes — every
+       real row, restoring an exact batch oracle.
+    2. The sentinel filter must be applied to the BATCH result, not the
+       streaming plan: a `user_id >= 0` predicate on the join output is
+       pushed below the EventTimeWatermark operator, silently dropping
+       the sentinels before they can advance the watermark.
+    """
+    from .streaming import events as se
+
+    apply_runtime_confs(spark)
+    joined = se.stream_stream_signup_purchase_outer(
+        se.read_events_stream_with_flush(spark, sf_dir),
+        se.read_events_stream_with_flush(spark, sf_dir),
+    )
+    out = se.run_available_now(joined, output_mode="append")
+    return out.filter(F.col("user_id") >= 0).orderBy(
+        "user_id", "signup_id", "purchase_id"
+    )
+
+
+EXTRA_QUERIES["streaming_outer_join_flush"] = q_streaming_outer_join_flush
+EXTRA_ORACLES["streaming_outer_join_flush"] = """
+WITH s AS (
+  SELECT user_id, event_id AS signup_id, ts AS signup_ts
+  FROM events WHERE event_type = 'signup'
+),
+p AS (
+  SELECT user_id AS p_user, event_id AS purchase_id, ts AS purchase_ts, value
+  FROM events WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT s.user_id, s.signup_id, s.signup_ts,
+         p.purchase_id, p.purchase_ts, p.value
+  FROM s JOIN p ON s.user_id = p.p_user
+   AND p.purchase_ts >= s.signup_ts
+   AND p.purchase_ts <= s.signup_ts + INTERVAL 1 HOUR
+)
+SELECT * FROM m
+UNION ALL
+SELECT s.user_id, s.signup_id, s.signup_ts, NULL, NULL, NULL
+FROM s
+WHERE s.signup_id NOT IN (SELECT signup_id FROM m)
+ORDER BY user_id, signup_id, purchase_id"""

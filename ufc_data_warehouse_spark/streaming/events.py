@@ -488,3 +488,58 @@ def stream_stream_signup_purchase_outer(
         & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr("INTERVAL 1 HOUR")),
         "left_outer",
     ).select("user_id", "signup_id", "signup_ts", "purchase_id", "purchase_ts", "value")
+
+
+def read_events_stream_with_flush(
+    spark: SparkSession, sf_dir: str, flush_days: int = 1
+) -> DataFrame:
+    """The events stream plus FLUSH sentinels: two rows (one per join
+    role, ``user_id = -1``) timestamped ``flush_days`` past the real
+    data, linked into the watched directory as an extra file.
+
+    This is the punctuation/heartbeat pattern: outer-join null results
+    and final window emissions are gated on the watermark, and a
+    finite replay's watermark stops just short of the tail — rows whose
+    expiry lands inside the final watermark horizon are withheld
+    (correctly: the stream might resume). The sentinel raises the max
+    event time of BOTH sides, so the no-data cleanup batch that
+    AvailableNow runs after the data carries a watermark decisively
+    past every real row's horizon — end-of-stream emission becomes
+    deterministic and total, which is what lets the outer join carry an
+    exact batch oracle instead of a weaker rows-only check. (The
+    sentinels ride the same micro-batch as the data: the watermark
+    update after batch N gates evictions in batch N+1, so a separate
+    batch is unnecessary.)
+    """
+    schema, ts_is_nanos_long = _events_batch_schema(spark, sf_dir)
+    src_dir = tempfile.mkdtemp(prefix="events_flush_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events_0.parquet")
+
+    probe = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if ts_is_nanos_long:
+        max_ts = probe.agg(F.max("ts")).collect()[0][0]  # nanos long
+        flush_ts = max_ts + flush_days * 86400 * 10**9
+    else:
+        max_ts = probe.agg(F.max("ts")).collect()[0][0]
+        import datetime as _dt
+
+        flush_ts = max_ts + _dt.timedelta(days=flush_days)
+    flush = spark.createDataFrame(
+        [
+            (-1, flush_ts, -1, "signup", 0.0, None),
+            (-2, flush_ts, -1, "purchase", 0.0, None),
+        ],
+        schema=schema,
+    )
+    tmp_out = tempfile.mkdtemp(prefix="events_flush_row_")
+    flush.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+    part = next(
+        f for f in os.listdir(tmp_out) if f.endswith(".parquet")
+    )
+    os.rename(f"{tmp_out}/{part}", f"{src_dir}/zz_flush.parquet")
+
+    reader = spark.readStream.schema(schema).format("parquet")
+    raw = reader.load(src_dir)
+    if ts_is_nanos_long:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
