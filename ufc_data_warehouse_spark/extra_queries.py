@@ -2774,3 +2774,81 @@ SELECT s.user_id, s.signup_id, s.signup_ts, NULL, NULL, NULL
 FROM s
 WHERE s.signup_id NOT IN (SELECT signup_id FROM m)
 ORDER BY user_id, signup_id, purchase_id"""
+
+
+def q_recursive_ancestor_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): transitive ancestor
+    closure of a synthetic binary-tree hierarchy over customers
+    (parent(k) = k DIV 2 — deterministic, engine-neutral). Output is the
+    full (node, ancestor, depth) closure — the iterative-fixpoint query
+    shape (org charts, BOM explosion, graph reachability) that, before
+    Spark 4, needed a driver-side loop.
+
+    Scale note: closure size is N·log N for a balanced hierarchy (depth
+    ≤ 21 at 1.5M customers); each iteration is one self-join stage and
+    Spark unions the per-iteration results — the plan is the same
+    repeated-join DAG a hand-rolled loop would build, minus the driver
+    round-trips.
+    """
+    apply_runtime_confs(spark)
+    spark.read.parquet(f"{sf_dir}/customer.parquet").createOrReplaceTempView(
+        "customer_rec_src"
+    )
+    return spark.sql(
+        """
+WITH RECURSIVE anc AS (
+  SELECT c_custkey AS node, c_custkey AS ancestor, 0 AS depth
+  FROM customer_rec_src
+  UNION ALL
+  SELECT node, ancestor DIV 2 AS ancestor, depth + 1 AS depth
+  FROM anc WHERE ancestor > 1
+)
+SELECT node, ancestor, depth FROM anc ORDER BY node, depth
+"""
+    )
+
+
+def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): the events `props` JSON is
+    parsed ONCE into the binary variant encoding (`parse_json`), then
+    fields are extracted with `variant_get` path expressions. Unlike the
+    typed `from_json` path (q_json_props_stats), variant is
+    schema-flexible — new keys need no schema migration — while still
+    avoiding per-field string re-parsing (`get_json_object` re-parses
+    the JSON for every extracted path)."""
+    ev = _read(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    parsed = ev.select(
+        "event_type",
+        F.try_variant_get(v, "$.k", "long").alias("k"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EXTRA_QUERIES["recursive_ancestor_closure"] = q_recursive_ancestor_closure
+EXTRA_ORACLES["recursive_ancestor_closure"] = """
+WITH RECURSIVE anc AS (
+  SELECT c_custkey AS node, c_custkey AS ancestor, 0 AS depth
+  FROM customer
+  UNION ALL
+  SELECT node, ancestor // 2 AS ancestor, depth + 1 AS depth
+  FROM anc WHERE ancestor > 1
+)
+SELECT node, ancestor, depth FROM anc ORDER BY node, depth"""
+
+EXTRA_QUERIES["variant_props_stats"] = q_variant_props_stats
+EXTRA_ORACLES["variant_props_stats"] = """
+SELECT event_type, count(*) AS n,
+  count(json_extract(props, '$.k')) AS n_with_k,
+  sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+  max(json_extract(props, '$.k')::BIGINT) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type"""
