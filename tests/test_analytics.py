@@ -54,3 +54,22 @@ def test_fuzzy_blocking_is_hash_join_not_product(spark):
     # never a cartesian/nested-loop pair enumeration
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_arrow_grouped_map_plan(spark):
+    from ufc_data_warehouse_spark.analytics_queries import q_arrow_group_stats
+
+    plan = _plan(q_arrow_group_stats(spark, SF_DIR))
+    assert "FlatMapGroupsInArrow" in plan or "FlatMapGroupsInPandas" in plan
+
+
+def test_nullsafe_join_is_hash_not_nested_loop(spark):
+    from ufc_data_warehouse_spark.analytics_queries import (
+        q_nullsafe_join_counts,
+    )
+
+    plan = _plan(q_nullsafe_join_counts(spark, SF_DIR))
+    # <=> is still an equi-join key: must plan as a hash/sort-merge join,
+    # never a nested loop over the fact table
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

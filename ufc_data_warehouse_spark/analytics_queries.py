@@ -207,3 +207,95 @@ JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
 WHERE levenshtein(a.p_name, b.p_name) <= 4
 ORDER BY id_1, id_2""",
 }
+
+
+def q_arrow_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native grouped map (applyInArrow): per-type integer stats,
+    zero pandas materialization."""
+    return grouped.group_id_stats_arrow(
+        _read(spark, sf_dir, "events"), "event_type"
+    ).orderBy("event_type")
+
+
+def q_nullsafe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): keys are
+    deliberately NULLed for a deterministic slice of rows, and the
+    null-safe join matches NULL with NULL — the semantic SQL's plain `=`
+    silently drops. Spark plans `<=>` as a HASH join key (null-safe
+    equality is still an equi-join), not a nested loop."""
+    ev = _read(spark, sf_dir, "events")
+    left = ev.select(
+        F.when(F.col("event_id") % 7 != 0, F.col("user_id")).alias("k"),
+        "event_id",
+    )
+    right = ev.select(
+        F.when(F.col("event_id") % 11 != 0, F.col("user_id")).alias("k"),
+        F.col("event_id").alias("r_id"),
+    ).groupBy("k").agg(F.count("*").alias("r_n"))
+    joined = left.join(right, left["k"].eqNullSafe(right["k"]), "inner")
+    return (
+        joined.groupBy(left["k"].alias("k"))
+        .agg(F.count("*").alias("n_joined"), F.max("r_n").alias("r_n"))
+        .orderBy(F.col("k").asc_nulls_last())
+    )
+
+
+def q_map_props_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType semi-structured path: props parsed as map<string,long>
+    (schema-flexible like VARIANT but with native map operators), then
+    exploded to per-key stats — the third way to hold semi-structured
+    data (typed struct / VARIANT / MAP), each oracle-checked."""
+    ev = _read(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return (
+        ev.select(F.explode(m).alias("key", "val"))
+        .groupBy("key")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("val").alias("sum_val"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+        )
+        .orderBy("key")
+    )
+
+
+ANALYTICS_QUERIES.update(
+    {
+        "arrow_group_stats": q_arrow_group_stats,
+        "nullsafe_join_counts": q_nullsafe_join_counts,
+        "map_props_key_stats": q_map_props_key_stats,
+    }
+)
+ANALYTICS_ORACLES.update(
+    {
+        "arrow_group_stats": """
+SELECT event_type, count(*) AS n, min(event_id) AS min_id,
+  max(event_id) AS max_id
+FROM events GROUP BY event_type ORDER BY event_type""",
+        "nullsafe_join_counts": """
+WITH l AS (
+  SELECT CASE WHEN event_id % 7 != 0 THEN user_id END AS k, event_id
+  FROM events
+),
+r AS (
+  SELECT k, count(*) AS r_n FROM (
+    SELECT CASE WHEN event_id % 11 != 0 THEN user_id END AS k FROM events
+  ) GROUP BY k
+)
+SELECT l.k, count(*) AS n_joined, max(r.r_n) AS r_n
+FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+GROUP BY l.k ORDER BY l.k ASC NULLS LAST""",
+        # json_each (table function) is unavailable in this DuckDB build;
+        # the testdata props carry exactly one key ('k', verified across
+        # all SFs), so per-key explode stats reduce to json_extract stats
+        # keyed by that literal.
+        "map_props_key_stats": """
+SELECT 'k' AS key, count(*) AS n,
+  sum(json_extract(props, '$.k')::BIGINT) AS sum_val,
+  min(json_extract(props, '$.k')::BIGINT) AS min_val,
+  max(json_extract(props, '$.k')::BIGINT) AS max_val
+FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+GROUP BY 1 ORDER BY key""",
+    }
+)

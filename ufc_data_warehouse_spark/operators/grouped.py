@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["minmax_normalize", "cogroup_asof"]
+__all__ = ["minmax_normalize", "cogroup_asof", "group_id_stats_arrow"]
 
 
 def minmax_normalize(df: DataFrame, key: str, value: str) -> DataFrame:
@@ -126,4 +126,35 @@ def cogroup_asof(
     rsel = right.select(key, "event_id", ts, "value")
     return lsel.groupBy(key).cogroup(rsel.groupBy(key)).applyInPandas(
         merge, schema=out_schema
+    )
+
+
+def group_id_stats_arrow(df: DataFrame, key: str) -> DataFrame:
+    """Per-group stats via ``groupBy().applyInArrow`` — the Arrow-NATIVE
+    grouped-map form (Spark 4): the UDF receives/returns a
+    ``pyarrow.Table`` with no pandas materialization in between, the
+    zero-copy path for columnar group logic (the pandas variants pay an
+    Arrow→pandas conversion per group).
+
+    Outputs are integers only (count, min/max of event_id) so the result
+    is reduction-order-free and exactly reproducible in any engine.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out_schema = f"{key} string, n long, min_id long, max_id long"
+
+    def stats(t: "pa.Table") -> "pa.Table":
+        ids = t.column("event_id")
+        return pa.table(
+            {
+                key: [t.column(key)[0].as_py()],
+                "n": [t.num_rows],
+                "min_id": [pc.min(ids).as_py()],
+                "max_id": [pc.max(ids).as_py()],
+            }
+        )
+
+    return df.select(key, "event_id").groupBy(key).applyInArrow(
+        stats, schema=out_schema
     )
