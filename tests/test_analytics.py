@@ -73,3 +73,11 @@ def test_nullsafe_join_is_hash_not_nested_loop(spark):
     # never a nested loop over the fact table
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cogroup_asof_survives_count_pruning(spark):
+    # regression: a downstream projection that needs no columns (count)
+    # used to let Catalyst prune the right side's shared-exprId columns
+    # out of the Arrow batch in a self-cogroup, crashing the UDF
+    n = q_cogroup_asof_view_purchase(spark, SF_DIR).count()
+    assert n > 0

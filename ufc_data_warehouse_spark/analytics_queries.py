@@ -299,3 +299,166 @@ FROM events WHERE json_extract(props, '$.k') IS NOT NULL
 GROUP BY 1 ORDER BY key""",
     }
 )
+
+
+def q_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency: each purchase opens a 1-hour
+    window; per user, find the maximum number of concurrently-open
+    windows via the classic +1/−1 endpoint union and a running sum —
+    ONE keyed window over the endpoint stream, no interval self-join
+    (the naive pairwise-overlap join is O(n²) per key; the sweep is
+    O(n log n) and shuffles once on the key). Coincident endpoints are
+    ordered by a unique integer tiebreak derived from the event id, so
+    both engines sweep in the identical order.
+    """
+    ev = _read(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("start_ts"), "event_id"
+    )
+    starts = p.select(
+        "user_id",
+        F.col("start_ts").alias("pt"),
+        F.lit(1).alias("delta"),
+        (F.col("event_id") * 2).alias("tiebreak"),
+    )
+    # ends sort AFTER starts at the same instant (closed-open intervals:
+    # an interval ending exactly when another starts does not overlap it
+    # — the end's +1 tiebreak orders it after the coincident start)
+    ends = p.select(
+        "user_id",
+        (F.col("start_ts") + F.expr("INTERVAL 1 HOUR")).alias("pt"),
+        F.lit(-1).alias("delta"),
+        (F.col("event_id") * 2 + 1).alias("tiebreak"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("pt", "tiebreak")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = starts.unionByName(ends).withColumn(
+        "open_now", F.sum("delta").over(w)
+    )
+    return (
+        swept.groupBy("user_id")
+        .agg(
+            F.max("open_now").alias("max_concurrent"),
+            (F.count("*") / 2).cast("long").alias("n_intervals"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ANALYTICS_QUERIES["max_concurrent_sessions"] = q_max_concurrent_sessions
+ANALYTICS_ORACLES["max_concurrent_sessions"] = """
+WITH p AS (
+  SELECT user_id, ts AS start_ts, event_id
+  FROM events WHERE event_type = 'purchase'
+),
+pts AS (
+  SELECT user_id, start_ts AS pt, 1 AS delta, event_id * 2 AS tiebreak FROM p
+  UNION ALL
+  SELECT user_id, start_ts + INTERVAL 1 HOUR, -1, event_id * 2 + 1 FROM p
+),
+swept AS (
+  SELECT user_id,
+    sum(delta) OVER (PARTITION BY user_id ORDER BY pt, tiebreak
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open_now
+  FROM pts
+)
+SELECT user_id, max(open_now) AS max_concurrent,
+  (count(*) / 2)::BIGINT AS n_intervals
+FROM swept GROUP BY user_id ORDER BY user_id"""
+
+
+def q_forward_fill_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (last-observation-carried-forward): values are NULLed
+    for a deterministic slice of rows, then repaired per user with
+    ``last_value(..., ignoreNulls)`` over an unbounded-preceding frame —
+    the gap-repair primitive for sensor/price series. One keyed window,
+    one shuffle; no self-join, no per-row Python."""
+    ev = _read(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    gapped = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_id") % 5 != 0, F.col("value")).alias("v_gapped"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return gapped.select(
+        "user_id",
+        "event_id",
+        "v_gapped",
+        F.last("v_gapped", ignorenulls=True).over(w).alias("v_filled"),
+    ).orderBy("user_id", "event_id")
+
+
+def q_mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: the most frequent event_type per
+    user, ties broken lexicographically. Built-in ``mode()`` leaves tie
+    order engine-defined, so the mode is computed as an explicit
+    count + argmax with a total ordering — two aggregations sharing one
+    user_id partitioning (count keys on (user, type); max_by collapses
+    to (user))."""
+    ev = _read(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("cnt")
+    )
+    # argmax over (cnt DESC, event_type ASC): max_by with an orderable
+    # struct — cnt ascending, so invert the tie key via a sentinel-free
+    # trick: take max over struct(cnt, neg-lex) is awkward in portable
+    # SQL; a window rank is clearer and stays on the same partitioning
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("cnt"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "cnt")
+        .orderBy("user_id")
+    )
+
+
+ANALYTICS_QUERIES.update(
+    {
+        "forward_fill_values": q_forward_fill_values,
+        "mode_event_type_per_user": q_mode_event_type_per_user,
+    }
+)
+ANALYTICS_ORACLES.update(
+    {
+        "forward_fill_values": """
+WITH gapped AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN event_id % 5 != 0 THEN value END AS v_gapped
+  FROM events
+)
+SELECT user_id, event_id, v_gapped,
+  last_value(v_gapped IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+FROM gapped ORDER BY user_id, event_id""",
+        "mode_event_type_per_user": """
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS cnt
+  FROM events GROUP BY user_id, event_type
+),
+ranked AS (
+  SELECT user_id, event_type, cnt,
+    row_number() OVER (PARTITION BY user_id
+      ORDER BY cnt DESC, event_type ASC) AS rk
+  FROM counts
+)
+SELECT user_id, event_type AS mode_type, cnt
+FROM ranked WHERE rk = 1 ORDER BY user_id""",
+    }
+)

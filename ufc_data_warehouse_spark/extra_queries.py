@@ -2681,6 +2681,10 @@ BENCH_EXTRA = [
     "tpch_q10_returned_revenue",
     "sessionization",
     "asof_orders_before_events",
+    # statistical / pandas-API / fuzzy families (one representative each)
+    "ts_zscore_outliers",
+    "cogroup_asof_view_purchase",
+    "fuzzy_part_name_pairs",
 ]
 
 for _name, _spec in CARD_SPECS.items():

@@ -102,16 +102,23 @@ def cogroup_asof(
                 ]
             )
         lg = lg.sort_values(ts, kind="mergesort")
-        rg = rg.sort_values(ts, kind="mergesort")
-        merged = pd.merge_asof(
-            lg,
-            rg.rename(
-                columns={"event_id": "right_event_id", "value": "right_value"}
-            )[[ts, "right_event_id", "right_value"]],
-            on=ts,
-            direction="backward",
-            allow_exact_matches=False,
-        )
+        if rg.empty:
+            # a key with left rows but no right rows: the cogroup hands an
+            # empty right frame — every left row null-completes
+            merged = lg.copy()
+            merged["right_event_id"] = pd.Series(dtype="float64")
+            merged["right_value"] = pd.Series(dtype="float64")
+        else:
+            rg = rg.rename(columns={"r_ts": ts}).sort_values(
+                ts, kind="mergesort"
+            )
+            merged = pd.merge_asof(
+                lg,
+                rg[[ts, "right_event_id", "right_value"]],
+                on=ts,
+                direction="backward",
+                allow_exact_matches=False,
+            )
         return pd.DataFrame(
             {
                 key: merged[key],
@@ -123,7 +130,19 @@ def cogroup_asof(
         )
 
     lsel = left.select(key, "event_id", ts)
-    rsel = right.select(key, "event_id", ts, "value")
+    # Alias-rename EVERY right column: when left and right derive from the
+    # same base plan (self-cogroup), their attributes share expression IDs
+    # and Catalyst's column pruning — triggered by a downstream projection
+    # like count() — deduplicates the references and silently drops the
+    # right side's shared columns from the Arrow batch (observed: the
+    # right pdf arrived as [key, value] only). Fresh aliases get fresh
+    # expression IDs, making the right side's columns un-prunable.
+    rsel = right.select(
+        F.col(key).alias(key),
+        F.col("event_id").alias("right_event_id"),
+        F.col(ts).alias("r_ts"),
+        F.col("value").alias("right_value"),
+    )
     return lsel.groupBy(key).cogroup(rsel.groupBy(key)).applyInPandas(
         merge, schema=out_schema
     )
