@@ -129,7 +129,14 @@ def cogroup_asof(
             }
         )
 
-    lsel = left.select(key, "event_id", ts)
+    # Pin an explicit keyed repartition on both sides: the shuffled data
+    # is small, so AQE would coalesce the exchange to ONE partition and
+    # serialize every group through a single Python worker (observed 8s
+    # for 1500 groups; per-group UDF invocation cost is milliseconds and
+    # parallelism is the only lever). An explicit numPartitions is
+    # exempt from AQE coalescing, restoring full-width fan-out.
+    spread = left.sparkSession.sparkContext.defaultParallelism
+    lsel = left.select(key, "event_id", ts).repartition(spread, key)
     # Alias-rename EVERY right column: when left and right derive from the
     # same base plan (self-cogroup), their attributes share expression IDs
     # and Catalyst's column pruning — triggered by a downstream projection
@@ -142,7 +149,7 @@ def cogroup_asof(
         F.col("event_id").alias("right_event_id"),
         F.col(ts).alias("r_ts"),
         F.col("value").alias("right_value"),
-    )
+    ).repartition(spread, key)
     return lsel.groupBy(key).cogroup(rsel.groupBy(key)).applyInPandas(
         merge, schema=out_schema
     )
