@@ -462,3 +462,39 @@ SELECT user_id, event_type AS mode_type, cnt
 FROM ranked WHERE rk = 1 ORDER BY user_id""",
     }
 )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (driver-computed glibc idf —
+    see operators/text.py::tfidf_top_terms for the cross-engine
+    bit-exactness rationale)."""
+    from .operators import text
+
+    return text.tfidf_top_terms(
+        _read(spark, sf_dir, "documents"), k=5
+    ).orderBy("id", "rk")
+
+
+ANALYTICS_QUERIES["tfidf_top_terms"] = q_tfidf_top_terms
+ANALYTICS_ORACLES["tfidf_top_terms"] = """
+WITH toks AS (
+  SELECT doc_id AS id,
+    unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+),
+filtered AS (SELECT id, term FROM toks WHERE term != ''),
+tf AS (SELECT id, term, count(*) AS tf FROM filtered GROUP BY id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT id) AS n_docs FROM filtered),
+scored AS (
+  SELECT tf.id, tf.term, tf.tf, dfreq.df,
+    tf.tf::DOUBLE * ln(n.n_docs::DOUBLE / dfreq.df::DOUBLE) AS score
+  FROM tf JOIN dfreq USING (term), n
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY id ORDER BY score DESC, term ASC) AS rk
+  FROM scored
+)
+SELECT id, term, tf, df, score, rk FROM ranked WHERE rk <= 5
+ORDER BY id, rk"""
