@@ -216,3 +216,44 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters" in plan and "doc_id" in plan
+
+
+def test_jsonlsink_python_datasource_writer(spark, tmp_path):
+    """Custom Python Data Source WRITER (Arrow form): staged write +
+    atomic commit; round-trip equals the source; _SUCCESS manifest
+    carries the committed row count; staging is cleaned up."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ufc_data_warehouse_spark.sources import pysink
+
+    pysink.register(spark)
+    src = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("bucket"),
+        F.concat(F.lit("row-"), F.col("id")).alias("label"),
+    )
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    src.write.format("jsonlsink").option("path", out).mode("append").save()
+
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest["rows"] == 1000
+    assert not os.path.exists(os.path.join(out, "_staging"))
+
+    back = spark.read.schema("id long, bucket long, label string").json(
+        f"{out}/*.jsonl"
+    )
+    assert back.count() == 1000
+    assert back.agg(F.sum("id")).collect()[0][0] == 999 * 1000 // 2
+
+    # overwrite drops prior parts, second manifest still exact
+    src.limit(10).write.format("jsonlsink").option("path", out).mode(
+        "overwrite"
+    ).save()
+    back2 = spark.read.schema("id long, bucket long, label string").json(
+        f"{out}/*.jsonl"
+    )
+    assert back2.count() == 10
