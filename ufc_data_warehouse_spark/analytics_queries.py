@@ -498,3 +498,136 @@ ranked AS (
 )
 SELECT id, term, tf, df, score, rk FROM ranked WHERE rk <= 5
 ORDER BY id, rk"""
+
+
+def q_pearson_corr_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Pearson correlation between event value and time-of-day
+    (seconds since midnight), from exact decimal/integer moments:
+
+        r = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²) · (n·Σy² − (Σy)²))
+
+    Built-in ``corr()`` aggregates doubles (accumulation-order
+    dependent); the five moments here are exact sums — one hash
+    exchange — and the float ops are a division and a sqrt (both
+    IEEE-754 correctly-rounded on every engine, unlike ln — see
+    tfidf_top_terms)."""
+    ev = _read(spark, sf_dir, "events")
+    x = F.expr(
+        "unix_micros(ts::timestamp) div 1000000 - "
+        "(unix_micros(ts::timestamp) div 86400000000) * 86400"
+    )
+    yd = F.col("value").cast("decimal(12,4)")
+    m = (
+        ev.select("event_type", x.alias("x"), yd.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum("y").cast("decimal(20,4)").alias("sy"),
+            F.sum((F.col("y") * F.col("y")).cast("decimal(24,8)"))
+            .cast("decimal(28,8)")
+            .alias("syy"),
+            F.sum((F.col("y") * F.col("x").cast("decimal(9,0)")).cast("decimal(28,4)"))
+            .cast("decimal(28,4)")
+            .alias("sxy"),
+        )
+    )
+    num = (
+        F.col("n").cast("decimal(8,0)") * F.col("sxy")
+        - F.col("sx").cast("decimal(14,0)") * F.col("sy")
+    ).cast("double")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    # sy² must be squared at width 16 on the Spark side: (20,4)² promotes
+    # to precision 41 and Spark silently rounds the scale; (16,4)² is
+    # (33,8) exact. (The oracle squares at width 20 — DuckDB needs ≥20 to
+    # pick int128 — different route, identical exact value.)
+    sy16 = F.col("sy").cast("decimal(16,4)")
+    deny = (
+        F.col("n").cast("decimal(8,0)") * F.col("syy") - sy16 * sy16
+    ).cast("double")
+    return m.select(
+        "event_type",
+        "n",
+        (num / F.sqrt(denx * deny)).alias("corr_value_timeofday"),
+    ).orderBy("event_type")
+
+
+def q_full_outer_user_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER equi-join (the one join shape SURVEY §2.3 lacked):
+    event users reconciled against the customer dimension, classified
+    into both / events_only / customers_only — the data-reconciliation
+    query every warehouse migration runs. Both sides pre-aggregate to
+    one row per key BEFORE the join, so the full-outer is key-to-key
+    (no fan-out) and the classifier is a null-pattern CASE."""
+    ev = _read(spark, sf_dir, "events")
+    cust = _read(spark, sf_dir, "customer")
+    ev_users = ev.groupBy(F.col("user_id").alias("ek")).agg(
+        F.count("*").alias("n_events")
+    )
+    custs = cust.select(F.col("c_custkey").alias("ck")).filter(
+        F.col("ck") <= 200
+    )
+    joined = ev_users.join(custs, F.col("ek") == F.col("ck"), "full_outer")
+    status = (
+        F.when(F.col("ek").isNotNull() & F.col("ck").isNotNull(), "both")
+        .when(F.col("ek").isNotNull(), "events_only")
+        .otherwise("customers_only")
+    )
+    return (
+        joined.select(status.alias("status"), "n_events")
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum("n_events").alias("total_events"),
+        )
+        .orderBy("status")
+    )
+
+
+ANALYTICS_QUERIES.update(
+    {
+        "pearson_corr_per_type": q_pearson_corr_per_type,
+        "full_outer_user_reconciliation": q_full_outer_user_reconciliation,
+    }
+)
+ANALYTICS_ORACLES.update(
+    {
+        "pearson_corr_per_type": """
+WITH base AS (
+  SELECT event_type,
+    (epoch_us(ts) // 1000000 - (epoch_us(ts) // 86400000000) * 86400) AS x,
+    value::DECIMAL(12,4) AS y
+  FROM events
+),
+m AS (
+  SELECT event_type, count(*) AS n,
+    sum(x)::BIGINT AS sx, sum(x * x)::BIGINT AS sxx,
+    sum(y)::DECIMAL(20,4) AS sy,
+    sum((y * y)::DECIMAL(24,8))::DECIMAL(28,8) AS syy,
+    sum((y * x::DECIMAL(9,0))::DECIMAL(28,4))::DECIMAL(28,4) AS sxy
+  FROM base GROUP BY event_type
+)
+SELECT event_type, n,
+  (n::DECIMAL(8,0) * sxy - sx::DECIMAL(14,0) * sy)::DOUBLE
+    / sqrt((n * sxx - sx * sx)::DOUBLE
+         * (n::DECIMAL(8,0) * syy - sy * sy)::DOUBLE)
+  AS corr_value_timeofday
+FROM m ORDER BY event_type""",
+        "full_outer_user_reconciliation": """
+WITH ev_users AS (
+  SELECT user_id AS ek, count(*) AS n_events FROM events GROUP BY user_id
+),
+custs AS (
+  SELECT c_custkey AS ck FROM customer WHERE c_custkey <= 200
+),
+joined AS (
+  SELECT ek, ck, n_events FROM ev_users FULL OUTER JOIN custs ON ek = ck
+)
+SELECT CASE WHEN ek IS NOT NULL AND ck IS NOT NULL THEN 'both'
+            WHEN ek IS NOT NULL THEN 'events_only'
+            ELSE 'customers_only' END AS status,
+  count(*) AS n_keys, sum(n_events)::BIGINT AS total_events
+FROM joined GROUP BY 1 ORDER BY status""",
+    }
+)
