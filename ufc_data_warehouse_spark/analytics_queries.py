@@ -631,3 +631,38 @@ SELECT CASE WHEN ek IS NOT NULL AND ck IS NOT NULL THEN 'both'
 FROM joined GROUP BY 1 ORDER BY status""",
     }
 )
+
+
+def q_udtf_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session counts via a SQL UDTF over a partitioned TABLE
+    argument (see operators/udtfs.py) — per-entity sequential logic in
+    pure SQL; the oracle is the equivalent gaps-and-islands window."""
+    from .operators.udtfs import register_table_udtfs
+
+    register_table_udtfs(spark)
+    _read(spark, sf_dir, "events").createOrReplaceTempView("events_udtf_src")
+    return spark.sql(
+        """
+SELECT * FROM session_count_udtf(
+  TABLE(SELECT user_id, ts FROM events_udtf_src)
+  PARTITION BY user_id ORDER BY ts)
+ORDER BY user_id"""
+    )
+
+
+ANALYTICS_QUERIES["udtf_session_counts"] = q_udtf_session_counts
+ANALYTICS_ORACLES["udtf_session_counts"] = """
+WITH g AS (
+  SELECT user_id, ts,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+),
+f AS (
+  SELECT user_id,
+    CASE WHEN prev IS NULL
+           OR epoch_us(ts) - epoch_us(prev) > 1800 * 1000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM g
+)
+SELECT user_id, sum(new_s)::INT AS n_sessions, count(*)::INT AS n_events
+FROM f GROUP BY user_id ORDER BY user_id"""
