@@ -666,3 +666,75 @@ f AS (
 )
 SELECT user_id, sum(new_s)::INT AS n_sessions, count(*)::INT AS n_events
 FROM f GROUP BY user_id ORDER BY user_id"""
+
+
+def q_dynamic_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows with a DYNAMIC per-event gap (clicks close
+    after 10 minutes, everything else after 30): ``session_window(ts,
+    gap_expr)`` merges events whose timestamp falls inside the current
+    session's end, where the end extends to max(ts_i + gap_i) over the
+    session.
+
+    The oracle replays the merge rule as gaps-and-islands: an event
+    opens a new session iff its ts exceeds the running max of
+    (ts + gap) over all earlier events of the key — equivalent to the
+    per-session max because a new session only starts past every prior
+    extent, so older events can never dominate the running max inside a
+    later session. One keyed exchange; aggregates are exact
+    (counts + DECIMAL sums)."""
+    ev = _read(spark, sf_dir, "events")
+    # dynamic gaps must be CalendarIntervalType (make_interval), not the
+    # DayTimeIntervalType that INTERVAL literals produce
+    gap = F.when(
+        F.col("event_type") == "click",
+        F.expr("make_interval(0, 0, 0, 0, 0, 10, 0)"),
+    ).otherwise(F.expr("make_interval(0, 0, 0, 0, 0, 30, 0)"))
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+ANALYTICS_QUERIES["dynamic_session_windows"] = q_dynamic_session_windows
+ANALYTICS_ORACLES["dynamic_session_windows"] = """
+WITH base AS (
+  SELECT user_id, ts, event_id, value,
+    epoch_us(ts) AS ts_us,
+    epoch_us(ts) + CASE WHEN event_type = 'click'
+                        THEN 600 * 1000000 ELSE 1800 * 1000000 END AS ext_us
+  FROM events
+),
+flagged AS (
+  SELECT *,
+    CASE WHEN max(ext_us) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         OR ts_us >= max(ext_us) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    THEN 1 ELSE 0 END AS new_s
+  FROM base
+),
+sessions AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+  min(ts) AS session_start,
+  to_timestamp(max(ext_us) / 1000000.0)::TIMESTAMP AS session_end,
+  count(*) AS n_events,
+  sum(value::DECIMAL(18,4))::DOUBLE AS sum_value
+FROM sessions GROUP BY user_id, sid
+ORDER BY user_id, session_start"""
