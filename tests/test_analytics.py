@@ -81,3 +81,45 @@ def test_cogroup_asof_survives_count_pruning(spark):
     # out of the Arrow batch in a self-cogroup, crashing the UDF
     n = q_cogroup_asof_view_purchase(spark, SF_DIR).count()
     assert n > 0
+
+
+def test_sdp_local_executor_resolves_out_of_order_deps(spark, tmp_path):
+    """Flows declared in reverse dependency order must still resolve
+    (lazy fixpoint discovery), MVs must materialize to parquet, and a
+    reference to a table no flow produces must fail with a clear error."""
+    import os
+
+    import pytest
+    from pyspark import pipelines as dp
+    from pyspark.sql import functions as F
+
+    from ufc_data_warehouse_spark.sdp import run_pipeline
+
+    spark.range(0, 100).createOrReplaceTempView("sdp_test_src")
+
+    def define():
+        # downstream declared FIRST: forces the deferral path
+        @dp.materialized_view(name="sdp_test_final")
+        def final():
+            return spark.table("sdp_test_mid").agg(
+                F.sum("doubled").alias("total")
+            )
+
+        @dp.temporary_view(name="sdp_test_mid")
+        def mid():
+            return spark.table("sdp_test_src").select(
+                (F.col("id") * 2).alias("doubled")
+            )
+
+    out = run_pipeline(spark, define, materialize_dir=str(tmp_path))
+    assert out["sdp_test_final"].collect()[0][0] == 99 * 100
+    assert os.path.isdir(str(tmp_path / "sdp_test_final"))
+    assert not os.path.isdir(str(tmp_path / "sdp_test_mid"))  # view: no files
+
+    def bad():
+        @dp.materialized_view(name="sdp_test_orphan")
+        def orphan():
+            return spark.table("sdp_no_such_table_xyz")
+
+    with pytest.raises(RuntimeError, match="unresolved flows"):
+        run_pipeline(spark, bad, materialize_dir=str(tmp_path))

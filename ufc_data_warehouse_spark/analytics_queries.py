@@ -738,3 +738,46 @@ SELECT user_id,
   sum(value::DECIMAL(18,4))::DOUBLE AS sum_value
 FROM sessions GROUP BY user_id, sid
 ORDER BY user_id, session_start"""
+
+
+def q_sdp_daily_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A Declarative Pipelines (pyspark.pipelines) definition — a
+    temporary view feeding a materialized view — executed on classic
+    Spark by the local SDP executor (sdp.run_pipeline). The decorated
+    code is standard SDP; only the runner is ours."""
+    from pyspark import pipelines as dp
+
+    from .sdp import run_pipeline
+
+    ev = _read(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("sdp_events_src")
+
+    def define() -> None:
+        @dp.temporary_view(name="sdp_events_base")
+        def base():
+            e = spark.table("sdp_events_src")
+            return e.select(
+                "event_type",
+                F.expr("unix_micros(ts::timestamp) div 86400000000").alias(
+                    "epoch_day"
+                ),
+                F.col("value").cast("decimal(18,4)").alias("v"),
+            )
+
+        @dp.materialized_view(name="sdp_daily_type_rollup")
+        def rollup():
+            b = spark.table("sdp_events_base")
+            return b.groupBy("event_type", "epoch_day").agg(
+                F.count("*").alias("n"),
+                F.sum("v").cast("double").alias("sum_value"),
+            )
+
+    results = run_pipeline(spark, define)
+    return results["sdp_daily_type_rollup"].orderBy("event_type", "epoch_day")
+
+
+ANALYTICS_QUERIES["sdp_daily_type_rollup"] = q_sdp_daily_type_rollup
+ANALYTICS_ORACLES["sdp_daily_type_rollup"] = """
+SELECT event_type, (epoch_us(ts) // 86400000000) AS epoch_day,
+  count(*) AS n, sum(value::DECIMAL(18,4))::DOUBLE AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY event_type, epoch_day"""
