@@ -123,3 +123,35 @@ def test_sdp_local_executor_resolves_out_of_order_deps(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="unresolved flows"):
         run_pipeline(spark, bad, materialize_dir=str(tmp_path))
+
+
+def test_sdp_streaming_table_with_append_flows(spark, tmp_path):
+    """create_streaming_table + two @append_flow sources: both drain
+    AvailableNow into the target with independent checkpoints; the
+    registered table carries the union."""
+    from pyspark import pipelines as dp
+    from pyspark.sql import functions as F
+
+    from ufc_data_warehouse_spark.sdp import run_pipeline
+
+    src = str(tmp_path / "src")
+    spark.range(0, 50).write.parquet(src + "/a")
+    spark.range(100, 130).write.parquet(src + "/b")
+
+    def define():
+        dp.create_streaming_table("sdp_stream_tbl")
+
+        @dp.append_flow(target="sdp_stream_tbl", name="flow_a")
+        def fa():
+            return spark.readStream.schema("id long").parquet(src + "/a")
+
+        @dp.append_flow(target="sdp_stream_tbl", name="flow_b")
+        def fb():
+            return spark.readStream.schema("id long").parquet(src + "/b")
+
+    out = run_pipeline(spark, define, materialize_dir=str(tmp_path / "mv"))
+    got = out["sdp_stream_tbl"]
+    assert got.count() == 80
+    assert got.agg(F.sum("id")).collect()[0][0] == sum(range(50)) + sum(
+        range(100, 130)
+    )

@@ -68,7 +68,7 @@ def run_pipeline(
     the standard ``pyspark.pipelines`` decorators. Returns
     {dataset name → DataFrame} for every flow target.
     """
-    from pyspark.pipelines.output import MaterializedView
+    from pyspark.pipelines.output import MaterializedView, StreamingTable
 
     reg = LocalGraphRegistry()
     with graph_element_registration_context(reg):
@@ -76,6 +76,13 @@ def run_pipeline(
 
     mv_dir = materialize_dir or tempfile.mkdtemp(prefix="sdp_mv_")
     results: dict[str, DataFrame] = {}
+    # streaming tables can receive MULTIPLE append flows; count them so
+    # the target registers once every contributing flow has committed
+    flows_per_target: dict[str, int] = {}
+    for f in reg.flows:
+        flows_per_target[f.target] = flows_per_target.get(f.target, 0) + 1
+    done_per_target: dict[str, int] = {}
+
     pending = list(reg.flows)
     while pending:
         progress = False
@@ -90,12 +97,43 @@ def run_pipeline(
                     continue
                 raise
             out = reg.outputs.get(flow.target)
-            if isinstance(out, MaterializedView):
-                path = os.path.join(mv_dir, flow.target)
+            path = os.path.join(mv_dir, flow.target)
+            if df.isStreaming or isinstance(out, StreamingTable):
+                # each append flow drains AvailableNow into its OWN
+                # subdirectory with its own checkpoint: the parquet
+                # streaming sink keeps a _spark_metadata commit log at
+                # the output path, and two queries cannot share one log
+                # — the registered table is a multi-path read over every
+                # flow's subdirectory (incremental and restartable per
+                # flow)
+                flow_path = os.path.join(path, f"flow={flow.name}")
+                ckpt = os.path.join(
+                    mv_dir, f"_ckpt_{flow.target}_{flow.name}"
+                )
+                q = (
+                    df.writeStream.format("parquet")
+                    .option("path", flow_path)
+                    .option("checkpointLocation", ckpt)
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                flow_dirs = [
+                    os.path.join(path, d)
+                    for d in sorted(os.listdir(path))
+                    if d.startswith("flow=")
+                ]
+                df = spark.read.parquet(*flow_dirs)
+            elif isinstance(out, MaterializedView):
                 df.write.mode("overwrite").parquet(path)
                 df = spark.read.parquet(path)
-            df.createOrReplaceTempView(flow.target)
-            results[flow.target] = df
+            done_per_target[flow.target] = (
+                done_per_target.get(flow.target, 0) + 1
+            )
+            if done_per_target[flow.target] == flows_per_target[flow.target]:
+                df.createOrReplaceTempView(flow.target)
+                results[flow.target] = df
             progress = True
         if deferred and not progress:
             missing = [f.target for f in deferred]
