@@ -257,3 +257,60 @@ def test_jsonlsink_python_datasource_writer(spark, tmp_path):
         f"{out}/*.jsonl"
     )
     assert back2.count() == 10
+
+
+def test_xml_native_source_roundtrip(spark, tmp_path):
+    """Native Spark 4 XML source: rowTag extraction, header
+    normalization, explicit-schema read, and sink round-trip."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    (src / "a.xml").write_text(
+        "<feed><entry><DocId>1</DocId><Body Text='x'>hello</Body></entry>"
+        "<entry><DocId>2</DocId><Body>world</Body></entry></feed>"
+    )
+    df = ingest.read_xml(spark, str(src), row_tag="entry")
+    assert "docid" in df.columns or "doc_id" in df.columns
+    assert df.count() == 2
+
+    schema = StructType(
+        [StructField("DocId", LongType()), StructField("Body", StringType())]
+    )
+    typed = ingest.read_xml(spark, str(src), row_tag="entry", schema=schema)
+    rows = {r["docid"]: r["body"] for r in typed.collect()}
+    assert rows == {1: "hello", 2: "world"}
+
+    out = tmp_path / "out_xml"
+    ingest.write_xml(typed, str(out), row_tag="entry")
+    back = ingest.read_xml(spark, str(out), row_tag="entry", schema=schema)
+    assert sorted((r["docid"], r["body"]) for r in back.collect()) == [
+        (1, "hello"),
+        (2, "world"),
+    ]
+
+
+def test_binary_assets_source(spark, tmp_path):
+    """binaryFile ingest for multimodal assets: one row per file with
+    (path, modification_time, length, content); glob pruning happens at
+    listing time."""
+    assets = tmp_path / "assets"
+    assets.mkdir()
+    (assets / "a.png").write_bytes(b"\x89PNG\r\n" + b"\x00" * 10)
+    (assets / "b.png").write_bytes(b"\x89PNG\r\n" + b"\x01" * 20)
+    (assets / "notes.txt").write_text("not an image")
+
+    df = ingest.read_binary_assets(spark, str(assets), glob_filter="*.png")
+    rows = sorted(df.collect(), key=lambda r: r["path"])
+    assert len(rows) == 2
+    assert [r["length"] for r in rows] == [16, 26]
+    assert rows[0]["content"][:4] == b"\x89PNG"
+    assert set(df.columns) == {"path", "modification_time", "length", "content"}
+
+    # feeds straight into the multimodal decode plumbing
+    from ufc_data_warehouse_spark.operators import multimodal
+
+    meta = multimodal.attach_asset_metadata(df) if hasattr(
+        multimodal, "attach_asset_metadata"
+    ) else df
+    assert meta.count() == 2
