@@ -155,3 +155,32 @@ def test_sdp_streaming_table_with_append_flows(spark, tmp_path):
     assert got.agg(F.sum("id")).collect()[0][0] == sum(range(50)) + sum(
         range(100, 130)
     )
+
+
+def test_pagerank_bit_exact_across_partitionings(spark):
+    """Fixed-point integer PageRank must be BIT-exact regardless of input
+    partitioning (integer sums are order-free — the whole point of the
+    fixed-point design), and total mass never exceeds the initial mass
+    (dangling-drop + floor division only lose mass)."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    from ufc_data_warehouse_spark.operators import graph
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    edges = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + F.lit(10_000_000)).alias("dst"),
+    )
+    r1 = {
+        (r["node"], r["rank"])
+        for r in graph.pagerank(edges.repartition(1), iterations=4).collect()
+    }
+    r16 = {
+        (r["node"], r["rank"])
+        for r in graph.pagerank(edges.repartition(16), iterations=4).collect()
+    }
+    assert r1 == r16 and len(r1) > 0
+    scale = 10**12
+    assert sum(rank for _, rank in r1) <= len(r1) * scale

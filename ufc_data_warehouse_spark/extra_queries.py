@@ -2719,6 +2719,12 @@ from .analytics_queries import (  # noqa: E402
 EXTRA_QUERIES.update(ANALYTICS_QUERIES)
 EXTRA_ORACLES.update(ANALYTICS_ORACLES)
 
+# Graph algorithms (fixed-point-integer PageRank over the purchase graph)
+from .graph_queries import GRAPH_ORACLES, GRAPH_QUERIES  # noqa: E402
+
+EXTRA_QUERIES.update(GRAPH_QUERIES)
+EXTRA_ORACLES.update(GRAPH_ORACLES)
+
 
 def q_streaming_outer_join_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream LEFT OUTER join with flush sentinels:

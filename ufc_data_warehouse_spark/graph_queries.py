@@ -1,0 +1,86 @@
+"""Graph queries over the synthetic star schema + their DuckDB oracles.
+
+The customer→supplier purchase graph (an edge per distinct
+(o_custkey, l_suppkey) pair, supplier keys offset into their own id
+space) stands in for a crawl/link graph: PageRank over it ranks
+suppliers by how much "customer attention mass" flows to them.
+
+The oracle replays the integer fixpoint exactly — see
+operators/graph.py for why fixed-point BIGINT arithmetic makes the
+iteration order-free and hence engine-exact.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import graph
+
+Query = Callable[[SparkSession, str], DataFrame]
+
+_SUPP_OFFSET = 10_000_000
+_ITERATIONS = 3
+_SCALE = 10**12
+_DAMPING = 85
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + F.lit(_SUPP_OFFSET)).alias("dst"),
+    )
+    ranks = graph.pagerank(
+        edges, iterations=_ITERATIONS, damping_pct=_DAMPING, scale=_SCALE
+    )
+    # (rank desc, node asc) is a total order → deterministic LIMIT cutoff
+    return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(100)
+
+
+def _pagerank_oracle() -> str:
+    base = (100 - _DAMPING) * _SCALE // 100
+    ctes = [
+        f"""e AS (
+  SELECT DISTINCT o_custkey AS src, l_suppkey + {_SUPP_OFFSET} AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)""",
+        """od AS (SELECT src, count(*) AS outd FROM e GROUP BY src)""",
+        """n AS (SELECT src AS node FROM e UNION SELECT dst FROM e)""",
+        f"""r0 AS (SELECT node, CAST({_SCALE} AS BIGINT) AS rank FROM n)""",
+    ]
+    for i in range(1, _ITERATIONS + 1):
+        ctes.append(
+            f"""m{i} AS (
+  SELECT e.dst AS node, SUM(r.rank // od.outd) AS mass
+  FROM e JOIN od USING (src) JOIN r{i - 1} r ON r.node = e.src
+  GROUP BY e.dst
+)"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         CAST({base} + ({_DAMPING} * COALESCE(mass, 0)) // 100 AS BIGINT) AS rank
+  FROM n LEFT JOIN m{i} USING (node)
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, rank FROM r{_ITERATIONS}"
+        + "\nORDER BY rank DESC, node LIMIT 100"
+    )
+
+
+GRAPH_QUERIES: dict[str, Query] = {
+    "graph_pagerank_top100": q_graph_pagerank,
+}
+
+GRAPH_ORACLES: dict[str, str] = {
+    "graph_pagerank_top100": _pagerank_oracle(),
+}

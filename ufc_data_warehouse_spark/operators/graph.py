@@ -1,0 +1,101 @@
+"""Distributed graph algorithms over edge-list DataFrames.
+
+The reference has no graph surface (it is a star-schema warehouse —
+SURVEY.md §1.1); a large-scale training-data pipeline does: link graphs
+drive URL/host-level quality propagation (PageRank over a crawl graph is
+the classic Common-Crawl-ranking signal used for corpus filtering).
+
+Implemented pure-DataFrame: one PageRank iteration = one hash equi-join
+on ``src`` + one groupBy on ``dst`` — both shuffle on node keys, so AQE
+reuses the node-key partitioning across stages. No RDDs, no driver-side
+adjacency structures; the edge list never leaves the cluster.
+
+**Fixed-point integer arithmetic.** Ranks are BIGINT in units of
+``1/scale`` (same engine-exactness trick as ``simsearch.kmeans``'s
+fixed-point sums and ``dedup.duplicate_clusters``'s integer labels):
+integer sums are associative/commutative with no rounding, so results
+are bit-exact across engines, partition counts, and task retries — a
+float PageRank's sum order is nondeterministic under shuffle. Division
+is integral (Spark ``DIV`` ≡ DuckDB ``//`` for non-negative operands),
+so a DuckDB oracle replays the whole fixpoint exactly.
+
+Overflow bound: ``damping_pct * n_nodes * scale < 2**63``. The default
+``scale=10**12`` is safe to ~100 M nodes; at 1e9+ nodes pass
+``scale=10**8`` (still 8 significant digits of rank resolution).
+
+Semantics note: dangling-node mass (nodes with no out-edges) is dropped,
+not redistributed — ranks are a relative ordering signal, and dropping
+keeps every operation local to an edge partition (redistribution needs a
+global scalar per iteration). Documented so the oracle replays it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Iterative PageRank over a directed edge list → ``(node, rank)``.
+
+    ``rank`` is BIGINT in units of ``1/scale``; every node starts at
+    ``scale`` (i.e. 1.0). Update rule per iteration, all-integer::
+
+        rank'(v) = (100-damping_pct)*scale DIV 100
+                 + damping_pct * SUM_{u→v}(rank(u) DIV out_degree(u)) DIV 100
+
+    Scale shape per iteration: join edges⋈ranks hashes on ``src``; the
+    contribution groupBy hashes on ``dst``; node count never amplifies.
+    Edges + degrees are computed once and persisted — they are loop
+    invariants. Lineage is truncated with ``localCheckpoint`` every
+    ``checkpoint_every`` iterations: without it the plan doubles per
+    round and Catalyst analysis time dominates past ~10 iterations.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
+    # loop invariants: persist once, reused every iteration
+    edges_deg = e.join(out_deg, "src").persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    base = (100 - damping_pct) * scale // 100
+    ranks = nodes.select(
+        "node", F.lit(scale).cast("long").alias("rank")
+    )
+    for i in range(iterations):
+        contrib = edges_deg.join(
+            ranks.withColumnRenamed("node", "src"), "src"
+        ).select(
+            F.col("dst").alias("node"),
+            F.expr("rank DIV out_degree").alias("contrib"),
+        )
+        incoming = contrib.groupBy("node").agg(
+            F.sum("contrib").alias("mass")
+        )
+        ranks = nodes.join(incoming, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"({damping_pct} * coalesce(mass, 0L)) DIV 100")
+            ).cast("long").alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
