@@ -69,6 +69,14 @@ def q_ts_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket")
 
 
+def q_ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily gap-fill with linear interpolation between the
+    surrounding observed days (LOCF/NOCB at the edges)."""
+    return timeseries.interpolate_linear(
+        _read(spark, sf_dir, "events"), "user_id", "ts", "value"
+    ).orderBy("user_id", "day")
+
+
 # ---------------------------------------------------------------------------
 # grouped-map / cogrouped-map pandas API surface (events table)
 # ---------------------------------------------------------------------------
@@ -114,12 +122,53 @@ ANALYTICS_QUERIES: dict[str, Query] = {
     "ts_zscore_outliers": q_ts_zscore_outliers,
     "ts_time_weighted_avg": q_ts_time_weighted_avg,
     "ts_value_histogram": q_ts_value_histogram,
+    "ts_interpolate_linear": q_ts_interpolate_linear,
     "grouped_minmax_norm": q_grouped_minmax_norm,
     "cogroup_asof_view_purchase": q_cogroup_asof_view_purchase,
     "fuzzy_part_name_pairs": q_fuzzy_part_name_pairs,
 }
 
 ANALYTICS_ORACLES: dict[str, str] = {
+    "ts_interpolate_linear": """
+WITH obs AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, MAX(value) AS v
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+spine AS (
+  SELECT user_id,
+         UNNEST(generate_series(min(day), max(day), INTERVAL 1 DAY))::DATE AS day
+  FROM obs GROUP BY user_id
+),
+j AS (
+  SELECT s.user_id, s.day, o.v
+  FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.day = o.day
+),
+w AS (
+  SELECT user_id, day, v,
+    LAST_VALUE(v IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    LAST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+    FIRST_VALUE(v IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM j
+)
+SELECT user_id, day,
+  CASE WHEN v IS NOT NULL THEN v
+       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+         pv + (nv - pv) * (CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))
+       WHEN pv IS NOT NULL THEN pv
+       ELSE nv END AS value_interp,
+  CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS is_observed
+FROM w
+ORDER BY user_id, day
+""",
     "ts_ols_trend": """
 WITH base AS (
   SELECT event_type,

@@ -30,7 +30,73 @@ __all__ = [
     "zscore_outlier_counts",
     "time_weighted_avg",
     "equiwidth_histogram",
+    "interpolate_linear",
 ]
+
+
+def interpolate_linear(
+    df: DataFrame, key: str, ts: str, value: str
+) -> DataFrame:
+    """Daily gap-fill with LINEAR interpolation between observations.
+
+    Complements ``forward_fill`` (LOCF, analytics_queries.py): for each
+    key, build the full daily date spine from its first to last
+    observation day, then fill missing days with the straight line
+    between the surrounding observed values (LOCF at the right edge,
+    next-observation-carried-back at the left edge — edges have only one
+    neighbor). Day-level observation = ``max(value)`` that day
+    (deterministic collapse of intra-day points).
+
+    Returns ``(key, day, value_interp, is_observed)``.
+
+    Shape: one groupBy per key (observations), one sequence+explode
+    (spine — generated, never shuffled beyond its key), one left join
+    plus two frames over a SINGLE keyed window ordering — all hash on
+    ``key``, so AQE reuses one exchange. Float appears once, in the
+    final interpolation expression over exact ints/doubles — same
+    expression shape the oracle evaluates, so results replay exactly.
+    """
+    obs = df.groupBy(
+        F.col(key), F.to_date(F.col(ts)).alias("day")
+    ).agg(F.max(value).alias("v"))
+    spine = obs.groupBy(key).agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).select(
+        key,
+        F.explode(F.sequence("d0", "d1")).alias("day"),
+    )
+    j = spine.join(obs, [key, "day"], "left")
+    w = Window.partitionBy(key).orderBy("day")
+    back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    filled = j.select(
+        key,
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(back).alias("pd"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(fwd).alias("nd"),
+    )
+    interp = (
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * (
+            F.datediff("day", "pd").cast("double")
+            / F.datediff("nd", "pd").cast("double")
+        )
+    )
+    return filled.select(
+        key,
+        "day",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+        .alias("value_interp"),
+        F.col("v").isNotNull().cast("int").alias("is_observed"),
+    )
 
 
 def ols_trend(df: DataFrame, key: str, x: str, y: str) -> DataFrame:
