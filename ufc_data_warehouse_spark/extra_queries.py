@@ -2726,6 +2726,40 @@ EXTRA_QUERIES.update(GRAPH_QUERIES)
 EXTRA_ORACLES.update(GRAPH_ORACLES)
 
 
+def q_ann_cosine_scores_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus cosine scoring against one probe vector via mapInArrow
+    (zero-copy Arrow batches + one numpy matmul per batch). The probe is
+    the corpus's first vector — ONE driver-side row fetch, documented:
+    the scoring pass itself is map-only and fully distributed."""
+    emb = _read(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    scored = simsearch.cosine_scores_arrow(emb, list(probe["embedding"]))
+    return (
+        scored.filter(F.col("vec_id") != 0)
+        .select("vec_id", "cosine")
+        .orderBy("vec_id")
+    )
+
+
+EXTRA_QUERIES["ann_cosine_scores_arrow"] = q_ann_cosine_scores_arrow
+# float64 throughout (list_cosine_similarity computes in float32 and
+# lands on the wrong side of the 6-dp comparison rounding for ~1% of rows)
+EXTRA_ORACLES["ann_cosine_scores_arrow"] = """
+WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+p AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS x, unnest(q.e)::DOUBLE AS y
+  FROM embeddings, q
+  WHERE vec_id <> 0
+),
+s AS (
+  SELECT vec_id, SUM(x * y) AS dot,
+         sqrt(SUM(x * x)) AS nx, sqrt(SUM(y * y)) AS ny
+  FROM p GROUP BY vec_id
+)
+SELECT vec_id, dot / (nx * ny) AS cosine FROM s ORDER BY vec_id
+"""
+
+
 def q_streaming_outer_join_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream LEFT OUTER join with flush sentinels:
     every signup with its purchases within 1 hour, null-completed once

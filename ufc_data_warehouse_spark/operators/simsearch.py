@@ -442,3 +442,60 @@ def semantic_dedup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("cluster", "id_a", "id_b")
     )
+
+
+def cosine_scores_arrow(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bulk cosine scoring against one query via ``mapInArrow`` — the
+    batch-inference shape: each Arrow RecordBatch's list<float> column is
+    reinterpreted as a contiguous (rows × dim) matrix with ZERO copies
+    (``.values`` on the flat buffer), scored with one numpy matmul, and
+    returned as a new batch. No pandas materialization, no per-row Python.
+
+    This is the third Arrow entry point next to grouped ``applyInArrow``
+    (operators/grouped.py) and pandas ``applyInPandas`` — use it when the
+    computation is per-row but vectorizes across the batch (embedding
+    scoring, feature transforms over the whole corpus).
+
+    Scale: map-only — no shuffle, no skew; the query vector rides the
+    serialized closure (KBs). Rows with a null or wrong-length vector are
+    dropped (malformed embeddings must not kill a 100 TB scoring pass).
+    """
+    import numpy as np
+
+    dim = len(query_vec)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt(np.dot(q, q)))
+
+    def score(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            ids = b.column(id_col)
+            vecs = b.column(vec_col)
+            lengths = vecs.value_lengths().to_numpy(zero_copy_only=False)
+            ok = (~ids.is_null().to_numpy(zero_copy_only=False)) & (
+                ~vecs.is_null().to_numpy(zero_copy_only=False)
+            ) & (lengths == dim)
+            if not ok.all():
+                b = b.filter(pa.array(ok))
+                ids, vecs = b.column(id_col), b.column(vec_col)
+            if b.num_rows == 0:
+                continue
+            mat = vecs.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64
+            ).reshape(b.num_rows, dim)
+            norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+            scores = (mat @ q) / (norms * qn)
+            yield pa.record_batch(
+                [ids, pa.array(scores, type=pa.float64())],
+                names=[id_col, "cosine"],
+            )
+
+    return embeddings.select(id_col, vec_col).mapInArrow(
+        score, schema=f"{id_col} long, cosine double"
+    )
