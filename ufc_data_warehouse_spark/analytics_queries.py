@@ -699,6 +699,41 @@ ORDER BY user_id"""
     )
 
 
+def q_udtf_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (alpha=1/2) via the TABLE-argument UDTF — a truly
+    sequential per-entity recurrence in pure SQL; the oracle replays the
+    identical ordered halving recurrence with a recursive CTE, so the
+    doubles match bit-for-bit (see EwmaUdtf in operators/udtfs.py)."""
+    from .operators.udtfs import register_table_udtfs
+
+    register_table_udtfs(spark)
+    _read(spark, sf_dir, "events").createOrReplaceTempView("events_udtf_src")
+    return spark.sql(
+        """
+SELECT * FROM ewma_udtf(
+  TABLE(SELECT user_id, event_id, ts, value FROM events_udtf_src)
+  PARTITION BY user_id ORDER BY (ts, event_id))
+ORDER BY user_id"""
+    )
+
+
+ANALYTICS_QUERIES["udtf_ewma"] = q_udtf_ewma
+ANALYTICS_ORACLES["udtf_ewma"] = """
+WITH RECURSIVE o AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+),
+r AS (
+  SELECT user_id, rn, n, value AS ewma FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.rn, o.n, (o.value + r.ewma) / 2
+  FROM o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1
+)
+SELECT user_id, n::INT AS n_events, ewma FROM r WHERE rn = n ORDER BY user_id
+"""
+
 ANALYTICS_QUERIES["udtf_session_counts"] = q_udtf_session_counts
 ANALYTICS_ORACLES["udtf_session_counts"] = """
 WITH g AS (

@@ -54,3 +54,35 @@ def register_table_udtfs(spark) -> None:
                 yield self.user, self.sessions, self.events
 
     spark.udtf.register("session_count_udtf", SessionCountUdtf)
+
+    @udtf(returnType="user_id bigint, n_events int, ewma double")
+    class EwmaUdtf:
+        """Exponentially-weighted moving average with alpha = 1/2 —
+        ``s := (value + s) / 2`` per ordered row, first row seeds the
+        state. Genuinely sequential (each step depends on the previous),
+        so it CANNOT be a window/agg — this is exactly the shape the
+        TABLE-argument UDTF exists for, with O(1) state per entity.
+
+        alpha = 1/2 is chosen for cross-engine exactness: halving a
+        double is exact and addition is IEEE-correctly-rounded, so any
+        engine replaying the same ordered sequence (the DuckDB oracle
+        uses a recursive CTE) lands on the bit-identical result —
+        a general alpha would round differently under a different
+        multiply order."""
+
+        def __init__(self) -> None:
+            self.user = None
+            self.s = None
+            self.n = 0
+
+        def eval(self, row):
+            self.user = row["user_id"]
+            v = row["value"]
+            self.s = v if self.s is None else (v + self.s) / 2
+            self.n += 1
+
+        def terminate(self):
+            if self.user is not None:
+                yield self.user, self.n, self.s
+
+    spark.udtf.register("ewma_udtf", EwmaUdtf)
