@@ -522,6 +522,105 @@ WHERE a.vec_id < b.vec_id
 ORDER BY cluster, id_a, id_b"""
 
 
+def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation DAG a pretraining run executes end-to-end:
+
+        score (lang-id + quality, ONE scan, map-only)
+        → filter (english, quality ≥ 2)
+        → exact dedup (md5 keyed window, keep lowest id)
+        → per-source quota (top 20 by quality)
+        → train/val/test split (hash projection)
+        → per-(source, split) manifest aggregate
+
+    Every stage is an operator exercised individually elsewhere
+    (operators/text.py, training.py); this query proves they COMPOSE as
+    one lazy plan: all scoring signals are computed in a single
+    projection over a single documents scan (expression-level reuse via
+    ``lang_guess_expr``/``quality_expr``), and the three keyed stages
+    (dedup, quota, manifest) are the only exchanges. Nothing
+    materializes between stages — Catalyst sees the whole pipeline.
+    """
+    docs = _read(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = docs.select(
+        F.col("doc_id").alias("id"),
+        "source",
+        F.md5(t).alias("text_hash"),
+        F.size(text.tokens(t)).alias("n_tokens"),
+        text.lang_guess_expr(t).alias("lang_guess"),
+        text.quality_expr(t).alias("quality"),
+    )
+    filtered = scored.filter(
+        (F.col("lang_guess") == "en") & (F.col("quality") >= 2)
+    )
+    w_dedup = Window.partitionBy("text_hash").orderBy("id")
+    deduped = (
+        filtered.withColumn("_rn", F.row_number().over(w_dedup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "text_hash")
+    )
+    w_quota = Window.partitionBy("source").orderBy(
+        F.desc("quality"), F.asc("id")
+    )
+    quota = (
+        deduped.withColumn("rk", F.row_number().over(w_quota))
+        .filter(F.col("rk") <= 20)
+    )
+    out = training.assign_split(quota, "id")
+    return (
+        out.groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("quality").cast("long").alias("total_quality"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+def _pipeline_oracle(norm_sql: str, toks_sql: str) -> str:
+    from .extra_queries import _split_case_sql, _STOPLIST_SQL
+
+    return f"""
+WITH scored AS (
+  SELECT doc_id AS id, source, md5(text) AS text_hash,
+    len({toks_sql})::INT AS n_tokens,
+    CASE WHEN len(list_filter({toks_sql},
+                   t -> list_contains({_STOPLIST_SQL}, t))) * 20
+              >= len({toks_sql}) THEN 'en' ELSE 'und' END AS lang_guess,
+    (CASE WHEN length({norm_sql}) BETWEEN 100 AND 20000 THEN 1 ELSE 0 END
+     + CASE WHEN len(list_distinct({toks_sql})) * 5 >= len({toks_sql})
+            THEN 1 ELSE 0 END
+     + CASE WHEN length(regexp_replace({norm_sql}, '[^a-z]', '', 'g')) * 5
+              >= length({norm_sql}) * 3 THEN 1 ELSE 0 END) AS quality
+  FROM documents
+),
+filtered AS (
+  SELECT * FROM scored WHERE lang_guess = 'en' AND quality >= 2
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY text_hash ORDER BY id) AS _rn
+    FROM filtered
+  ) WHERE _rn = 1
+),
+quota AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY source ORDER BY quality DESC, id ASC) AS rk
+    FROM deduped
+  ) WHERE rk <= 20
+),
+labeled AS (
+  SELECT source, {_split_case_sql("id")} AS split, n_tokens, quality
+  FROM quota
+)
+SELECT source, split, count(*) AS n_docs,
+  sum(n_tokens)::BIGINT AS total_tokens,
+  sum(quality)::BIGINT AS total_quality
+FROM labeled GROUP BY source, split ORDER BY source, split"""
+
+
 def build_registry(
     shingles_sql: str, norm_sql: str, toks_sql: str
 ) -> tuple[dict[str, Query], dict[str, str]]:
@@ -539,6 +638,7 @@ def build_registry(
         "cdc_user_state": q_cdc_user_state,
         "incremental_dedup_pairs": q_incremental_dedup_pairs,
         "shingle_df_histogram": q_shingle_df_histogram,
+        "curation_pipeline_e2e": q_curation_pipeline_e2e,
     }
     oracles: dict[str, str] = {
         "text_pii_redaction": _pii_oracle(),
@@ -567,5 +667,6 @@ ORDER BY id_a, id_b""",
         "shingle_df_histogram": _SHINGLE_DF_ORACLE_TMPL.format(
             shingles=shingles_sql.strip().lstrip(",")
         ),
+        "curation_pipeline_e2e": _pipeline_oracle(norm_sql, toks_sql),
     }
     return queries, oracles

@@ -36,22 +36,37 @@ def token_stats(
     )
 
 
+def stop_token_count_expr(text_col: F.Column) -> F.Column:
+    """Count of English function words among the tokens (the signal
+    behind the language heuristic). Exposed at expression level so
+    composed pipelines can compute every signal in ONE scan."""
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    return F.size(
+        F.filter(tokens(text_col), lambda t: F.array_contains(stop_arr, t))
+    )
+
+
+def lang_guess_expr(text_col: F.Column) -> F.Column:
+    """``en`` when ≥5% of tokens are English function words, else
+    ``und``. Integer cross-multiplication → engine-exact."""
+    return F.when(
+        stop_token_count_expr(text_col) * 20 >= F.size(tokens(text_col)),
+        "en",
+    ).otherwise("und")
+
+
 def language_id(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Stopword-ratio language heuristic: (id, n_tokens, stop_tokens,
     lang_guess). ``en`` when ≥5%% of tokens are English function words,
     else ``und``. Integer arithmetic → engine-exact."""
-    toks = tokens(F.col(text_col))
-    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
-    stop_count = F.size(
-        F.filter(toks, lambda t: F.array_contains(stop_arr, t))
-    )
+    c = F.col(text_col)
     return df.select(
         F.col(id_col).alias("id"),
-        F.size(toks).alias("n_tokens"),
-        stop_count.alias("stop_tokens"),
-        F.when(stop_count * 20 >= F.size(toks), "en").otherwise("und").alias("lang_guess"),
+        F.size(tokens(c)).alias("n_tokens"),
+        stop_token_count_expr(c).alias("stop_tokens"),
+        lang_guess_expr(c).alias("lang_guess"),
     )
 
 
@@ -124,20 +139,37 @@ def bpe_token_estimate(
     )
 
 
+def quality_component_exprs(
+    text_col: F.Column,
+) -> tuple[F.Column, F.Column, F.Column]:
+    """(len_ok, diversity_ok, alpha_ok) 0/1 signals — expression-level so
+    composed pipelines score in one scan. All ratio tests use
+    cross-multiplied integer comparisons (no float rounding)."""
+    norm = normalized_text(text_col)
+    toks = tokens(text_col)
+    n_chars = F.length(norm)
+    n_alpha = F.length(F.regexp_replace(norm, r"[^a-z]", ""))
+    len_ok = F.when((n_chars >= 100) & (n_chars <= 20000), 1).otherwise(0)
+    div_ok = F.when(
+        F.size(F.array_distinct(toks)) * 5 >= F.size(toks), 1
+    ).otherwise(0)
+    alpha_ok = F.when(n_alpha * 5 >= n_chars * 3, 1).otherwise(0)
+    return len_ok, div_ok, alpha_ok
+
+
+def quality_expr(text_col: F.Column) -> F.Column:
+    """Integer quality score 0-3 (sum of the component signals)."""
+    len_ok, div_ok, alpha_ok = quality_component_exprs(text_col)
+    return len_ok + div_ok + alpha_ok
+
+
 def quality_score(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Integer quality score 0-3: (id, len_ok, diversity_ok, alpha_ok,
     quality). One point each for: length in [100, 20000] chars; unique
-    token ratio ≥ 20%%; alphabetic-char ratio ≥ 60%%. All ratio tests use
-    cross-multiplied integer comparisons (no float rounding)."""
-    norm = normalized_text(F.col(text_col))
-    toks = tokens(F.col(text_col))
-    n_chars = F.length(norm)
-    n_alpha = F.length(F.regexp_replace(norm, r"[^a-z]", ""))
-    len_ok = F.when((n_chars >= 100) & (n_chars <= 20000), 1).otherwise(0)
-    div_ok = F.when(F.size(F.array_distinct(toks)) * 5 >= F.size(toks), 1).otherwise(0)
-    alpha_ok = F.when(n_alpha * 5 >= n_chars * 3, 1).otherwise(0)
+    token ratio ≥ 20%%; alphabetic-char ratio ≥ 60%%."""
+    len_ok, div_ok, alpha_ok = quality_component_exprs(F.col(text_col))
     return df.select(
         F.col(id_col).alias("id"),
         len_ok.alias("len_ok"),
