@@ -2685,6 +2685,10 @@ BENCH_EXTRA = [
     "ts_zscore_outliers",
     "cogroup_asof_view_purchase",
     "fuzzy_part_name_pairs",
+    # iterative graph, Arrow bulk-inference, and the composed curation DAG
+    "graph_pagerank_top100",
+    "ann_cosine_scores_arrow",
+    "curation_pipeline_e2e",
 ]
 
 for _name, _spec in CARD_SPECS.items():

@@ -98,4 +98,10 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=True)
+    # materialize the fixpoint, then release the loop invariants — an
+    # iterative operator must not leak cached state into the session
+    # (repeated calls would otherwise accumulate stale persisted frames)
+    ranks = ranks.localCheckpoint(eager=True)
+    edges_deg.unpersist()
+    nodes.unpersist()
     return ranks
