@@ -595,3 +595,94 @@ def test_drop_frequent_shingles_bounds_join_fanout(spark):
         assert pairs_cut < pairs_all
     finally:
         sh.unpersist()
+
+
+def test_cbo_stats_flip_join_to_broadcast(spark):
+    """Catalog statistics + CBO must change the PLAN: with column stats,
+    the optimizer estimates the post-filter build side as small enough to
+    broadcast; without CBO the same query sort-merges. This is the
+    statistics-driven planning path (`analyze_tables`) a warehouse relies
+    on at 100 TB, demonstrated at the sf0.01-derived size boundary."""
+    import shutil
+
+    from ufc_data_warehouse_spark.operators.scale import analyze_tables
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("cbo_orders", "cbo_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    sf01 = "/root/testdata/sf0.01"
+    spark.read.parquet(f"{sf01}/orders.parquet").write.saveAsTable("cbo_orders")
+    spark.read.parquet(f"{sf01}/lineitem.parquet").write.saveAsTable(
+        "cbo_lineitem"
+    )
+    analyze_tables(spark, "cbo_orders", columns=True)
+    analyze_tables(spark, "cbo_lineitem")
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.cbo.enabled",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # between the no-CBO estimate (~220 KB: filter assumed to keep
+        # everything) and the CBO estimate (~37 KB: selectivity from
+        # o_orderkey min/max stats)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(100 * 1024))
+
+        def executed(cbo: bool) -> str:
+            spark.conf.set("spark.sql.cbo.enabled", str(cbo).lower())
+            o = spark.table("cbo_orders").filter(F.col("o_orderkey") < 500)
+            li = spark.table("cbo_lineitem")
+            # no projection: keep the full-width build side so the size
+            # estimate difference is purely the filter-selectivity one
+            j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            return j._jdf.queryExecution().executedPlan().toString()
+
+        without = executed(False)
+        with_cbo = executed(True)
+        assert "SortMergeJoin" in without and "BroadcastHashJoin" not in without
+        assert "BroadcastHashJoin" in with_cbo
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        for t in ("cbo_orders", "cbo_lineitem"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_shuffle_hash_hint_skips_sorts(spark):
+    """`hinted_join(strategy='shuffle_hash')` must plan a ShuffledHashJoin
+    (no sort pass on either side) where the default above the broadcast
+    threshold is sort-merge."""
+    from ufc_data_warehouse_spark.operators.scale import hinted_join
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+
+        default = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        dplan = default._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in dplan
+
+        hinted = hinted_join(
+            li, orders, li["l_orderkey"] == orders["o_orderkey"]
+        )
+        hplan = hinted._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in hplan and "SortMergeJoin" not in hplan
+        assert hinted.count() == default.count()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -317,3 +317,44 @@ def interval_bucket_join(
         )
         .drop("_bucket")
     )
+
+
+def analyze_tables(
+    spark: SparkSession, *tables: str, columns: bool = False
+) -> None:
+    """Populate catalog statistics (``ANALYZE TABLE``) so the cost-based
+    optimizer can plan from data, not file sizes. With ``columns=True``
+    column-level stats (NDV, min/max, null counts) are collected too —
+    they are what lets CBO estimate FILTER selectivity, which in turn
+    flips join strategies: a post-filter build side CBO knows is small
+    gets broadcast; without stats Spark must assume the filter keeps
+    everything and falls back to a sort-merge join. At 100 TB this is the
+    difference between shipping KBs and shuffling the fact table —
+    re-run after large loads (stats are snapshot, not incremental)."""
+    for t in tables:
+        suffix = " FOR ALL COLUMNS" if columns else ""
+        spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS{suffix}")
+
+
+def hinted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    how: str = "inner",
+    strategy: str = "shuffle_hash",
+) -> DataFrame:
+    """Join with an explicit strategy hint on the RIGHT side:
+    ``broadcast`` | ``merge`` | ``shuffle_hash`` | ``shuffle_replicate_nl``.
+
+    When to override Catalyst (rarely — measure first):
+    - ``shuffle_hash``: big⋈medium where the build side fits in executor
+      memory per-partition but exceeds the broadcast threshold — skips
+      BOTH sort passes of sort-merge (no spillable sort of the 100 TB
+      probe side), the classic win for fact⋈mid-sized-dim;
+    - ``merge``: force sort-merge when the build side would OOM a hash
+      table (extreme per-partition skew);
+    - ``broadcast``: known-small side whose size ESTIMATE is inflated
+      (complex subquery output) — prefer fixing stats via
+      ``analyze_tables`` first.
+    """
+    return left.join(right.hint(strategy), on, how)
