@@ -699,6 +699,56 @@ ORDER BY user_id"""
     )
 
 
+def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a per-user count/sum mart is built
+    from the base rows, then an insert+delete delta (new rows in, every
+    5th base row retracted) is applied INCREMENTALLY via
+    ``etl.incremental_agg_apply`` — cost ∝ |delta|. The oracle is the
+    full recompute over the edited row set: incremental == recompute is
+    exactly the IVM correctness contract."""
+    from .etl import incremental_agg_apply
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "value_cents", F.floor(F.col("value") * 100).cast("long")
+    )
+    base_rows = ev.filter(F.col("event_id") % 3 != 0)
+    base_agg = base_rows.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value_cents").alias("cents"),
+    )
+    inserts = ev.filter(F.col("event_id") % 3 == 0).withColumn(
+        "op", F.lit("I")
+    )
+    deletes = base_rows.filter(F.col("event_id") % 5 == 0).withColumn(
+        "op", F.lit("D")
+    )
+    delta = inserts.unionByName(deletes).select("user_id", "op", "value_cents")
+    out = incremental_agg_apply(
+        base_agg,
+        delta,
+        ["user_id"],
+        "op",
+        "n_events",
+        {"cents": "value_cents"},
+    )
+    return out.orderBy("user_id")
+
+
+ANALYTICS_QUERIES["incremental_agg_maintenance"] = q_incremental_agg_maintenance
+ANALYTICS_ORACLES["incremental_agg_maintenance"] = """
+WITH base AS (SELECT * FROM events WHERE event_id % 3 <> 0),
+ins AS (SELECT * FROM events WHERE event_id % 3 = 0),
+final_rows AS (
+  SELECT user_id, floor(value * 100)::BIGINT AS cents
+  FROM base WHERE event_id % 5 <> 0
+  UNION ALL
+  SELECT user_id, floor(value * 100)::BIGINT FROM ins
+)
+SELECT user_id, count(*)::BIGINT AS n_events, sum(cents)::BIGINT AS cents
+FROM final_rows GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_udtf_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA (alpha=1/2) via the TABLE-argument UDTF — a truly
     sequential per-entity recurrence in pure SQL; the oracle replays the

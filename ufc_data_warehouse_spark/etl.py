@@ -148,6 +148,59 @@ def upsert(base, updates, keys: list[str], version_col: str | None = None):
     )
 
 
+def incremental_agg_apply(
+    base_agg,
+    delta,
+    keys: list[str],
+    op_col: str,
+    count_col: str,
+    sum_cols: dict[str, str],
+):
+    """Incremental view maintenance for a count/sum aggregate mart: apply
+    an insert/delete delta to the MATERIALIZED aggregate instead of
+    recomputing from the fact table.
+
+    ``base_agg`` holds (keys, count_col, *sum_cols-aggregates);
+    ``delta`` holds raw rows with ``op_col`` ∈ {'I','D'} and the measure
+    columns named by ``sum_cols`` values. Counts and sums are
+    sign-weighted (+1 insert, −1 delete) — both are self-maintainable
+    aggregates, so the update never touches the fact table. Keys whose
+    maintained count reaches 0 are dropped (the group no longer exists).
+
+    Cost ∝ |delta|, not |fact|: one small shuffle to aggregate the delta,
+    then a key-hash merge join against the mart — keep the mart bucketed
+    on ``keys`` (operators/scale.py::write_bucketed) and the merge is
+    exchange-free on the big side. min/max are NOT self-maintainable
+    under deletes (a deleted max needs a rescan); restrict marts
+    maintained this way to count/sum/avg-of-sums.
+    """
+    from pyspark.sql import functions as F
+
+    sign = F.when(F.col(op_col) == "I", F.lit(1)).otherwise(F.lit(-1))
+    d = delta.groupBy(*keys).agg(
+        F.sum(sign).alias("_dn"),
+        *[
+            F.sum(sign * F.col(src)).alias(f"_d_{dst}")
+            for dst, src in sum_cols.items()
+        ],
+    )
+    merged = base_agg.join(d, keys, "full_outer").select(
+        *keys,
+        (
+            F.coalesce(F.col(count_col), F.lit(0))
+            + F.coalesce(F.col("_dn"), F.lit(0))
+        ).alias(count_col),
+        *[
+            (
+                F.coalesce(F.col(dst), F.lit(0))
+                + F.coalesce(F.col(f"_d_{dst}"), F.lit(0))
+            ).alias(dst)
+            for dst in sum_cols
+        ],
+    )
+    return merged.filter(F.col(count_col) > 0)
+
+
 def _transitive_sources(target: str) -> set[str]:
     out: set[str] = set()
     stack = [target]
