@@ -65,3 +65,45 @@ def test_chunk_udtf_matches_column_chunker(spark):
         ).collect()
     }
     assert udtf_rows == col_rows and len(col_rows) > 0
+
+
+def test_restart_resume_ingests_only_new_files(spark, tmp_path):
+    """Checkpointed streaming ingest must resume across restarts: run 1
+    consumes the files present, run 2 (same checkpoint) consumes ONLY the
+    newly-landed file, run 3 with nothing new is a no-op — the sink ends
+    exactly-once with no duplicates."""
+    import glob
+    import shutil
+
+    from tests.conftest import SF_DIR
+    from ufc_data_warehouse_spark.streaming import events as ev
+
+    full = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    half_a = full.filter("event_id % 2 = 0")
+    half_b = full.filter("event_id % 2 = 1")
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(df, name):
+        staged = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(staged)
+        part = glob.glob(f"{staged}/part-*.parquet")[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    land(half_a, "a")
+    ev.resumable_ingest_run(spark, str(src), sink, ckpt, full.schema)
+    n_a = spark.read.parquet(sink).count()
+    assert n_a == half_a.count()
+
+    land(half_b, "b")
+    ev.resumable_ingest_run(spark, str(src), sink, ckpt, full.schema)
+    after_b = spark.read.parquet(sink)
+    assert after_b.count() == full.count()
+    assert after_b.select("event_id").distinct().count() == full.count()
+
+    # idempotent restart: nothing new landed → nothing reprocessed
+    ev.resumable_ingest_run(spark, str(src), sink, ckpt, full.schema)
+    assert spark.read.parquet(sink).count() == full.count()
