@@ -314,3 +314,23 @@ def test_binary_assets_source(spark, tmp_path):
         multimodal, "attach_asset_metadata"
     ) else df
     assert meta.count() == 2
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """A column added mid-stream must surface via mergeSchema: old files
+    read NULL for it; explicit-schema reads stay pinned."""
+    target = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")\
+        .write.mode("append").parquet(target)
+    spark.createDataFrame(
+        [(3, "c", "en")], "doc_id long, text string, lang string"
+    ).write.mode("append").parquet(target)
+
+    merged = ingest.read_parquet_evolving(spark, target)
+    assert set(merged.columns) == {"doc_id", "text", "lang"}
+    rows = {r["doc_id"]: r["lang"] for r in merged.collect()}
+    assert rows == {1: None, 2: None, 3: "en"}
+
+    pinned = spark.read.schema("doc_id long, text string").parquet(target)
+    assert set(pinned.columns) == {"doc_id", "text"}
+    assert pinned.count() == 3

@@ -699,6 +699,61 @@ ORDER BY user_id"""
     )
 
 
+def q_try_cast_safe_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe parsing over dirty inputs with ``try_cast``/``try_to_date``
+    — malformed values become NULL instead of failing the job (at 100 TB a
+    single bad record must never kill a load; this is the typed-landing
+    counterpart of the PERMISSIVE `_corrupt_record` quarantine). Dirty
+    columns are synthesized deterministically: every 4th number field
+    carries a word, every 5th date field garbage."""
+    ev = _read(spark, sf_dir, "events")
+    num_str = F.when(
+        F.col("event_id") % 4 == 0, F.col("event_type")
+    ).otherwise((F.col("event_id") * 3).cast("string"))
+    date_str = F.when(F.col("event_id") % 5 == 0, F.lit("not a date")).otherwise(
+        F.concat(
+            F.lit("2024-01-"),
+            F.lpad(((F.col("event_id") % 27) + 1).cast("string"), 2, "0"),
+        )
+    )
+    parsed = ev.select(
+        "event_type",
+        num_str.try_cast("bigint").alias("num"),
+        F.try_to_timestamp(date_str, F.lit("yyyy-MM-dd"))
+        .try_cast("date")
+        .alias("d"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("num").alias("n_parsed_num"),
+            F.sum("num").alias("sum_parsed_num"),
+            F.count("d").alias("n_parsed_date"),
+            F.min("d").alias("min_date"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ANALYTICS_QUERIES["try_cast_safe_parsing"] = q_try_cast_safe_parsing
+ANALYTICS_ORACLES["try_cast_safe_parsing"] = """
+WITH parsed AS (
+  SELECT event_type,
+    TRY_CAST(CASE WHEN event_id % 4 = 0 THEN event_type
+                  ELSE (event_id * 3)::VARCHAR END AS BIGINT) AS num,
+    TRY_CAST(CASE WHEN event_id % 5 = 0 THEN 'not a date'
+                  ELSE '2024-01-' || lpad(((event_id % 27) + 1)::VARCHAR, 2, '0')
+             END AS DATE) AS d
+  FROM events
+)
+SELECT event_type, count(*) AS n_rows,
+  count(num) AS n_parsed_num, sum(num)::BIGINT AS sum_parsed_num,
+  count(d) AS n_parsed_date, min(d) AS min_date
+FROM parsed GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance: a per-user count/sum mart is built
     from the base rows, then an insert+delete delta (new rows in, every

@@ -260,3 +260,16 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 def write_orc(df: DataFrame, path: str) -> None:
     """Full-replace ORC sink for Hive/Trino-ecosystem interchange."""
     df.write.mode("overwrite").orc(path)
+
+
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: merge the schemas of every parquet file
+    under ``path`` (``mergeSchema``) — files written before a column was
+    added read as NULL for it, so incremental landing zones can evolve
+    without rewriting history.
+
+    Scale note: merging reads EVERY file's footer at planning time; for a
+    stable production table prefer an explicit schema (one source of
+    truth, zero planning I/O) and reserve mergeSchema for exploration or
+    one-time migration reads."""
+    return spark.read.option("mergeSchema", True).parquet(path)
