@@ -175,3 +175,29 @@ def test_pipeline_runs_declared_checks(spark, tmp_path):
         "not_null:event_name": 0,
         "unique:fight_id": 0,
     }
+
+
+def test_versioned_publish_atomic_history(spark, tmp_path):
+    """Publishing keeps history: v1 stays byte-readable after v2 lands,
+    the _LATEST pointer resolves to the newest snapshot, and pinned reads
+    reproduce the exact historical data."""
+    from ufc_data_warehouse_spark import etl
+
+    table = str(tmp_path / "mart")
+    v1 = etl.versioned_publish(
+        spark.createDataFrame([(1, "a")], "id long, s string"), table
+    )
+    v2 = etl.versioned_publish(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"), table
+    )
+    assert (v1, v2) == (1, 2)
+    assert etl.read_published(spark, table).count() == 2
+    assert etl.read_published(spark, table, version=1).count() == 1
+    # pointer survives a failed publish attempt (directory already there)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        spark.createDataFrame([(9, "x")], "id long, s string").write.mode(
+            "errorifexists"
+        ).parquet(f"{table}/v=2")
+    assert etl.read_published(spark, table).count() == 2

@@ -121,6 +121,46 @@ def incremental_overwrite(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def versioned_publish(df, table_dir: str) -> int:
+    """Atomic publish with retained history on plain parquet: write the
+    new snapshot to ``table_dir/v=<n+1>/``, then flip a one-line
+    ``_LATEST`` pointer file. Readers resolve the pointer and scan one
+    version directory — they NEVER observe a half-written snapshot
+    (the pointer flips only after the parquet job commits), and old
+    versions stay intact for audits/rollback (time-travel-lite without a
+    table format; prune old versions with retention policy out-of-band).
+
+    The pointer write is a single small file — effectively atomic on any
+    filesystem with atomic rename/create semantics. Returns the published
+    version number.
+    """
+    import os
+
+    os.makedirs(table_dir, exist_ok=True)
+    existing = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(table_dir)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    ]
+    version = max(existing, default=0) + 1
+    df.write.mode("errorifexists").parquet(f"{table_dir}/v={version}")
+    tmp = f"{table_dir}/_LATEST.tmp"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, f"{table_dir}/_LATEST")
+    return version
+
+
+def read_published(spark: SparkSession, table_dir: str, version: int | None = None):
+    """Read a published snapshot: the ``_LATEST`` pointer by default, or a
+    pinned historical ``version`` (reproducibility: a training run records
+    the version it consumed and can re-read exactly that data later)."""
+    if version is None:
+        with open(f"{table_dir}/_LATEST") as f:
+            version = int(f.read().strip())
+    return spark.read.parquet(f"{table_dir}/v={version}")
+
+
 def upsert(base, updates, keys: list[str], version_col: str | None = None):
     """MERGE-style upsert as a batch transform: rows in ``updates`` replace
     same-key rows in ``base``; unmatched rows pass through.
