@@ -307,13 +307,23 @@ def test_binary_assets_source(spark, tmp_path):
     assert rows[0]["content"][:4] == b"\x89PNG"
     assert set(df.columns) == {"path", "modification_time", "length", "content"}
 
-    # feeds straight into the multimodal decode plumbing
+    # feeds straight into the multimodal decode plumbing: magic-byte
+    # format sniffing (pure Column), deterministic media ids
     from ufc_data_warehouse_spark.operators import multimodal
 
-    meta = multimodal.attach_asset_metadata(df) if hasattr(
-        multimodal, "attach_asset_metadata"
-    ) else df
-    assert meta.count() == 2
+    all_assets = ingest.read_binary_assets(spark, str(assets))
+    meta = multimodal.attach_asset_metadata(all_assets)
+    kinds = {r["source"].rsplit("/", 1)[-1]: r["kind"] for r in meta.collect()}
+    assert kinds == {"a.png": "image", "b.png": "image", "notes.txt": "binary"}
+    ids1 = {r["media_id"] for r in meta.collect()}
+    ids2 = {
+        r["media_id"]
+        for r in multimodal.attach_asset_metadata(all_assets).collect()
+    }
+    assert ids1 == ids2 and all(i >= 0 for i in ids1)
+    # digest path works on sniffed assets too
+    digested = multimodal.media_metadata(meta)
+    assert digested.count() == 3
 
 
 def test_parquet_schema_evolution_merge(spark, tmp_path):

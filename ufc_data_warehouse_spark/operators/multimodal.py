@@ -169,3 +169,36 @@ def media_metadata(media: DataFrame) -> DataFrame:
         F.col("n_bytes"),
         F.md5("payload").alias("digest"),
     )
+
+
+def attach_asset_metadata(assets: DataFrame) -> DataFrame:
+    """Bridge a ``binaryFile`` ingest (sources/ingest.py::
+    read_binary_assets: path, modification_time, length, content) into the
+    MEDIA_SCHEMA contract: sniff the container format from magic bytes —
+    pure Column logic (hex prefix compare), no decode, no Python — and
+    emit (media_id, kind, payload, n_bytes, source).
+
+    ``media_id`` is a deterministic 63-bit hash of the path (xxhash64
+    masked non-negative) so re-ingesting the same asset tree yields the
+    same ids. Unknown formats pass through as kind='binary' — a curation
+    filter decides their fate downstream, the ingest never drops bytes."""
+    prefix = F.upper(F.hex(F.substring(F.col("content"), 1, 4)))
+    kind = (
+        F.when(prefix.startswith("89504E47"), "image")      # PNG
+        .when(prefix.startswith("FFD8FF"), "image")         # JPEG
+        .when(prefix.startswith("47494638"), "image")       # GIF
+        .when(prefix.startswith("52494646"), "audio")       # RIFF/WAV
+        .when(prefix.startswith("494433"), "audio")         # ID3/MP3
+        .when(
+            F.upper(F.hex(F.substring(F.col("content"), 5, 4))) == "66747970",
+            "video",                                        # ....ftyp MP4
+        )
+        .otherwise("binary")
+    )
+    return assets.select(
+        (F.xxhash64("path").bitwiseAND(F.lit((1 << 63) - 1))).alias("media_id"),
+        kind.alias("kind"),
+        F.col("content").alias("payload"),
+        F.col("length").alias("n_bytes"),
+        F.col("path").alias("source"),
+    )
