@@ -82,3 +82,22 @@ def test_split_assignment_is_shuffle_free(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = _plan(training.assign_split(docs, "doc_id"))
     assert "Exchange" not in plan  # pure projection
+
+
+def test_shared_subplan_reuses_exchange(spark):
+    """The UNION-ALL unpivot idiom (SURVEY §2.7 U1 / §4) re-reads the same
+    upstream; when the shared subplan ends in an exchange, Spark must
+    REUSE it (one shuffle computed once) rather than re-execute — the
+    plan-level dedup the reference leaves to Postgres's view inliner."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    big = per_user.filter(F.col("n") > 2).select(
+        F.col("user_id"), F.lit("big").alias("side")
+    )
+    small = per_user.filter(F.col("n") <= 2).select(
+        F.col("user_id"), F.lit("small").alias("side")
+    )
+    plan = _plan(big.unionByName(small))
+    assert "ReusedExchange" in plan or plan.count("Exchange hashpartitioning") == 1

@@ -88,3 +88,50 @@ def test_date_cascade_matches_duckdb(spark, values):
         expected.append(con.execute(sql, {"s": v}).fetchone()[0])
     con.close()
     assert got == expected, values
+
+
+def test_interpolation_invariants_property(spark):
+    """interpolate_linear invariants over randomized per-key series:
+    observed days keep their exact value; filled days lie within the
+    [prev, next] value envelope; the spine is dense (no missing days)."""
+    import datetime as dt
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from ufc_data_warehouse_spark.operators.timeseries import interpolate_linear
+
+    series = st.lists(
+        st.tuples(st.integers(0, 40), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(series)
+    def check(pts):
+        base = dt.datetime(2024, 3, 1)
+        rows = [
+            (1, base + dt.timedelta(days=d), float(v)) for d, v in pts
+        ]
+        df = spark.createDataFrame(rows, "k long, ts timestamp, value double")
+        out = interpolate_linear(df, "k", "ts", "value").collect()
+        by_day = {r["day"]: r for r in out}
+        days = sorted(by_day)
+        # dense spine
+        assert (days[-1] - days[0]).days + 1 == len(days)
+        vals = {d: float(v) for d, v in pts}
+        lo, hi = min(vals.values()), max(vals.values())
+        for r in out:
+            offset = (r["day"] - days[0]).days + min(d for d, _ in pts)
+            if r["is_observed"]:
+                assert r["value_interp"] == vals[offset]
+            else:
+                assert lo - 1e-9 <= r["value_interp"] <= hi + 1e-9
+
+    check()
