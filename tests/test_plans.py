@@ -99,5 +99,10 @@ def test_shared_subplan_reuses_exchange(spark):
     small = per_user.filter(F.col("n") <= 2).select(
         F.col("user_id"), F.lit("small").alias("side")
     )
-    plan = _plan(big.unionByName(small))
-    assert "ReusedExchange" in plan or plan.count("Exchange hashpartitioning") == 1
+    u = big.unionByName(small)
+    # AQE reuses shuffle stages at RUNTIME — the reuse only shows in the
+    # final adaptive plan, so execute the union itself first
+    u.collect()
+    plan = u._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan
