@@ -686,3 +686,33 @@ def test_shuffle_hash_hint_skips_sorts(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF probing (sublinear scale path) with k-means inverted lists:
+    recall@10 must beat the scanned fraction, be monotone in n_probe, and
+    reach 1.0 when every list is probed (exhaustive == exact). Uniform
+    random 64-dim vectors are the worst case for IVF — real embedding
+    manifolds cluster far more tightly."""
+    from ufc_data_warehouse_spark.operators import simsearch
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assign, _ = simsearch.kmeans(emb, k=8, n_assign=3)
+    lists = (
+        emb.drop("label")
+        .join(assign.withColumnRenamed("id", "vec_id"), "vec_id")
+        .withColumnRenamed("cluster", "label")
+    )
+    queries = lists.orderBy("vec_id").limit(8)
+
+    def pairs(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    exact = pairs(simsearch.cosine_topk(lists, queries, k=10))
+    r = {}
+    for n_probe in (2, 4, 8):
+        approx = pairs(simsearch.ivf_topk(lists, queries, k=10, n_probe=n_probe))
+        r[n_probe] = len(exact & approx) / len(exact)
+    assert r[2] >= 0.35, r  # > the 2/8 = 0.25 scanned fraction
+    assert r[2] <= r[4] <= r[8], r  # monotone in probes
+    assert r[8] == 1.0, r  # probing every list is exhaustive search
