@@ -699,6 +699,32 @@ ORDER BY user_id"""
     )
 
 
+def q_rolling_median_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median per user (4-row trailing frame) via a pandas
+    UDAF evaluated OVER a window — the window placement of the custom-agg
+    surface (no mergeable partial form exists for medians, so this cannot
+    be a native agg)."""
+    from .operators import udafs
+
+    ev = _read(spark, sf_dir, "events")
+    out = udafs.rolling_median(
+        ev, "user_id", ["ts", "event_id"], "value", preceding=3
+    )
+    return out.select("user_id", "event_id", "rolling_median").orderBy(
+        "user_id", "event_id"
+    )
+
+
+ANALYTICS_QUERIES["rolling_median_values"] = q_rolling_median_values
+ANALYTICS_ORACLES["rolling_median_values"] = """
+SELECT user_id, event_id,
+  median(value) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS rolling_median
+FROM events ORDER BY user_id, event_id
+"""
+
+
 def q_try_cast_safe_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI-safe parsing over dirty inputs with ``try_cast``/``try_to_date``
     — malformed values become NULL instead of failing the job (at 100 TB a

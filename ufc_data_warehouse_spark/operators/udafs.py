@@ -64,3 +64,37 @@ def robust_stats(
         )
         .orderBy(key_col)
     )
+
+
+def rolling_median(
+    df: DataFrame,
+    key: str,
+    order_cols: list[str],
+    value: str,
+    preceding: int = 3,
+) -> DataFrame:
+    """Exact rolling median via a grouped-agg ``pandas_udf`` used OVER a
+    window frame — the third placement of a pandas UDAF next to
+    ``groupBy().agg`` (robust_stats) and SQL registration: Spark feeds the
+    UDF each row's ``ROWS BETWEEN preceding PRECEDING AND CURRENT ROW``
+    frame as a pandas Series.
+
+    Medians have no mergeable partial-agg form, so a native rolling
+    median does not exist — this is exactly the window+UDAF gap the API
+    covers. Scale: one exchange on ``key``; frame materialization is
+    O(preceding) per row. For a global (un-keyed) rolling stat, window
+    the data by coarse time buckets first — never a single partition.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*[F.asc(c) for c in order_cols])
+        .rowsBetween(-preceding, Window.currentRow)
+    )
+    return df.select(
+        key,
+        *order_cols,
+        F.col(value),
+        median_agg(F.col(value)).over(w).alias("rolling_median"),
+    )
