@@ -699,6 +699,48 @@ ORDER BY user_id"""
     )
 
 
+def q_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per event type via mergeable bitmap aggregates
+    (`scale.bitmap_distinct_rollup`) — the zero-error sibling of the HLL
+    rollup; hash-matches a plain count(distinct) oracle."""
+    from .operators import scale
+
+    ev = _read(spark, sf_dir, "events")
+    return scale.bitmap_distinct_rollup(ev, ["event_type"], "user_id").orderBy(
+        "event_type"
+    )
+
+
+ANALYTICS_QUERIES["bitmap_distinct_users"] = q_bitmap_distinct_users
+ANALYTICS_ORACLES["bitmap_distinct_users"] = """
+SELECT event_type, count(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_approx_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based heavy hitters via ``approx_top_k`` — with
+    maxItemsTracked ≥ NDV the sketch degrades to exact counts, which is
+    what makes it oracle-checkable here; at true scale the same query
+    with a bounded tracker trades exactness for fixed memory. Result
+    array exploded and re-sorted to a total order (sketch emission order
+    is not a contract)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.agg(F.expr("approx_top_k(event_type, 10, 100000)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("item"), F.col("e.count").alias("n"))
+        .orderBy(F.desc("n"), F.asc("item"))
+    )
+
+
+ANALYTICS_QUERIES["approx_topk_event_types"] = q_approx_topk_event_types
+ANALYTICS_ORACLES["approx_topk_event_types"] = """
+SELECT event_type AS item, count(*) AS n
+FROM events GROUP BY event_type ORDER BY n DESC, item ASC LIMIT 10
+"""
+
+
 def q_rolling_median_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact rolling median per user (4-row trailing frame) via a pandas
     UDAF evaluated OVER a window — the window placement of the custom-agg

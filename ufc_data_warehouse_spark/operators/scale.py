@@ -358,3 +358,34 @@ def hinted_join(
       ``analyze_tables`` first.
     """
     return left.join(right.hint(strategy), on, how)
+
+
+def bitmap_distinct_rollup(
+    df: DataFrame, group_cols: list[str], id_col: str
+) -> DataFrame:
+    """EXACT mergeable distinct counts via Spark's bitmap aggregates —
+    the precise counterpart of the HLL sketch rollup above: each integer
+    id maps to (bucket, bit position); per-(group, bucket) bitmaps are
+    built with ``bitmap_construct_agg`` and distinct = Σ ``bitmap_count``.
+
+    Why it scales: bitmaps are mergeable state like HLL (store the
+    per-bucket partials and OR-merge increments with ``bitmap_or_agg`` —
+    no raw re-scan on rollup) but with ZERO error; the trade is memory ∝
+    id range per bucket (dense bitmap) instead of HLL's fixed KBs. Use
+    bitmaps when ids are dense integers (surrogate keys), HLL when they
+    are arbitrary/sparse or the count only needs to be approximately
+    right.
+
+    Returns (group_cols…, n_distinct) — exact, so it hash-matches a plain
+    ``count(distinct)`` oracle."""
+    pos = df.select(
+        *group_cols,
+        F.expr(f"bitmap_bucket_number({id_col})").alias("_bucket"),
+        F.expr(f"bitmap_bit_position({id_col})").alias("_pos"),
+    )
+    partials = pos.groupBy(*group_cols, "_bucket").agg(
+        F.expr("bitmap_construct_agg(_pos)").alias("_bm")
+    )
+    return partials.groupBy(*group_cols).agg(
+        F.sum(F.expr("bitmap_count(_bm)")).alias("n_distinct")
+    )
