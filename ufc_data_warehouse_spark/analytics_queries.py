@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import dedup, grouped, timeseries
@@ -697,6 +697,52 @@ SELECT * FROM session_count_udtf(
   PARTITION BY user_id ORDER BY ts)
 ORDER BY user_id"""
     )
+
+
+def q_user_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: each user's first-5-events journey string via
+    ordered ``listagg … WITHIN GROUP`` (Spark 4), then the 25 most common
+    journey prefixes. Deterministic because the aggregation order is a
+    total order (ts, event_id) — an unordered collect would be
+    partitioning-dependent. One window + two aggs, all hashed on
+    user_id/prefix."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    first5 = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    first5.createOrReplaceTempView("journey_first5")
+    prefixes = spark.sql(
+        """
+SELECT user_id,
+       listagg(event_type, '>') WITHIN GROUP (ORDER BY ts, event_id) AS prefix
+FROM journey_first5 GROUP BY user_id"""
+    )
+    return (
+        prefixes.groupBy("prefix")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("prefix"))
+        .limit(25)
+    )
+
+
+ANALYTICS_QUERIES["user_journey_paths"] = q_user_journey_paths
+ANALYTICS_ORACLES["user_journey_paths"] = """
+WITH r AS (
+  SELECT user_id, event_type, ts, event_id,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+p AS (
+  SELECT user_id,
+    string_agg(event_type, '>' ORDER BY ts, event_id) AS prefix
+  FROM r WHERE rn <= 5 GROUP BY user_id
+)
+SELECT prefix, count(*) AS n_users
+FROM p GROUP BY prefix ORDER BY n_users DESC, prefix LIMIT 25
+"""
 
 
 def q_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
