@@ -522,6 +522,70 @@ WHERE a.vec_id < b.vec_id
 ORDER BY cluster, id_a, id_b"""
 
 
+def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment against the versioned dimension: each
+    odd-id fact event is joined to the SCD2 status version (built from
+    even-id events) VALID AT its timestamp — the canonical fact⋈SCD2
+    warehouse pattern. Plan shape: equi-join on the user key carries the
+    hash join; the validity-interval test runs as residual. Facts before
+    a user's first version (or for unseen users) left-join to NULL. The
+    half-open interval [valid_from, valid_to) makes each fact match AT
+    MOST one version (no fan-out)."""
+    from .operators import scd
+
+    ev = _read(spark, sf_dir, "events")
+    dim = scd.scd2_build(
+        ev.filter(F.col("event_id") % 2 == 0),
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+    ).select(
+        F.col("key").alias("d_user"),
+        F.col("attr").alias("status_at_time"),
+        "valid_from",
+        "valid_to",
+    )
+    facts = ev.filter(F.col("event_id") % 2 == 1).select(
+        "user_id", "event_id", "ts"
+    )
+    cond = (
+        (facts["user_id"] == dim["d_user"])
+        & (facts["ts"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (facts["ts"] < dim["valid_to"]))
+    )
+    return (
+        facts.join(dim, cond, "left")
+        .select("user_id", "event_id", "status_at_time")
+        .orderBy("user_id", "event_id")
+    )
+
+
+_SCD2_PIT_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events WHERE event_id % 2 = 0
+),
+changes AS (
+  SELECT user_id, event_type, ts, event_id FROM ordered
+  WHERE prev IS DISTINCT FROM event_type
+),
+dim AS (
+  SELECT user_id AS d_user, event_type AS status_at_time, ts AS valid_from,
+    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM changes
+),
+facts AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_id % 2 = 1
+)
+SELECT f.user_id, f.event_id, d.status_at_time
+FROM facts f LEFT JOIN dim d
+  ON f.user_id = d.d_user AND f.ts >= d.valid_from
+  AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+ORDER BY user_id, event_id"""
+
+
 def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation DAG a pretraining run executes end-to-end:
 
@@ -639,6 +703,7 @@ def build_registry(
         "incremental_dedup_pairs": q_incremental_dedup_pairs,
         "shingle_df_histogram": q_shingle_df_histogram,
         "curation_pipeline_e2e": q_curation_pipeline_e2e,
+        "scd2_point_in_time_join": q_scd2_point_in_time_join,
     }
     oracles: dict[str, str] = {
         "text_pii_redaction": _pii_oracle(),
@@ -668,5 +733,6 @@ ORDER BY id_a, id_b""",
             shingles=shingles_sql.strip().lstrip(",")
         ),
         "curation_pipeline_e2e": _pipeline_oracle(norm_sql, toks_sql),
+        "scd2_point_in_time_join": _SCD2_PIT_ORACLE,
     }
     return queries, oracles
