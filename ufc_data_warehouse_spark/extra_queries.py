@@ -1548,6 +1548,18 @@ def q_streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact windowed count(distinct) via chained stateful ops (dedup →
+    windowed count), both state stores bounded by one watermark."""
+    from .streaming import events as se
+
+    apply_runtime_confs(spark)
+    stream = se.read_events_stream(spark, sf_dir)
+    return se.run_available_now(se.windowed_distinct_users(stream)).orderBy(
+        "window_start"
+    )
+
+
 def q_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import events as se
 
@@ -1815,6 +1827,7 @@ EXTRA_QUERIES: dict[str, Query] = {
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_frame_plan": q_multimodal_frame_plan,
     "streaming_tumbling_counts": q_streaming_tumbling_counts,
+    "streaming_windowed_distinct": q_streaming_windowed_distinct,
     "streaming_static_join": q_streaming_static_join,
     "streaming_session_windows": q_streaming_session_windows,
     "streaming_sliding_windows": q_streaming_sliding_windows,
@@ -2522,6 +2535,11 @@ SELECT to_timestamp(((epoch_us(ts) // 1000000) // 300) * 300)::TIMESTAMP AS wind
   event_type, count(*) AS n,
   sum(value::DECIMAL(18,4))::DOUBLE AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""
+
+EXTRA_ORACLES["streaming_windowed_distinct"] = """
+SELECT to_timestamp(((epoch_us(ts) // 1000000) // 900) * 900)::TIMESTAMP AS window_start,
+  count(DISTINCT user_id) AS n_distinct_users
+FROM events GROUP BY 1 ORDER BY window_start"""
 
 EXTRA_ORACLES["streaming_static_join"] = """
 SELECT to_timestamp(((epoch_us(e.ts) // 1000000) // 900) * 900)::TIMESTAMP AS window_start,
