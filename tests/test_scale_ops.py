@@ -716,3 +716,24 @@ def test_ivf_recall_vs_brute_force(spark):
     assert r[2] >= 0.35, r  # > the 2/8 = 0.25 scanned fraction
     assert r[2] <= r[4] <= r[8], r  # monotone in probes
     assert r[8] == 1.0, r  # probing every list is exhaustive search
+
+
+def test_bucket_pruning_on_key_filter(spark, bucketed_tables):
+    """A point filter on the bucket key must scan ONE bucket, not eight —
+    bucket pruning at the scan (the read-side payoff of bucketed layout,
+    on top of the shuffle-free joins)."""
+    t1, _ = bucketed_tables
+    key = spark.table(t1).select("o_orderkey").first()["o_orderkey"]
+    # autoBucketedScan turns bucketed reading OFF when no exchange is
+    # saved; disable the auto-disable so the scan stays bucketed and the
+    # key filter can prune to one bucket
+    conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    saved = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, "false")
+        df = spark.table(t1).filter(F.col("o_orderkey") == key)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+        assert df.count() >= 1
+    finally:
+        spark.conf.set(conf, saved)

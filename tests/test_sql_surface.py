@@ -50,3 +50,43 @@ def test_card_sql_goat_status_schema(spark):
         """,
     )
     assert df.count() == 3
+
+
+def test_parameterized_sql_and_session_variables(spark):
+    """Parameterized SQL (named + positional markers), session variables,
+    and EXECUTE IMMEDIATE — the injection-safe BI-parameter surface."""
+    from tests.conftest import SF_DIR
+    from ufc_data_warehouse_spark import api
+
+    named = api.sql(
+        spark,
+        SF_DIR,
+        "SELECT fighter, wins FROM fighters_extracted.mv_fighters_by_wins "
+        "WHERE wins >= :min_wins ORDER BY wins DESC, fighter LIMIT :k",
+        args={"min_wins": 1, "k": 5},
+    ).collect()
+    assert 0 < len(named) <= 5
+
+    positional = api.sql(
+        spark,
+        SF_DIR,
+        "SELECT count(*) AS n FROM fighters_extracted.mv_fighters_by_wins "
+        "WHERE wins >= ?",
+        args=[1],
+    ).collect()
+    assert positional[0]["n"] >= len(named)
+
+    spark.sql("DECLARE OR REPLACE VARIABLE min_w INT DEFAULT 0")
+    spark.sql("SET VAR min_w = 1")
+    via_var = api.sql(
+        spark,
+        SF_DIR,
+        "SELECT count(*) AS n FROM fighters_extracted.mv_fighters_by_wins "
+        "WHERE wins >= min_w",
+    ).collect()
+    assert via_var[0]["n"] == positional[0]["n"]
+
+    ei = spark.sql(
+        "EXECUTE IMMEDIATE 'SELECT 1 + ? AS v' USING 41"
+    ).collect()
+    assert ei[0]["v"] == 42

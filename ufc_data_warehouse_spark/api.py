@@ -82,11 +82,22 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     return mapping
 
 
-def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+def sql(
+    spark: SparkSession, sf_dir: str, query: str, args: dict | list | None = None
+) -> DataFrame:
     """Run BI-card SQL against the model layer: dotted reference names
     (e.g. ``fighters_extracted_goat_status.mv_title_reigns``) are rewritten
-    to the registered flat temp views, then handed to ``spark.sql``."""
+    to the registered flat temp views, then handed to ``spark.sql``.
+
+    ``args`` enables parameterized SQL (named ``:param`` or positional
+    ``?`` markers) — parameters bind as literals in the plan, never by
+    string concatenation, so card filters like ``LIMIT :k`` are
+    injection-safe and plan-cache-friendly. Spark's session-variable form
+    (``DECLARE VARIABLE`` / ``SET VAR`` / ``EXECUTE IMMEDIATE``) works
+    through here too since this is a thin veneer over ``spark.sql``."""
     mapping = register_views(spark, sf_dir)
     for dotted, view in mapping.items():
         query = query.replace(dotted, view)
+    if args is not None:
+        return spark.sql(query, args=args)
     return spark.sql(query)
