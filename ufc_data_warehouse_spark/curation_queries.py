@@ -522,6 +522,30 @@ WHERE a.vec_id < b.vec_id
 ORDER BY cluster, id_a, id_b"""
 
 
+def q_pii_column_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governance discovery over the seeded-PII corpus: per (column,
+    kind) row-match counts from ONE fused scan (validation.pii_column_scan)
+    — the inventory that drives redaction/retention policy."""
+    from . import validation
+
+    docs = _pii_seeded_docs(spark, sf_dir).select("text")
+    return validation.pii_column_scan(docs).orderBy("kind")
+
+
+def _pii_scan_oracle() -> str:
+    parts = [
+        f"""SELECT 'text' AS "column", '{kind}' AS kind,
+  sum(CASE WHEN regexp_matches(text, '{pat}') THEN 1 ELSE 0 END)::BIGINT AS n_matches,
+  count(*) AS n_rows FROM seeded"""
+        for kind, pat, _ in text.PII_PATTERNS
+    ]
+    return (
+        f"WITH seeded AS ({_PII_SEED_SQL})\n"
+        + "\nUNION ALL\n".join(parts)
+        + "\nORDER BY kind"
+    )
+
+
 def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time enrichment against the versioned dimension: each
     odd-id fact event is joined to the SCD2 status version (built from
@@ -704,6 +728,7 @@ def build_registry(
         "shingle_df_histogram": q_shingle_df_histogram,
         "curation_pipeline_e2e": q_curation_pipeline_e2e,
         "scd2_point_in_time_join": q_scd2_point_in_time_join,
+        "pii_column_scan": q_pii_column_scan,
     }
     oracles: dict[str, str] = {
         "text_pii_redaction": _pii_oracle(),
@@ -734,5 +759,6 @@ ORDER BY id_a, id_b""",
         ),
         "curation_pipeline_e2e": _pipeline_oracle(norm_sql, toks_sql),
         "scd2_point_in_time_join": _SCD2_PIT_ORACLE,
+        "pii_column_scan": _pii_scan_oracle(),
     }
     return queries, oracles

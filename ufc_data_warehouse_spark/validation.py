@@ -123,3 +123,36 @@ def run_checks(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("check_name")
+
+
+def pii_column_scan(df, columns: list[str] | None = None):
+    """Data-governance discovery: which STRING columns contain PII-shaped
+    values, and how many rows match per (column, kind)? One fused scan —
+    all columns × all patterns aggregate in a single pass (N rules ≠ N
+    scans, same design as the dbt-check gate above). Row output:
+    (column, kind, n_matches, n_rows) — drive retention/redaction policy
+    from it. Patterns are the shared ``text.PII_PATTERNS``."""
+    from pyspark.sql import functions as F
+
+    from .operators.text import PII_PATTERNS
+
+    if columns is None:
+        columns = [c for c, t in df.dtypes if t == "string"]
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in columns:
+        for kind, pat, _ in PII_PATTERNS:
+            aggs.append(
+                F.sum(
+                    F.when(F.col(c).rlike(pat), 1).otherwise(0)
+                ).alias(f"{c}::{kind}")
+            )
+    wide = df.agg(*aggs).collect()[0]
+    rows = [
+        (c, kind, int(wide[f"{c}::{kind}"]), int(wide["__n_rows"]))
+        for c in columns
+        for kind, _, _ in PII_PATTERNS
+    ]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows, "column string, kind string, n_matches long, n_rows long"
+    )
