@@ -699,6 +699,48 @@ ORDER BY user_id"""
     )
 
 
+def q_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition with ``parse_url`` (HOST / PATH / QUERY param) —
+    the host-level aggregation a crawl pipeline runs for per-domain
+    stats and robots/quota policy. URLs are synthesized deterministically
+    from document fields; the oracle derives the same components from the
+    construction directly, pinning parse_url's semantics. Map-only parse
+    + one host-keyed agg."""
+    docs = _read(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref="),
+        F.col("lang"),
+    )
+    parsed = docs.select(
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref"),
+    )
+    return (
+        parsed.groupBy("host")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("path").alias("n_paths"),
+            F.countDistinct("ref").alias("n_refs"),
+        )
+        .orderBy("host")
+    )
+
+
+ANALYTICS_QUERIES["url_host_stats"] = q_url_host_stats
+ANALYTICS_ORACLES["url_host_stats"] = """
+SELECT source || '.example.com' AS host,
+  count(*) AS n_urls,
+  count(DISTINCT '/docs/' || doc_id::VARCHAR) AS n_paths,
+  count(DISTINCT lang) AS n_refs
+FROM documents GROUP BY 1 ORDER BY host
+"""
+
+
 def q_user_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Path analysis: each user's first-5-events journey string via
     ordered ``listagg … WITHIN GROUP`` (Spark 4), then the 25 most common
