@@ -699,6 +699,27 @@ ORDER BY user_id"""
     )
 
 
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight skew diagnosis on the lineitem supplier key: heaviest
+    10 keys with integer-basis-point shares (`scale.key_skew_report`)."""
+    from .operators import scale
+
+    li = _read(spark, sf_dir, "lineitem")
+    return scale.key_skew_report(li, ["l_suppkey"], top_k=10)
+
+
+ANALYTICS_QUERIES["key_skew_report"] = q_key_skew_report
+ANALYTICS_ORACLES["key_skew_report"] = """
+WITH c AS (
+  SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY l_suppkey
+),
+t AS (SELECT count(*) AS total FROM lineitem)
+SELECT l_suppkey, n_rows,
+  (n_rows * 10000) // total AS share_bps
+FROM c, t ORDER BY n_rows DESC, l_suppkey LIMIT 10
+"""
+
+
 def q_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL decomposition with ``parse_url`` (HOST / PATH / QUERY param) —
     the host-level aggregation a crawl pipeline runs for per-domain

@@ -389,3 +389,31 @@ def bitmap_distinct_rollup(
     return partials.groupBy(*group_cols).agg(
         F.sum(F.expr("bitmap_count(_bm)")).alias("n_distinct")
     )
+
+
+def key_skew_report(
+    df: DataFrame, key_cols: list[str], top_k: int = 10
+) -> DataFrame:
+    """Skew diagnosis — the measurement that decides between plain
+    hashing, AQE skew-join, and salting: per-key row counts for the
+    ``top_k`` heaviest keys plus each key's share of the total (pct_x100,
+    integer basis points — engine-exact). A key holding double-digit
+    percent of rows will dominate one shuffle partition at any
+    parallelism; that is the salting threshold.
+
+    Two aggs (key counts, then top-k via TakeOrdered) — the report costs
+    one shuffle of (key, partial-count) rows, cheap enough to run as a
+    pre-flight check before any big keyed job."""
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = df.count()
+    return (
+        counts.orderBy(F.desc("n_rows"), *[F.asc(c) for c in key_cols])
+        .limit(top_k)
+        .select(
+            *key_cols,
+            "n_rows",
+            # integral division: float-divide-then-cast rounds differently
+            # across engines (truncate vs round-half-even)
+            F.expr(f"n_rows * 10000L DIV {total}L").alias("share_bps"),
+        )
+    )
