@@ -699,6 +699,70 @@ ORDER BY user_id"""
     )
 
 
+def q_snapshot_diff_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed after the fact: diff two per-user state snapshots
+    (first vs second half of the event stream by time) → added / removed /
+    changed keys via `etl.snapshot_diff` (full-outer + null-safe compare)."""
+    from .etl import snapshot_diff
+
+    ev = _read(spark, sf_dir, "events")
+    # integral mean (sum DIV count): a float avg truncates in Spark but
+    # rounds in DuckDB's BIGINT cast — off-by-1ms flips boundary rows
+    mid = ev.select(
+        F.expr(
+            "timestamp_millis(sum(unix_millis(CAST(ts AS TIMESTAMP)))"
+            " DIV count(*))"
+        ).alias("m")
+    ).head()["m"]
+
+    def state(df):
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("user_id", "event_type")
+        )
+
+    old = state(ev.filter(F.col("ts") <= F.lit(mid)))
+    new = state(ev)
+    return snapshot_diff(old, new, ["user_id"], ["event_type"]).orderBy(
+        "user_id"
+    )
+
+
+ANALYTICS_QUERIES["snapshot_diff_user_state"] = q_snapshot_diff_user_state
+ANALYTICS_ORACLES["snapshot_diff_user_state"] = """
+WITH mid AS (
+  SELECT sum(epoch_us(ts) // 1000) // count(*) AS mm FROM events
+),
+old_state AS (
+  SELECT user_id, event_type FROM (
+    SELECT user_id, event_type,
+      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events, mid WHERE epoch_us(ts) // 1000 <= mid.mm
+  ) WHERE rn = 1
+),
+new_state AS (
+  SELECT user_id, event_type FROM (
+    SELECT user_id, event_type,
+      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+  CASE WHEN o.user_id IS NULL THEN 'added'
+       WHEN n.user_id IS NULL THEN 'removed'
+       WHEN o.event_type IS DISTINCT FROM n.event_type THEN 'changed'
+  END AS change_type
+FROM old_state o FULL OUTER JOIN new_state n ON o.user_id = n.user_id
+WHERE (o.user_id IS NULL OR n.user_id IS NULL
+       OR o.event_type IS DISTINCT FROM n.event_type)
+ORDER BY user_id
+"""
+
+
 def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-flight skew diagnosis on the lineitem supplier key: heaviest
     10 keys with integer-basis-point shares (`scale.key_skew_report`)."""

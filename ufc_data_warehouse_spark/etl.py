@@ -161,6 +161,45 @@ def read_published(spark: SparkSession, table_dir: str, version: int | None = No
     return spark.read.parquet(f"{table_dir}/v={version}")
 
 
+def snapshot_diff(old, new, keys: list[str], compare_cols: list[str]):
+    """Data-diff between two snapshots of the same table (e.g. two
+    ``versioned_publish`` versions): one row per changed key with
+    ``change_type`` ∈ {'added','removed','changed'} — the change-data-feed
+    a plain-parquet warehouse can compute after the fact. Unchanged keys
+    are filtered out BEFORE the result materializes.
+
+    Shape: one full-outer hash join on the keys; the change classifier is
+    a null-pattern/equality projection. Null-safe equality (``eqNullSafe``)
+    so NULL→NULL does not register as a change. At scale, diff
+    partition-by-partition (both snapshots share layout) to bound the
+    join."""
+    from pyspark.sql import functions as F
+
+    # presence is tracked via a sentinel column, not value nullability:
+    # a present row whose compare columns are all NULL must not read as absent
+    o2 = old.select(*keys, F.lit(1).alias("_old_present"), *[
+        F.col(c).alias(f"_old_{c}") for c in compare_cols
+    ])
+    n2 = new.select(*keys, F.lit(1).alias("_new_present"), *[
+        F.col(c).alias(f"_new_{c}") for c in compare_cols
+    ])
+    j = o2.join(n2, keys, "full_outer")
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"_old_{c}").eqNullSafe(F.col(f"_new_{c}"))
+        same = eq if same is None else (same & eq)
+    change = (
+        F.when(F.col("_old_present").isNull(), "added")
+        .when(F.col("_new_present").isNull(), "removed")
+        .when(~same, "changed")
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(*keys, "change_type")
+    )
+
+
 def upsert(base, updates, keys: list[str], version_col: str | None = None):
     """MERGE-style upsert as a batch transform: rows in ``updates`` replace
     same-key rows in ``base``; unmatched rows pass through.
