@@ -699,6 +699,79 @@ ORDER BY user_id"""
     )
 
 
+def q_text_nfc_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization before hashing/dedup (the composed
+    and decomposed forms of the same glyph hash differently). Combining
+    marks are seeded deterministically (every 9th doc gets a decomposed
+    'é'); the Arrow-optimized scalar UDF normalizes; output is (id,
+    changed, nfc_chars, nfc_hash) — DuckDB's nfc_normalize replays it."""
+    from .operators import text as t
+
+    docs = _read(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 9 == 0, F.lit(" cafe\u0301")
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    out = t.nfc_normalized(seeded)
+    return out.select(
+        "id",
+        "changed",
+        F.length("nfc_text").alias("nfc_chars"),
+        F.md5("nfc_text").alias("nfc_hash"),
+    ).orderBy("id")
+
+
+ANALYTICS_QUERIES["text_nfc_normalization"] = q_text_nfc_normalization
+ANALYTICS_ORACLES["text_nfc_normalization"] = """
+WITH seeded AS (
+  SELECT doc_id AS id,
+    text || CASE WHEN doc_id % 9 = 0 THEN ' cafe' || chr(769) ELSE '' END AS t
+  FROM documents
+)
+SELECT id,
+  CASE WHEN nfc_normalize(t) <> t THEN 1 ELSE 0 END AS changed,
+  length(nfc_normalize(t)) AS nfc_chars,
+  md5(nfc_normalize(t)) AS nfc_hash
+FROM seeded ORDER BY id
+"""
+
+
+def q_pandas_api_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas-on-Spark API family (`pyspark.pandas`): a groupby-agg
+    written in pandas idiom compiles to the SAME distributed Spark plan —
+    shown by returning `.to_spark()` output that hash-matches a plain SQL
+    oracle. Integer cents keep it exact."""
+    import pyspark.pandas as pd_api
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    psdf = ev.pandas_api()
+    g = psdf.groupby("event_type")
+    out = g["value_cents"].sum().to_frame("cents")
+    out["n_events"] = g["value_cents"].count()
+    sdf = out.reset_index().to_spark()
+    return sdf.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("cents").cast("long").alias("cents"),
+    ).orderBy("event_type")
+
+
+ANALYTICS_QUERIES["pandas_api_event_stats"] = q_pandas_api_event_stats
+ANALYTICS_ORACLES["pandas_api_event_stats"] = """
+SELECT event_type, count(*) AS n_events,
+  sum(floor(value * 100)::BIGINT)::BIGINT AS cents
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_snapshot_diff_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-feed after the fact: diff two per-user state snapshots
     (first vs second half of the event stream by time) → added / removed /

@@ -374,3 +374,35 @@ def tfidf_top_terms(
         .filter(F.col("rk") <= k)
         .select("id", "term", "tf", "df", "score", "rk")
     )
+
+
+def nfc_normalized(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode NFC normalization — the canonicalization step that must
+    run BEFORE hashing/dedup (the same glyph can arrive composed or as
+    base+combining marks; md5 of the two differs, so un-normalized
+    corpora silently miss duplicates).
+
+    No Spark SQL builtin exists for Unicode normalization, so this is the
+    repo's one legitimate scalar Python UDF — Arrow-OPTIMIZED
+    (``useArrow=True``): inputs/outputs move JVM↔Python as Arrow batches
+    (not pickled rows), and ``unicodedata.normalize`` is C-level per
+    value. Still slower than JVM expressions — keep it out of hot paths
+    that don't need it. Returns (id, nfc_text, changed)."""
+    import unicodedata
+
+    from pyspark.sql.functions import udf
+
+    nfc = udf(
+        lambda s: None if s is None else unicodedata.normalize("NFC", s),
+        "string",
+        useArrow=True,
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        nfc(F.col(text_col)).alias("nfc_text"),
+        (~nfc(F.col(text_col)).eqNullSafe(F.col(text_col)))
+        .cast("int")
+        .alias("changed"),
+    )
