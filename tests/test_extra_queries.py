@@ -107,3 +107,56 @@ def test_restart_resume_ingests_only_new_files(spark, tmp_path):
     # idempotent restart: nothing new landed → nothing reprocessed
     ev.resumable_ingest_run(spark, str(src), sink, ckpt, full.schema)
     assert spark.read.parquet(sink).count() == full.count()
+
+
+def test_stateful_query_on_rocksdb_state_store(spark):
+    """The watermarked dedup must run unchanged on the RocksDB state
+    store provider — the disk-backed store that holds 100 TB-scale
+    streaming state (the default in-memory HDFS-backed store is bounded
+    by executor heap). Results must equal the default-provider run and
+    the progress metrics must prove RocksDB actually engaged."""
+    import tempfile
+
+    from tests.conftest import SF_DIR
+    from ufc_data_warehouse_spark.streaming import events as ev
+
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(conf, None)
+    try:
+        baseline = ev.run_available_now(
+            ev.dedup_redelivered(
+                ev.read_events_stream_redelivered(spark, SF_DIR)
+            ),
+            output_mode="append",
+        )
+        expected = {r["event_id"] for r in baseline.collect()}
+
+        spark.conf.set(
+            conf,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        result = ev.dedup_redelivered(
+            ev.read_events_stream_redelivered(spark, SF_DIR)
+        )
+        q = (
+            result.writeStream.format("memory")
+            .queryName("rocksdb_dedup_out")
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_rdb_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = q.lastProgress
+        got = {
+            r["event_id"] for r in spark.table("rocksdb_dedup_out").collect()
+        }
+        assert got == expected and len(got) > 0
+        metrics = progress["stateOperators"][0]["customMetrics"]
+        assert any("rocksdb" in k.lower() for k in metrics), metrics
+    finally:
+        if saved is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, saved)
