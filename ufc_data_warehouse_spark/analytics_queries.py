@@ -699,6 +699,31 @@ ORDER BY user_id"""
     )
 
 
+def q_pseudonymize_user_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed pseudonymization: user ids → SHA-256(pepper ‖ id) tokens —
+    irreversible without the pepper, but referentially intact (same user
+    → same token), so joins/aggregations still work on the masked data.
+    Map-only projection + one keyed agg proving token-level grouping."""
+    ev = _read(spark, sf_dir, "events")
+    token = F.sha2(
+        F.concat(F.lit("pepper42:"), F.col("user_id").cast("string")), 256
+    )
+    return (
+        ev.select(token.alias("user_token"))
+        .groupBy("user_token")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("user_token")
+    )
+
+
+ANALYTICS_QUERIES["pseudonymize_user_ids"] = q_pseudonymize_user_ids
+ANALYTICS_ORACLES["pseudonymize_user_ids"] = """
+SELECT sha256('pepper42:' || user_id::VARCHAR) AS user_token,
+  count(*) AS n_events
+FROM events GROUP BY 1 ORDER BY user_token
+"""
+
+
 def q_text_nfc_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC canonicalization before hashing/dedup (the composed
     and decomposed forms of the same glyph hash differently). Combining
