@@ -699,6 +699,92 @@ ORDER BY user_id"""
     )
 
 
+def q_cooccurrence_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: for each unordered event-type pair,
+    how many users exhibit both (support), with exact integer lift
+    numerators/denominators (lift = n_both·n_users / (n_a·n_b) left as
+    exact counts — the consumer divides). Self-join on the user key of a
+    DISTINCT (user, type) frame: |types| ≤ 6, so the per-user pair space
+    is trivially bounded."""
+    ev = _read(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    a = ut.withColumnRenamed("event_type", "type_a")
+    b = ut.withColumnRenamed("event_type", "type_b")
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    singles = ut.groupBy("event_type").agg(F.count("*").alias("n"))
+    out = (
+        pairs.join(
+            singles.select(
+                F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+            ),
+            "type_a",
+        )
+        .join(
+            singles.select(
+                F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+            ),
+            "type_b",
+        )
+    )
+    return out.select("type_a", "type_b", "n_both", "n_a", "n_b").orderBy(
+        "type_a", "type_b"
+    )
+
+
+ANALYTICS_QUERIES["cooccurrence_event_pairs"] = q_cooccurrence_event_pairs
+ANALYTICS_ORACLES["cooccurrence_event_pairs"] = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+singles AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1)
+SELECT p.type_a, p.type_b, p.n_both, sa.n AS n_a, sb.n AS n_b
+FROM pairs p
+JOIN singles sa ON p.type_a = sa.event_type
+JOIN singles sb ON p.type_b = sb.event_type
+ORDER BY type_a, type_b
+"""
+
+
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts: (from_type, to_type, n) over
+    each user's time-ordered event sequence — ONE keyed window (lead) +
+    one agg; the sequence never materializes as an array."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("from_type", "to_type")
+    )
+
+
+ANALYTICS_QUERIES["event_transition_matrix"] = q_event_transition_matrix
+ANALYTICS_ORACLES["event_transition_matrix"] = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+    lead(event_type) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+)
+SELECT from_type, to_type, count(*) AS n
+FROM seq WHERE to_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY from_type, to_type
+"""
+
+
 def q_pseudonymize_user_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed pseudonymization: user ids → SHA-256(pepper ‖ id) tokens —
     irreversible without the pepper, but referentially intact (same user
