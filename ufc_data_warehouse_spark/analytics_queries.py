@@ -699,6 +699,103 @@ ORDER BY user_id"""
     )
 
 
+def q_text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy document scoring with EXACT arithmetic: each
+    token's corpus frequency rank (dense_rank over the vocabulary,
+    rarest = highest) is averaged per document as an exact integer-sum /
+    count pair — the float-log-free stand-in for unigram surprisal
+    (cross-engine ln differs in the last ulp, integer ranks don't).
+    Shape: one vocab agg + rank window, vocab broadcast back to the
+    exploded tokens, one doc-keyed agg."""
+    from .operators.text import tokens
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(tokens(F.col("text"))).alias("term"),
+    ).filter(F.col("term") != "")
+    vocab = toks.groupBy("term").agg(F.count("*").alias("n_occ"))
+    w = Window.orderBy(F.desc("n_occ"), F.asc("term"))
+    ranked = vocab.select("term", F.dense_rank().over(w).alias("rarity_rank"))
+    scored = toks.join(F.broadcast(ranked), "term")
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("rarity_rank").cast("long").alias("rarity_sum"),
+        )
+        .orderBy("id")
+    )
+
+
+ANALYTICS_QUERIES["text_token_rarity"] = q_text_token_rarity
+# tokenization inlined (matches extra_queries._TOKS_SQL; module-level import
+# would cycle — extra_queries imports this module)
+ANALYTICS_ORACLES["text_token_rarity"] = r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+    unnest(string_split(
+      trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+),
+tf AS (SELECT id, term FROM toks WHERE term <> ''),
+vocab AS (SELECT term, count(*) AS n_occ FROM tf GROUP BY term),
+ranked AS (
+  SELECT term,
+    dense_rank() OVER (ORDER BY n_occ DESC, term ASC) AS rarity_rank
+  FROM vocab
+)
+SELECT id, count(*) AS n_tokens, sum(rarity_rank)::BIGINT AS rarity_sum
+FROM tf JOIN ranked USING (term)
+GROUP BY id ORDER BY id
+"""
+
+
+def q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event debouncing, bucket-quantized: keep one event per (user,
+    type, 60s time bucket) — the shuffle-friendly debounce (fixed
+    buckets hash-partition; a rolling last-kept-event carry would need
+    sequential per-key state, which is what the EWMA UDTF pattern covers
+    when true rolling semantics are required). One keyed window + filter;
+    returns per-(user, type) kept counts."""
+    ev = _read(spark, sf_dir, "events")
+    # quantize to 60s buckets; keep the first event per (user, type, bucket)
+    bucket = F.expr("unix_millis(CAST(ts AS TIMESTAMP)) DIV 60000")
+    kept = (
+        ev.withColumn("_b", bucket)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "event_type", "_b").orderBy(
+                    F.asc("ts"), F.asc("event_id")
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+    )
+    return (
+        kept.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n_kept"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+ANALYTICS_QUERIES["debounce_events"] = q_debounce_events
+ANALYTICS_ORACLES["debounce_events"] = """
+WITH b AS (
+  SELECT user_id, event_type, ts, event_id,
+    (epoch_us(ts) // 1000) // 60000 AS bucket,
+    row_number() OVER (
+      PARTITION BY user_id, event_type, (epoch_us(ts) // 1000) // 60000
+      ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, event_type, count(*) AS n_kept
+FROM b WHERE rn = 1
+GROUP BY 1, 2 ORDER BY user_id, event_type
+"""
+
+
 def q_cooccurrence_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: for each unordered event-type pair,
     how many users exhibit both (support), with exact integer lift
