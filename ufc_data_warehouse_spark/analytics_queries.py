@@ -706,7 +706,10 @@ def q_text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     count pair — the float-log-free stand-in for unigram surprisal
     (cross-engine ln differs in the last ulp, integer ranks don't).
     Shape: one vocab agg + rank window, vocab broadcast back to the
-    exploded tokens, one doc-keyed agg."""
+    exploded tokens, one doc-keyed agg. The rank window is global over
+    the VOCABULARY (not the corpus) — fine to ~1e7 terms; past that,
+    drop the rank and use raw n_occ (or its bit_length bucket) as the
+    rarity signal, which needs no global ordering at all."""
     from .operators.text import tokens
 
     docs = _read(spark, sf_dir, "documents")
@@ -748,6 +751,49 @@ ranked AS (
 SELECT id, count(*) AS n_tokens, sum(rarity_rank)::BIGINT AS rarity_sum
 FROM tf JOIN ranked USING (term)
 GROUP BY id ORDER BY id
+"""
+
+
+def q_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated calendar dimension over the events table's date span:
+    one row per day with (year, month, dom, isodow, is_weekend,
+    month_start) — the role-playing date dimension every warehouse joins
+    against. Pure generated table (sequence + explode), no source scan
+    beyond the 1-row min/max. Day-of-week numbering is pinned to ISO
+    (1=Monday) — Spark's dayofweek() and DuckDB's dayofweek() disagree on
+    where the week starts, weekday()/isodow don't."""
+    ev = _read(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = span.select(F.explode(F.sequence("d0", "d1")).alias("d"))
+    return days.select(
+        F.col("d").alias("cal_date"),
+        F.year("d").alias("year"),
+        F.month("d").alias("month"),
+        F.dayofmonth("d").alias("dom"),
+        (F.weekday("d") + 1).alias("isodow"),
+        (F.weekday("d") >= 5).cast("int").alias("is_weekend"),
+        F.trunc("d", "month").alias("month_start"),
+    ).orderBy("cal_date")
+
+
+ANALYTICS_QUERIES["calendar_dim"] = q_calendar_dim
+ANALYTICS_ORACLES["calendar_dim"] = """
+WITH span AS (
+  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events
+),
+days AS (
+  SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d FROM span
+)
+SELECT d AS cal_date,
+  EXTRACT(year FROM d)::INT AS year,
+  EXTRACT(month FROM d)::INT AS month,
+  EXTRACT(day FROM d)::INT AS dom,
+  isodow(d)::INT AS isodow,
+  CASE WHEN isodow(d) >= 6 THEN 1 ELSE 0 END AS is_weekend,
+  date_trunc('month', d)::DATE AS month_start
+FROM days ORDER BY cal_date
 """
 
 
