@@ -201,3 +201,39 @@ def test_versioned_publish_atomic_history(spark, tmp_path):
             "errorifexists"
         ).parquet(f"{table}/v=2")
     assert etl.read_published(spark, table).count() == 2
+
+
+def test_write_audit_publish_gates_bad_data(spark, tmp_path):
+    """WAP: a snapshot failing its audit is staged but NEVER published —
+    readers stay on the last good version; a clean snapshot publishes."""
+    from ufc_data_warehouse_spark import etl
+
+    table = str(tmp_path / "wap_mart")
+    good = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    v, checks = etl.write_audit_publish(
+        spark, good, table, not_null=["id", "s"], unique=[["id"]]
+    )
+    assert v == 1 and all(n == 0 for n in checks.values())
+    assert etl.read_published(spark, table).count() == 2
+
+    bad = spark.createDataFrame(
+        [(3, "c"), (3, "d"), (4, None)], "id long, s string"
+    )
+    v2, checks2 = etl.write_audit_publish(
+        spark, bad, table, not_null=["id", "s"], unique=[["id"]]
+    )
+    assert v2 is None
+    assert any(n > 0 for n in checks2.values()), checks2
+    # pointer still on v1; staged bad version exists for debugging
+    assert etl.read_published(spark, table).count() == 2
+    import os
+
+    assert os.path.isdir(f"{table}/v=2")
+
+    fixed = spark.createDataFrame([(3, "c"), (4, "d")], "id long, s string")
+    v3, _ = etl.write_audit_publish(
+        spark, fixed, table, not_null=["id", "s"], unique=[["id"]]
+    )
+    assert v3 == 3
+    assert etl.read_published(spark, table).count() == 2
+    assert {r["id"] for r in etl.read_published(spark, table).collect()} == {3, 4}

@@ -161,6 +161,55 @@ def read_published(spark: SparkSession, table_dir: str, version: int | None = No
     return spark.read.parquet(f"{table_dir}/v={version}")
 
 
+def write_audit_publish(
+    spark: SparkSession,
+    df,
+    table_dir: str,
+    not_null: list[str] | None = None,
+    accepted: dict[str, list[str]] | None = None,
+    unique: list[list[str]] | None = None,
+) -> tuple[int | None, dict[str, int]]:
+    """Write-Audit-Publish: stage the snapshot as the next version
+    directory, AUDIT the staged files (validation.run_checks re-reads
+    what was actually written — not the in-memory frame, so serialization
+    bugs are caught too), and flip the ``_LATEST`` pointer only when every
+    check passes. On violation the pointer stays on the last good
+    version; readers never see bad data, and the staged directory remains
+    on disk for debugging.
+
+    Returns (published_version | None, {check_name: n_violations}).
+    The pattern costs one extra read of the increment — nothing re-reads
+    the historical table — so it scales with the snapshot, not the
+    warehouse."""
+    import os
+
+    from . import validation
+
+    os.makedirs(table_dir, exist_ok=True)
+    existing = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(table_dir)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    ]
+    version = max(existing, default=0) + 1
+    staged = f"{table_dir}/v={version}"
+    df.write.mode("errorifexists").parquet(staged)
+    audited = spark.read.parquet(staged)
+    results = {
+        r["check_name"]: r["n_violations"]
+        for r in validation.run_checks(
+            audited, not_null=not_null, accepted=accepted, unique=unique
+        ).collect()
+    }
+    if any(v > 0 for v in results.values()):
+        return None, results
+    tmp = f"{table_dir}/_LATEST.tmp"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, f"{table_dir}/_LATEST")
+    return version, results
+
+
 def snapshot_diff(old, new, keys: list[str], compare_cols: list[str]):
     """Data-diff between two snapshots of the same table (e.g. two
     ``versioned_publish`` versions): one row per changed key with
