@@ -246,6 +246,23 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental top-k maintenance: base top-k over the historical
+    corpus (vec_id %5 != 0), then the %5 == 0 batch lands and updates it
+    WITHOUT rescoring history. The oracle is the full recompute over the
+    whole corpus — incremental == recompute is the maintenance
+    invariant."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    base = simsearch.cosine_topk(old, queries, k=10)
+    out = simsearch.incremental_topk_update(base, new, queries, k=10)
+    return out.select("query_id", "neighbor_id", "rank").orderBy(
+        "query_id", "rank"
+    )
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
@@ -1778,6 +1795,7 @@ EXTRA_QUERIES: dict[str, Query] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_quantize_int8": q_embedding_quantize_int8,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_incremental_topk": q_ann_incremental_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "tpch_q1": q_tpch_q1,
@@ -2035,6 +2053,22 @@ SELECT query_id, neighbor_id, rank::INT AS rank FROM (
   FROM scored
 ) WHERE rank <= 10 ORDER BY query_id, rank""",
     "ann_cosine_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    list_dot_product(e.embedding::DOUBLE[], q.qvec)
+      / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(q.qvec, q.qvec))) AS cosine
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank::INT AS rank FROM ranked
+WHERE rank <= 10 ORDER BY query_id, rank""",
+    "ann_incremental_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id % 50 = 0),
 scored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,

@@ -499,3 +499,35 @@ def cosine_scores_arrow(
     return embeddings.select(id_col, vec_col).mapInArrow(
         score, schema=f"{id_col} long, cosine double"
     )
+
+
+def incremental_topk_update(
+    base_topk: DataFrame,
+    new_embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental top-k maintenance (the EDBT'20 incremental-top-k
+    shape): when a NEW batch of vectors lands, update each query's top-k
+    WITHOUT rescoring the historical corpus — score queries × new batch
+    only, union with the stored top-k, re-rank, cut at k.
+
+    Work ∝ |queries| × |batch| + |queries| × k; the old corpus is never
+    read. Correctness invariant (oracle-checked): incrementally
+    maintained top-k == full recompute over corpus ∪ batch — cosine is a
+    per-pair score, so the true top-k over the union can only come from
+    (old top-k ∪ new-batch scores)."""
+    fresh = cosine_topk(new_embeddings, queries, k=k, id_col=id_col, vec_col=vec_col)
+    merged = base_topk.select(
+        "query_id", "neighbor_id", "cosine"
+    ).unionByName(fresh.select("query_id", "neighbor_id", "cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
