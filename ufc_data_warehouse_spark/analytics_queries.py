@@ -754,6 +754,42 @@ GROUP BY id ORDER BY id
 """
 
 
+def q_epoch_shuffle_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch training order: each epoch re-shuffles the SAME kept
+    set under a different seed (epoch number), deterministically — the
+    per-epoch data order a trainer replays exactly on restart. Union of
+    two epochs' (epoch, id, pos); the oracle replays the seeded-hash
+    ranking. Scale note lives in training.shuffled: files written in
+    hash-range order ARE the order; the pos rank is the verification
+    artifact."""
+    from .operators import training
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    epochs = []
+    for epoch in (1, 2):
+        epochs.append(
+            training.shuffled(docs, "id", seed=epoch).select(
+                F.lit(epoch).alias("epoch"), "id", "pos"
+            )
+        )
+    out = epochs[0].unionByName(epochs[1])
+    return out.orderBy("epoch", "pos")
+
+
+ANALYTICS_QUERIES["epoch_shuffle_orders"] = q_epoch_shuffle_orders
+ANALYTICS_ORACLES["epoch_shuffle_orders"] = """
+WITH e AS (SELECT 1 AS epoch UNION ALL SELECT 2)
+SELECT epoch, doc_id AS id,
+  row_number() OVER (
+    PARTITION BY epoch
+    ORDER BY md5(epoch::VARCHAR || ':' || doc_id::VARCHAR), doc_id) AS pos
+FROM documents, e
+ORDER BY epoch, pos
+"""
+
+
 def q_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generated calendar dimension over the events table's date span:
     one row per day with (year, month, dom, isodow, is_weekend,
