@@ -132,7 +132,9 @@ def versioned_publish(df, table_dir: str) -> int:
 
     The pointer write is a single small file — effectively atomic on any
     filesystem with atomic rename/create semantics. Returns the published
-    version number.
+    version number. Single-writer assumption: concurrent publishers race
+    on max(version)+1 (the loser fails on ``errorifexists`` rather than
+    corrupting — serialize publishes per table in the orchestrator).
     """
     import os
 
@@ -224,6 +226,8 @@ def snapshot_diff(old, new, keys: list[str], compare_cols: list[str]):
     join."""
     from pyspark.sql import functions as F
 
+    if not compare_cols:
+        raise ValueError("snapshot_diff needs at least one compare column")
     # presence is tracked via a sentinel column, not value nullability:
     # a present row whose compare columns are all NULL must not read as absent
     o2 = old.select(*keys, F.lit(1).alias("_old_present"), *[
