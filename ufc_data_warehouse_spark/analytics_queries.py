@@ -754,6 +754,32 @@ GROUP BY id ORDER BY id
 """
 
 
+def q_ts_minmax_decimation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Envelope-preserving time-series downsampling: per (user, 6-hour
+    bucket) keep the min and max values — the decimation that keeps
+    spikes visible when charting millions of points (mean-resampling
+    erases them). One keyed agg; output rows ∝ buckets, not events."""
+    ev = _read(spark, sf_dir, "events")
+    bucket = F.expr("unix_millis(CAST(ts AS TIMESTAMP)) DIV 21600000")
+    return (
+        ev.groupBy(F.col("user_id"), bucket.alias("bucket6h"))
+        .agg(
+            F.count("*").alias("n_points"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+        )
+        .orderBy("user_id", "bucket6h")
+    )
+
+
+ANALYTICS_QUERIES["ts_minmax_decimation"] = q_ts_minmax_decimation
+ANALYTICS_ORACLES["ts_minmax_decimation"] = """
+SELECT user_id, (epoch_us(ts) // 1000) // 21600000 AS bucket6h,
+  count(*) AS n_points, min(value) AS v_min, max(value) AS v_max
+FROM events GROUP BY 1, 2 ORDER BY user_id, bucket6h
+"""
+
+
 def q_epoch_shuffle_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-epoch training order: each epoch re-shuffles the SAME kept
     set under a different seed (epoch number), deterministically — the
