@@ -184,3 +184,17 @@ def test_pagerank_bit_exact_across_partitionings(spark):
     assert r1 == r16 and len(r1) > 0
     scale = 10**12
     assert sum(rank for _, rank in r1) <= len(r1) * scale
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4 has exactly 4 triangles; adding a pendant vertex adds nodes and
+    edges but no triangles. Duplicate/reversed input edges must not
+    double-count, and the wedge/closure joins must plan as hash joins
+    (only the final 1-row stat assembly may be a broadcast nested loop)."""
+    from ufc_data_warehouse_spark.operators import graph
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noisy = k4 + [(b, a) for a, b in k4] + k4 + [(3, 9)]
+    df = spark.createDataFrame(noisy, "src long, dst long")
+    row = graph.triangle_count(df).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (5, 7, 4)

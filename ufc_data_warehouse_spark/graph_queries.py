@@ -77,10 +77,49 @@ def _pagerank_oracle() -> str:
     )
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census of the supplier co-purchase graph.
+
+    Edge = two suppliers fulfilling the same order. The per-order
+    supplier set is tiny (≤7 lineitems/order in the synthetic data), so
+    the pair-generation self-join on ``l_orderkey`` has bounded fan-out
+    — Σ C(k,2) over orders, never suppliers² — and the triangle count
+    itself runs degree-ordered (operators/graph.py::triangle_count), the
+    O(m^1.5) formulation that survives celebrity-vertex skew at crawl
+    scale. Triangle density is the standard community-structure signal
+    on co-occurrence graphs."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(b, F.col("a.o") == F.col("b.o")).where(
+        F.col("a.s") < F.col("b.s")
+    ).select(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+    return graph.triangle_count(edges)
+
+
+_TRIANGLE_ORACLE = """
+WITH p AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+e AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM p a JOIN p b ON a.o = b.o AND a.s < b.s
+),
+n AS (SELECT u AS node FROM e UNION SELECT v FROM e)
+SELECT (SELECT count(*) FROM n) AS n_nodes,
+       (SELECT count(*) FROM e) AS n_edges,
+       (SELECT count(*)
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+"""
+
+
 GRAPH_QUERIES: dict[str, Query] = {
     "graph_pagerank_top100": q_graph_pagerank,
+    "graph_triangle_census": q_graph_triangles,
 }
 
 GRAPH_ORACLES: dict[str, str] = {
     "graph_pagerank_top100": _pagerank_oracle(),
+    "graph_triangle_census": _TRIANGLE_ORACLE,
 }
