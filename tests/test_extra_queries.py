@@ -160,3 +160,32 @@ def test_stateful_query_on_rocksdb_state_store(spark):
             spark.conf.unset(conf)
         else:
             spark.conf.set(conf, saved)
+
+
+def test_prefix_filter_is_lossless_vs_exhaustive(spark):
+    """The prefix filter must reproduce the exhaustive token-Jaccard join
+    EXACTLY — it is a candidate-pruning rewrite, not an approximation.
+    Run both paths in Spark over the same corpus and compare pair sets."""
+    from pyspark.sql import functions as F
+
+    from ufc_data_warehouse_spark.extra_queries import _read
+    from ufc_data_warehouse_spark.operators import dedup
+
+    docs = _read(spark, SF_DIR, "documents")
+    fast = {
+        (r["id_a"], r["id_b"], r["shared"], r["union_size"])
+        for r in dedup.prefix_filter_pairs(docs, min_jaccard_pct=85).collect()
+    }
+    tok = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(
+            F.array_distinct(dedup.tokens(F.col("text")))
+        ).alias("shingle"),
+    ).where(F.col("shingle") != "")
+    slow = {
+        (r["id_a"], r["id_b"], r["shared"], r["union_size"])
+        for r in dedup.jaccard_pairs(tok, min_jaccard=0.0)
+        .where(F.lit(100) * F.col("shared") >= F.lit(85) * F.col("union_size"))
+        .collect()
+    }
+    assert fast == slow and len(fast) > 0

@@ -106,6 +106,17 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(sh, min_jaccard=0.2).orderBy("id_a", "id_b")
 
 
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-Jaccard join via lossless prefix filtering — the
+    deterministic complement to MinHash-LSH (operators/dedup.py::
+    prefix_filter_pairs). The oracle verifies exhaustively; prefix
+    filtering must reproduce it bit-for-bit."""
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.prefix_filter_pairs(docs, min_jaccard_pct=85).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return dedup.simhash(docs).orderBy("id")
@@ -1783,6 +1794,7 @@ EXTRA_QUERIES: dict[str, Query] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_prefix_filter": q_dedup_prefix_filter,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "text_token_stats": q_text_token_stats,
@@ -1943,6 +1955,25 @@ WITH {_SHINGLES_SQL.strip().lstrip(',')},
 {_JACCARD_CORE_SQL.strip().lstrip(',')}
 SELECT id_a, id_b, shared, union_size, jaccard
 FROM jac WHERE jaccard >= 0.2 ORDER BY id_a, id_b""",
+    "dedup_prefix_filter": f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id AS id, t.tok AS token
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) d,
+       unnest(toks) AS t(tok)
+  WHERE t.tok <> ''
+),
+sizes AS (SELECT id, count(*) AS n FROM tok GROUP BY id),
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+  FROM tok a JOIN tok b ON a.token = b.token AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT s.id_a, s.id_b, s.shared,
+  (na.n + nb.n - s.shared) AS union_size,
+  s.shared::DOUBLE / (na.n + nb.n - s.shared) AS jaccard
+FROM shared s JOIN sizes na ON s.id_a = na.id JOIN sizes nb ON s.id_b = nb.id
+WHERE 100 * s.shared >= 85 * (na.n + nb.n - s.shared)
+ORDER BY id_a, id_b""",
     "dedup_simhash": f"""
 WITH {_SIMHASH_SQL.strip().lstrip(',')}
 SELECT id, simhash FROM simhashes ORDER BY id""",

@@ -26,7 +26,7 @@ byte-for-byte.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -589,3 +589,72 @@ def blocked_edit_distance_pairs(
         .select("id_1", "id_2", bounded.alias("dist"))
         .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_jaccard_pct: int = 40,
+) -> DataFrame:
+    """EXACT token-Jaccard similarity join via prefix filtering
+    (Chaudhuri/Xiao et al., the PPJoin family) → (id_a, id_b, shared,
+    union_size, jaccard) for all pairs with Jaccard ≥ min_jaccard_pct/100.
+
+    Unlike MinHash-LSH (probabilistic candidate recall) the prefix filter
+    is LOSSLESS: order each doc's distinct tokens by ascending global
+    document frequency (rarest first), keep only the first
+    ``n − ⌈t·n⌉ + 1`` as its *prefix*, and two docs can reach Jaccard ≥ t
+    only if their prefixes share a token. The inverted-index join
+    therefore runs over rare tokens only — the Zipf head that dominates
+    a naive token⋈token join never enters the pair space.
+
+    All-integer thresholds: prefix length uses ``⌈t·n⌉ =
+    (t_pct·n + 99) DIV 100`` and the final filter is
+    ``100·shared ≥ t_pct·union`` — no float ceiling/compare at the
+    boundary, so the output is bit-identical to an exhaustive
+    verification in any engine. Shapes: token df is one map-combinable
+    agg; per-doc ordering is a keyed window on id; candidates and
+    verification hash on token / id keys throughout.
+    """
+    t = int(min_jaccard_pct)
+    tok = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .persist()
+    )
+    tdf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "token")
+    ranked = (
+        tok.join(tdf, "token")
+        .select(
+            "id",
+            "token",
+            F.row_number().over(w).alias("pos"),
+            F.count(F.lit(1)).over(Window.partitionBy("id")).alias("n"),
+        )
+    )
+    prefix = ranked.where(
+        F.col("pos") <= F.col("n") - F.expr(f"({t} * n + 99) DIV 100") + F.lit(1)
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    verified = jaccard_pairs(
+        tok.withColumnRenamed("token", "shingle"),
+        min_jaccard=0.0,
+        candidates=cands,
+    ).where(F.lit(100) * F.col("shared") >= F.lit(t) * F.col("union_size"))
+    out = verified.localCheckpoint(eager=True)
+    tok.unpersist()
+    return out
