@@ -224,6 +224,34 @@ SELECT source, rk::INT AS rk, id, score
 FROM ranked WHERE rk <= 30 ORDER BY source, rk"""
 
 
+def q_stratified_fixed_n_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 10 uniformly-chosen docs per source (seeded-hash order) —
+    the unbiased eval-holdout counterpart to the score-ranked quota.
+    Kept set is a pure function of (source, id, seed): identical under
+    reruns and any partitioning, which ``df.sample`` never guarantees."""
+    docs = _read(spark, sf_dir, "documents")
+    kept = training.fixed_n_per_key(
+        docs.select(F.col("doc_id").alias("id"), "source"),
+        n=10,
+        key_col="source",
+        id_col="id",
+        seed=7,
+    )
+    return kept.select("source", "rk", "id").orderBy("source", "rk")
+
+
+_STRATIFIED_SAMPLE_ORACLE = """
+WITH ranked AS (
+  SELECT source, doc_id AS id,
+    row_number() OVER (
+      PARTITION BY source ORDER BY md5('7:' || doc_id) ASC, doc_id ASC
+    ) AS rk
+  FROM documents
+)
+SELECT source, rk::INT AS rk, id
+FROM ranked WHERE rk <= 10 ORDER BY source, rk"""
+
+
 # ---------------------------------------------------------------------------
 # sharded export
 # ---------------------------------------------------------------------------
@@ -716,6 +744,7 @@ def build_registry(
         "text_pii_redaction": q_text_pii_redaction,
         "decontaminate_ngram_overlap": q_decontaminate_ngram_overlap,
         "quota_top_docs_per_source": q_quota_top_docs_per_source,
+        "stratified_fixed_n_sample": q_stratified_fixed_n_sample,
         "shard_assignment_counts": q_shard_assignment_counts,
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup_pairs": q_semantic_dedup_pairs,
@@ -736,6 +765,7 @@ def build_registry(
             shingles=shingles_sql.strip().lstrip(",")
         ),
         "quota_top_docs_per_source": _quota_oracle(norm_sql, toks_sql),
+        "stratified_fixed_n_sample": _STRATIFIED_SAMPLE_ORACLE,
         "shard_assignment_counts": _SHARD_ORACLE,
         "kmeans_clusters": _KMEANS_ORACLE,
         "semantic_dedup_pairs": _SEMANTIC_DEDUP_ORACLE,

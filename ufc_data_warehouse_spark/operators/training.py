@@ -199,6 +199,36 @@ def quota_top_per_source(
     )
 
 
+def fixed_n_per_key(
+    df: DataFrame,
+    n: int,
+    key_col: str = "source",
+    id_col: str = "id",
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic stratified sample: exactly ``min(n, |stratum|)``
+    uniformly-chosen rows per ``key_col``. The unbiased sibling of
+    ``quota_top_per_source``: where quota keeps the score-*best* N per
+    domain, this keeps a seeded-hash-*random* N — the eval-holdout /
+    inspection-sample shape where preferring high scores would bias the
+    sample.
+
+    Ordering by the seeded md5 of the id makes the kept set a pure
+    function of (key, id, seed): stable under reruns, retries and any
+    partitioning — ``df.sample`` guarantees none of those, and guarantees
+    no per-stratum count at all. One keyed window = one shuffle on the
+    stratum key; same hot-key note as ``quota_top_per_source``.
+    """
+    h = _seeded_hash(F.col(id_col), seed)
+    w = Window.partitionBy(key_col).orderBy(F.asc("sample_key"), F.asc(id_col))
+    return (
+        df.withColumn("sample_key", h)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n)
+        .drop("sample_key")
+    )
+
+
 def shard_assignments(
     df: DataFrame, id_col: str, n_shards: int, seed: int = 42
 ) -> DataFrame:
