@@ -1600,3 +1600,147 @@ ANALYTICS_ORACLES["sdp_daily_type_rollup"] = """
 SELECT event_type, (epoch_us(ts) // 86400000000) AS epoch_day,
   count(*) AS n, sum(value::DECIMAL(18,4))::DOUBLE AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY event_type, epoch_day"""
+
+
+def q_chi_square_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of the (source, lang) contingency
+    table — the drift/association check a curation pipeline runs before
+    trusting a per-source language mix.
+
+    Exact-arithmetic discipline: each cell's χ² contribution
+    ``(obs − exp)²/exp`` is emitted as an exact integer ratio —
+    ``chi_num = (obs·N − rowtot·coltot)²``, ``chi_den = N·rowtot·coltot``
+    (the identity (obs − rt·ct/N)²/(rt·ct/N) = num/(N·rt·ct)) — so no
+    float division or float SUM ever happens engine-side and results are
+    bit-identical everywhere; the consumer divides. DECIMAL(38,0) holds
+    the square to ~1e19-row tables. Zero cells are included (full
+    dim×dim cross of the two TINY category dimensions — broadcast,
+    bounded by category cardinalities, never by the fact table); the
+    fact table itself is touched by exactly one groupBy."""
+    docs = _read(spark, sf_dir, "documents").select("source", "lang")
+    obs = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n_obs"))
+    rt = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_row"))
+    ct = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_col"))
+    tot = docs.agg(F.count(F.lit(1)).alias("n"))
+    cells = (
+        rt.crossJoin(ct)
+        .join(obs, ["source", "lang"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
+            "n_row",
+            "n_col",
+            "n",
+        )
+    )
+    diff = (F.col("n_obs") * F.col("n") - F.col("n_row") * F.col("n_col"))
+    d38 = diff.cast("decimal(38,0)")
+    return cells.select(
+        "source",
+        "lang",
+        "n_obs",
+        (d38 * d38).cast("double").alias("chi_num"),
+        (
+            F.col("n").cast("decimal(38,0)")
+            * F.col("n_row")
+            * F.col("n_col")
+        ).cast("double").alias("chi_den"),
+    ).orderBy("source", "lang")
+
+
+ANALYTICS_QUERIES["chi_square_source_lang"] = q_chi_square_source_lang
+ANALYTICS_ORACLES["chi_square_source_lang"] = """
+WITH obs AS (
+  SELECT source, lang, count(*) AS n_obs FROM documents GROUP BY 1, 2
+),
+rt AS (SELECT source, count(*) AS n_row FROM documents GROUP BY 1),
+ct AS (SELECT lang, count(*) AS n_col FROM documents GROUP BY 1),
+tot AS (SELECT count(*) AS n FROM documents),
+cells AS (
+  SELECT r.source, c.lang, coalesce(o.n_obs, 0) AS n_obs,
+         r.n_row, c.n_col, t.n
+  FROM rt r CROSS JOIN ct c
+  LEFT JOIN obs o ON o.source = r.source AND o.lang = c.lang
+  CROSS JOIN tot t
+)
+SELECT source, lang, n_obs,
+  ((n_obs * n - n_row * n_col)::HUGEINT
+   * (n_obs * n - n_row * n_col))::DOUBLE AS chi_num,
+  (n::HUGEINT * n_row * n_col)::DOUBLE AS chi_den
+FROM cells ORDER BY source, lang
+"""
+
+
+def q_rank_family_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full SQL ranking-function family over one keyed window —
+    rank, percent_rank, cume_dist, ntile — per order-priority partition,
+    price-ordered with the orderkey tiebreaker making every ranking
+    deterministic. percent_rank/cume_dist are each ONE float division of
+    exact integers (correctly rounded everywhere), so even the float
+    columns compare bit-identically cross-engine. One shuffle on the
+    partition key; each partition ranks independently (no global sort)."""
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    ).orderBy("o_orderpriority", "rnk")
+
+
+ANALYTICS_QUERIES["rank_family_orders"] = q_rank_family_orders
+ANALYTICS_ORACLES["rank_family_orders"] = """
+SELECT o_orderpriority, o_orderkey,
+  rank() OVER w AS rnk,
+  percent_rank() OVER w AS pct_rank,
+  cume_dist() OVER w AS cume,
+  ntile(4) OVER w AS quartile
+FROM orders
+WINDOW w AS (
+  PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC
+)
+ORDER BY o_orderpriority, rnk
+"""
+
+
+def q_table_checksum_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksums of two tables in one result —
+    the cross-system reconciliation artifact (validation.py::
+    table_checksum): a migration compares one fingerprint row per side
+    instead of shipping either table."""
+    from .validation import table_checksum
+
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    a = table_checksum(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+         "o_orderdate", "o_totalprice"],
+    ).select(F.lit("orders").alias("tbl"), "n_rows", "checksum")
+    b = table_checksum(
+        cust, ["c_custkey", "c_name", "c_nationkey", "c_acctbal"]
+    ).select(F.lit("customer").alias("tbl"), "n_rows", "checksum")
+    return a.unionByName(b).orderBy("tbl")
+
+
+ANALYTICS_QUERIES["table_checksum_reconciliation"] = q_table_checksum_reconciliation
+ANALYTICS_ORACLES["table_checksum_reconciliation"] = """
+SELECT 'orders' AS tbl, count(*) AS n_rows,
+  (sum(('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey,
+    o_orderstatus, o_orderpriority, o_orderdate, o_totalprice)),
+    1, 15))::BIGINT)::HUGEINT % 1152921504606846976)::BIGINT AS checksum
+FROM orders
+UNION ALL
+SELECT 'customer', count(*),
+  (sum(('0x' || substr(md5(concat_ws('|', c_custkey, c_name, c_nationkey,
+    c_acctbal)), 1, 15))::BIGINT)::HUGEINT % 1152921504606846976)::BIGINT
+FROM customer
+ORDER BY tbl
+"""

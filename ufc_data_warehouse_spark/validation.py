@@ -156,3 +156,35 @@ def pii_column_scan(df, columns: list[str] | None = None):
     return spark.createDataFrame(
         rows, "column string, kind string, n_matches long, n_rows long"
     )
+
+
+def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Order-independent content fingerprint → one row
+    ``(n_rows, checksum)``.
+
+    Per-row hash = the first 15 hex chars of md5 over the ``'|'``-joined
+    column values (60 bits), summed as DECIMAL(38,0) — an integer sum is
+    commutative/associative, so the fingerprint is identical for any row
+    order, partitioning, or engine: the cheap cross-system
+    reconciliation check for a migration or a publish gate (compare one
+    row per side instead of shipping either table). Map-side combinable:
+    one partial-agg pass, no shuffle beyond the 1-row final merge.
+    Caveat: ``concat_ws`` skips NULLs in both engines, so (a,NULL,b) and
+    (a,'b') can collide — feed ``coalesce``d columns if NULL/empty
+    distinction matters for the table being fingerprinted.
+    """
+    row_hash = F.conv(
+        F.substring(F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols])), 1, 15),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    total = F.sum(row_hash)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        # fold the exact DECIMAL sum into 60 bits: int64-clean in every
+        # client (a DECIMAL(38) survives engines but not every dataframe
+        # bridge; DuckDB's pandas bridge floats it, losing exactness)
+        (total % F.lit(1152921504606846976).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("checksum"),
+    )
