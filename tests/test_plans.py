@@ -106,3 +106,19 @@ def test_shared_subplan_reuses_exchange(spark):
     plan = u._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "ReusedExchange" in plan
+
+
+def test_prefix_filter_plans_as_hash_joins(spark):
+    """Candidate generation and verification must be hash equi-joins on
+    token/id keys — never a cartesian pair enumeration."""
+    from tests.conftest import SF_DIR
+    from ufc_data_warehouse_spark.extra_queries import q_dedup_prefix_filter
+
+    plan = (
+        q_dedup_prefix_filter(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -650,11 +650,12 @@ def prefix_filter_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    verified = jaccard_pairs(
+    # tok stays persisted for the session (same discipline as the LSH
+    # pipeline's shingle/candidate frames): the verify path references it
+    # three times, and an eager checkpoint here would hide the plan from
+    # callers and force materialization at build time
+    return jaccard_pairs(
         tok.withColumnRenamed("token", "shingle"),
         min_jaccard=0.0,
         candidates=cands,
     ).where(F.lit(100) * F.col("shared") >= F.lit(t) * F.col("union_size"))
-    out = verified.localCheckpoint(eager=True)
-    tok.unpersist()
-    return out
