@@ -174,7 +174,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .crossJoin(closed.agg(F.count(F.lit(1)).alias("n_triangles")))
         .select("n_nodes", "n_edges", "n_triangles")
     )
-    rows = out.localCheckpoint(eager=True)
-    e.unpersist()
-    directed.unpersist()
-    return rows
+    # e/directed stay persisted for the session (each is referenced by
+    # two downstream paths); returning the lazy plan keeps execution in
+    # the caller's hands and the plan visible to audits
+    return out
