@@ -198,3 +198,25 @@ def test_triangle_count_known_graphs(spark):
     df = spark.createDataFrame(noisy, "src long, dst long")
     row = graph.triangle_count(df).collect()[0]
     assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (5, 7, 4)
+
+
+def test_kcore_peeling_cascades(spark):
+    """Path a-b-c-d hanging off a K4: with k=2 the path must peel one hop
+    per round (a, then b, then c) — after 3 rounds only the K4 remains,
+    every member at degree 3. One round must NOT be enough (the cascade
+    is why k-core needs iteration at all)."""
+    from ufc_data_warehouse_spark.operators import graph
+
+    edges = [(0, 1), (1, 2), (2, 3)] + [
+        (a, b) for a in (3, 4, 5, 6) for b in (3, 4, 5, 6) if a < b
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    full = {
+        (r["node"], r["core_degree"])
+        for r in graph.kcore_nodes(df, k=2, rounds=3).collect()
+    }
+    assert full == {(3, 3), (4, 3), (5, 3), (6, 3)}
+    shallow = {
+        r["node"] for r in graph.kcore_nodes(df, k=2, rounds=1).collect()
+    }
+    assert shallow == {1, 2, 3, 4, 5, 6}

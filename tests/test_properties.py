@@ -135,3 +135,45 @@ def test_interpolation_invariants_property(spark):
                 assert lo - 1e-9 <= r["value_interp"] <= hi + 1e-9
 
     check()
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_triangle_count_matches_bruteforce(spark, edge_list):
+    """Degree-ordered wedge counting == O(n³) brute force on arbitrary
+    small graphs (dups, self-loops, reversed edges included)."""
+    from itertools import combinations
+
+    from ufc_data_warehouse_spark.operators import graph
+
+    adj: set[tuple[int, int]] = set()
+    for a, b in edge_list:
+        if a != b:
+            adj.add((min(a, b), max(a, b)))
+    nodes = sorted({x for e in adj for x in e})
+    expected = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in adj and (b, c) in adj and (a, c) in adj
+    )
+    df = spark.createDataFrame(edge_list or [(0, 0)], "src long, dst long")
+    rows = graph.triangle_count(df).collect()
+    if not adj:
+        assert rows == [] or rows[0]["n_edges"] == 0
+        return
+    got = rows[0]
+    assert (got["n_nodes"], got["n_edges"], got["n_triangles"]) == (
+        len(nodes),
+        len(adj),
+        expected,
+    )

@@ -114,12 +114,64 @@ SELECT (SELECT count(*) FROM n) AS n_nodes,
 """
 
 
+_KCORE_K = 10
+_KCORE_ROUNDS = 3
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the (symmetrized) customer–supplier purchase graph:
+    the densification filter that keeps mutually-well-connected
+    customers/suppliers (crawl-graph analog: peel spam/leaf pages).
+    Deterministic fixed-round peel — the oracle replays it unrolled."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + F.lit(_SUPP_OFFSET)).alias("dst"),
+    )
+    return graph.kcore_nodes(
+        edges, k=_KCORE_K, rounds=_KCORE_ROUNDS
+    ).orderBy("node")
+
+
+def _kcore_oracle() -> str:
+    ctes = [
+        f"""e AS (
+  SELECT DISTINCT o_custkey AS u, l_suppkey + {_SUPP_OFFSET} AS v
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)""",
+        """a0 AS (SELECT u, v FROM e UNION SELECT v, u FROM e)""",
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        ctes.append(
+            f"""k{r} AS (
+  SELECT u AS node FROM a{r - 1} GROUP BY u HAVING count(*) >= {_KCORE_K}
+)"""
+        )
+        ctes.append(
+            f"""a{r} AS (
+  SELECT a.u, a.v FROM a{r - 1} a
+  JOIN k{r} ku ON a.u = ku.node JOIN k{r} kv ON a.v = kv.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT u AS node, count(*) AS core_degree FROM a{_KCORE_ROUNDS}"
+        + "\nGROUP BY u ORDER BY node"
+    )
+
+
 GRAPH_QUERIES: dict[str, Query] = {
     "graph_pagerank_top100": q_graph_pagerank,
     "graph_triangle_census": q_graph_triangles,
+    "graph_kcore_nodes": q_graph_kcore,
 }
 
 GRAPH_ORACLES: dict[str, str] = {
     "graph_pagerank_top100": _pagerank_oracle(),
     "graph_triangle_census": _TRIANGLE_ORACLE,
+    "graph_kcore_nodes": _kcore_oracle(),
 }

@@ -178,3 +178,51 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     # two downstream paths); returning the lazy plan keeps execution in
     # the caller's hands and the plan visible to audits
     return out
+
+
+def kcore_nodes(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core membership after ``rounds`` peeling iterations →
+    ``(node, core_degree)``.
+
+    Iterative peel: drop every node with degree < k, remove its edges,
+    repeat — the classic crawl-graph densification filter (k-core keeps
+    the mutually-well-connected region; spam/leaf pages peel away).
+    A FIXED round count keeps the operator deterministic and lets a SQL
+    oracle replay it as unrolled CTEs; callers size ``rounds`` to the
+    cascade depth they need (each round is one keyed agg + two hash
+    semi-joins — shuffles on node keys only, no fan-out). Per-round
+    ``localCheckpoint`` truncates lineage exactly as in ``pagerank``.
+    The input is treated as undirected: edges are symmetrized before
+    peeling, so ``degree`` means distinct-neighbor count.
+    """
+    u, v = F.col(src).cast("long"), F.col(dst).cast("long")
+    half = edges.select(u.alias("u"), v.alias("v")).where(
+        F.col("u") != F.col("v")
+    )
+    alive = (
+        half.unionByName(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        keep = (
+            alive.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= k)
+            .select(F.col("u").alias("node"))
+        )
+        alive = (
+            alive.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return alive.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("core_degree")
+    )
