@@ -1744,3 +1744,91 @@ SELECT 'customer', count(*),
 FROM customer
 ORDER BY tbl
 """
+
+
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style last-touch attribution: each purchase is credited
+    to the same user's most recent PRECEDING touch event (click/view/
+    signup) within a 7-day lookback, else 'unattributed'; revenue rolls
+    up per channel.
+
+    Zero-join shape: ONE keyed window (user, ts-ordered with event_id
+    tiebreak) carries the last touch forward via last(ignorenulls) over
+    an UNBOUNDED..1 PRECEDING frame — touch ts and type are CASE-nulled
+    on exactly the same rows, so both always come from the same touch
+    row. No event×touch join, no pair blow-up; then one channel agg.
+    Revenue is exact integer cents (floor(value·100))."""
+    ev = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("click", "view", "signup")
+    touch_ts = F.last(F.when(is_touch, F.col("ts")), ignorenulls=True).over(w)
+    touch_type = F.last(
+        F.when(is_touch, F.col("event_type")), ignorenulls=True
+    ).over(w)
+    purchases = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            "value",
+            touch_ts.alias("t_ts"),
+            touch_type.alias("t_type"),
+        )
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("t_ts").isNotNull()
+                & (
+                    F.unix_millis(F.col("ts").cast("timestamp"))
+                    - F.unix_millis(F.col("t_ts").cast("timestamp"))
+                    <= 7 * 86400 * 1000
+                ),
+                F.col("t_type"),
+            )
+            .otherwise(F.lit("unattributed"))
+            .alias("channel"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    return (
+        purchases.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .orderBy("channel")
+    )
+
+
+ANALYTICS_QUERIES["last_touch_attribution"] = q_last_touch_attribution
+ANALYTICS_ORACLES["last_touch_attribution"] = """
+WITH t AS (
+  SELECT user_id, ts, event_id, event_type, value,
+    last_value(CASE WHEN event_type IN ('click','view','signup')
+                    THEN ts END IGNORE NULLS)
+      OVER w AS t_ts,
+    last_value(CASE WHEN event_type IN ('click','view','signup')
+                    THEN event_type END IGNORE NULLS)
+      OVER w AS t_type
+  FROM events
+  WINDOW w AS (
+    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  )
+),
+p AS (
+  SELECT CASE WHEN t_ts IS NOT NULL
+              AND epoch_ms(ts::TIMESTAMP) - epoch_ms(t_ts::TIMESTAMP)
+                  <= 7 * 86400 * 1000
+              THEN t_type ELSE 'unattributed' END AS channel,
+         floor(value * 100)::BIGINT AS cents
+  FROM t WHERE event_type = 'purchase'
+)
+SELECT channel, count(*) AS n_purchases, sum(cents)::BIGINT AS revenue_cents
+FROM p GROUP BY channel ORDER BY channel
+"""
