@@ -2983,3 +2983,57 @@ SELECT event_type, count(*) AS n,
   sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
   max(json_extract(props, '$.k')::BIGINT) AS max_k
 FROM events GROUP BY event_type ORDER BY event_type"""
+
+
+def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: ordered pairs where ≥90% of doc A's
+    distinct tokens appear in doc B — the subset/quote-expansion case
+    Jaccard misses (a short doc embedded in a long one scores low
+    symmetric Jaccard but 100% containment). Integer threshold
+    (100·shared ≥ 90·|A|) keeps the boundary engine-exact. Scale path:
+    restrict to LSH/prefix-filter candidates exactly as jaccard_pairs
+    does — the exhaustive token join here is the oracle-sized verify."""
+    docs = _read(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.array_distinct(dedup.tokens(F.col("text")))).alias("token"),
+    ).where(F.col("token") != "")
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = tok.alias("a"), tok.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .where(F.lit(100) * F.col("shared") >= F.lit(90) * F.col("n_a"))
+        .select("id_a", "id_b", "shared", "n_a")
+        .orderBy("id_a", "id_b")
+    )
+
+
+EXTRA_QUERIES["dedup_containment_pairs"] = q_dedup_containment_pairs
+EXTRA_ORACLES["dedup_containment_pairs"] = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id AS id, t.tok AS token
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) d,
+       unnest(toks) AS t(tok)
+  WHERE t.tok <> ''
+),
+sizes AS (SELECT id, count(*) AS n FROM tok GROUP BY id),
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+  FROM tok a JOIN tok b ON a.token = b.token AND a.id <> b.id
+  GROUP BY a.id, b.id
+)
+SELECT s.id_a, s.id_b, s.shared, z.n AS n_a
+FROM shared s JOIN sizes z ON s.id_a = z.id
+WHERE 100 * s.shared >= 90 * z.n
+ORDER BY id_a, id_b
+"""
