@@ -745,6 +745,7 @@ def build_registry(
         "decontaminate_ngram_overlap": q_decontaminate_ngram_overlap,
         "quota_top_docs_per_source": q_quota_top_docs_per_source,
         "stratified_fixed_n_sample": q_stratified_fixed_n_sample,
+        "feature_hashing_sparse": q_feature_hashing,
         "shard_assignment_counts": q_shard_assignment_counts,
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup_pairs": q_semantic_dedup_pairs,
@@ -766,6 +767,7 @@ def build_registry(
         ),
         "quota_top_docs_per_source": _quota_oracle(norm_sql, toks_sql),
         "stratified_fixed_n_sample": _STRATIFIED_SAMPLE_ORACLE,
+        "feature_hashing_sparse": _FEATURE_HASH_ORACLE,
         "shard_assignment_counts": _SHARD_ORACLE,
         "kmeans_clusters": _KMEANS_ORACLE,
         "semantic_dedup_pairs": _SEMANTIC_DEDUP_ORACLE,
@@ -792,3 +794,42 @@ ORDER BY id_a, id_b""",
         "pii_column_scan": _pii_scan_oracle(),
     }
     return queries, oracles
+
+
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurizer: each doc's distinct tokens hash into 64
+    buckets (first 7 hex chars of md5 → int % 64 — cross-engine-identical
+    and vocabulary-free, the point of feature hashing: no global vocab
+    build, no OOV), emitted as sparse (doc, bucket, count) features.
+    Map-side explode + one keyed agg; bucket space is fixed so the
+    output width never grows with the corpus."""
+    docs = _read(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.array_distinct(dedup.tokens(F.col("text")))).alias("token"),
+    ).where(F.col("token") != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 7), 16, 10)
+        .cast("long") % 64
+    ).alias("bucket")
+    return (
+        tok.select("id", bucket)
+        .groupBy("id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+        .orderBy("id", "bucket")
+    )
+
+
+_FEATURE_HASH_ORACLE = """
+WITH tok AS (
+  SELECT DISTINCT doc_id AS id, t.tok AS token
+  FROM (SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents) d,
+       unnest(toks) AS t(tok)
+  WHERE t.tok <> ''
+)
+SELECT id, ('0x' || substr(md5(token), 1, 7))::BIGINT % 64 AS bucket,
+  count(*) AS n_tokens
+FROM tok GROUP BY id, bucket ORDER BY id, bucket
+"""
