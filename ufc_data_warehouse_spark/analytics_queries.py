@@ -1832,3 +1832,48 @@ p AS (
 SELECT channel, count(*) AS n_purchases, sum(cents)::BIGINT AS revenue_cents
 FROM p GROUP BY channel ORDER BY channel
 """
+
+
+def q_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of event_type against integer-cent
+    revenue — the categorical-feature encoder that avoids self-leakage:
+    each row's encoding is the category mean EXCLUDING itself,
+    ``(Σcents − own) / (n − 1)``. Emitted as exact integer num/den (the
+    repo's chi-square discipline: the consumer divides; no float mean is
+    ever summed engine-side). One whole-partition window on the category
+    key — no orderBy, so the frame is the full partition and there is
+    exactly ONE keyed exchange; singleton categories get NULL num/den
+    (den would be 0), spelled identically in the oracle."""
+    ev = _read(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("event_type")
+    base = ev.select(
+        "event_id",
+        "event_type",
+        cents.alias("cents"),
+        F.sum(cents).over(w).alias("cat_sum"),
+        F.count(F.lit(1)).over(w).alias("cat_n"),
+    )
+    ok = F.col("cat_n") > 1
+    return base.select(
+        "event_id",
+        "event_type",
+        "cents",
+        F.when(ok, F.col("cat_sum") - F.col("cents")).alias("loo_num"),
+        F.when(ok, F.col("cat_n") - 1).alias("loo_den"),
+    ).orderBy("event_id")
+
+
+ANALYTICS_QUERIES["target_encoding_loo"] = q_target_encoding_loo
+ANALYTICS_ORACLES["target_encoding_loo"] = """
+WITH base AS (
+  SELECT event_id, event_type, floor(value * 100)::BIGINT AS cents,
+    sum(floor(value * 100)::BIGINT) OVER (PARTITION BY event_type) AS cat_sum,
+    count(*) OVER (PARTITION BY event_type) AS cat_n
+  FROM events
+)
+SELECT event_id, event_type, cents,
+  CASE WHEN cat_n > 1 THEN cat_sum - cents END::BIGINT AS loo_num,
+  CASE WHEN cat_n > 1 THEN cat_n - 1 END::BIGINT AS loo_den
+FROM base ORDER BY event_id
+"""
