@@ -1877,3 +1877,59 @@ SELECT event_id, event_type, cents,
   CASE WHEN cat_n > 1 THEN cat_n - 1 END::BIGINT AS loo_den
 FROM base ORDER BY event_id
 """
+
+
+def q_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization: clip integer-cent values at the
+    [p01, p99] exact percentiles (bounds floored/ceiled to ints so the
+    clip compare is integer-exact), then report clip counts and the
+    winsorized sum — the outlier-robust metric prep that keeps the
+    aggregate exact (clipped values are BIGINTs; no float sum).
+    Two-pass shape: per-key percentile agg (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``, bit-identical) broadcast back onto the
+    fact rows; both passes hash on the same key."""
+    ev = _read(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    base = ev.select("event_type", cents.alias("cents"))
+    bounds = base.groupBy("event_type").agg(
+        F.floor(F.expr("percentile(cents, 0.01D)")).cast("long").alias("lo"),
+        F.ceil(F.expr("percentile(cents, 0.99D)")).cast("long").alias("hi"),
+    )
+    joined = base.join(F.broadcast(bounds), "event_type")
+    clipped = F.greatest(F.least(F.col("cents"), F.col("hi")), F.col("lo"))
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("lo").alias("lo"),
+            F.min("hi").alias("hi"),
+            F.sum(F.when(F.col("cents") < F.col("lo"), 1).otherwise(0)).alias(
+                "n_clipped_low"
+            ),
+            F.sum(F.when(F.col("cents") > F.col("hi"), 1).otherwise(0)).alias(
+                "n_clipped_high"
+            ),
+            F.sum(clipped).alias("winsorized_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ANALYTICS_QUERIES["winsorized_value_stats"] = q_winsorized_value_stats
+ANALYTICS_ORACLES["winsorized_value_stats"] = """
+WITH base AS (
+  SELECT event_type, floor(value * 100)::BIGINT AS cents FROM events
+),
+bounds AS (
+  SELECT event_type,
+    floor(quantile_cont(cents, 0.01))::BIGINT AS lo,
+    ceil(quantile_cont(cents, 0.99))::BIGINT AS hi
+  FROM base GROUP BY event_type
+)
+SELECT b.event_type, count(*) AS n, min(lo)::BIGINT AS lo, min(hi)::BIGINT AS hi,
+  sum(CASE WHEN cents < lo THEN 1 ELSE 0 END)::BIGINT AS n_clipped_low,
+  sum(CASE WHEN cents > hi THEN 1 ELSE 0 END)::BIGINT AS n_clipped_high,
+  sum(greatest(least(cents, hi), lo))::BIGINT AS winsorized_cents
+FROM base b JOIN bounds USING (event_type)
+GROUP BY b.event_type ORDER BY b.event_type
+"""
