@@ -341,7 +341,7 @@ GROUP BY l.k ORDER BY l.k ASC NULLS LAST""",
         # keyed by that literal.
         "map_props_key_stats": """
 SELECT 'k' AS key, count(*) AS n,
-  sum(json_extract(props, '$.k')::BIGINT) AS sum_val,
+  sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_val,
   min(json_extract(props, '$.k')::BIGINT) AS min_val,
   max(json_extract(props, '$.k')::BIGINT) AS max_val
 FROM events WHERE json_extract(props, '$.k') IS NOT NULL
@@ -416,7 +416,7 @@ swept AS (
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open_now
   FROM pts
 )
-SELECT user_id, max(open_now) AS max_concurrent,
+SELECT user_id, max(open_now)::BIGINT AS max_concurrent,
   (count(*) / 2)::BIGINT AS n_intervals
 FROM swept GROUP BY user_id ORDER BY user_id"""
 

@@ -2980,7 +2980,7 @@ EXTRA_QUERIES["variant_props_stats"] = q_variant_props_stats
 EXTRA_ORACLES["variant_props_stats"] = """
 SELECT event_type, count(*) AS n,
   count(json_extract(props, '$.k')) AS n_with_k,
-  sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+  sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
   max(json_extract(props, '$.k')::BIGINT) AS max_k
 FROM events GROUP BY event_type ORDER BY event_type"""
 
