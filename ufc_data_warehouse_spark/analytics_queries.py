@@ -1933,3 +1933,44 @@ SELECT b.event_type, count(*) AS n, min(lo)::BIGINT AS lo, min(hi)::BIGINT AS hi
 FROM base b JOIN bounds USING (event_type)
 GROUP BY b.event_type ORDER BY b.event_type
 """
+
+
+def q_rolling_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day — the metric SQL windows can't
+    express (COUNT(DISTINCT) is illegal in a window frame). Standard
+    rewrite: dedupe to (user, day), explode each into the 7 target days
+    it keeps the user active for (bounded ×7 fan-out of an
+    already-deduped frame — never of raw events), dedupe pairs, count.
+    Exact, integer, and two keyed shuffles regardless of event volume."""
+    ev = _read(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date(F.col("ts").cast("timestamp")).alias("day")
+    ).distinct()
+    pairs = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.expr("sequence(day, date_add(day, 6))")
+            ).alias("active_day"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.groupBy("active_day")
+        .agg(F.count(F.lit(1)).alias("active_users_7d"))
+        .orderBy("active_day")
+    )
+
+
+ANALYTICS_QUERIES["rolling_active_users_7d"] = q_rolling_active_users_7d
+ANALYTICS_ORACLES["rolling_active_users_7d"] = """
+WITH ud AS (
+  SELECT DISTINCT user_id, ts::TIMESTAMP::DATE AS day FROM events
+),
+pairs AS (
+  SELECT DISTINCT user_id, day + x::INT AS active_day
+  FROM ud, unnest(generate_series(0, 6)) t(x)
+)
+SELECT active_day, count(*) AS active_users_7d
+FROM pairs GROUP BY active_day ORDER BY active_day
+"""
