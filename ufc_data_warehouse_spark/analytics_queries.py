@@ -1974,3 +1974,62 @@ pairs AS (
 SELECT active_day, count(*) AS active_users_7d
 FROM pairs GROUP BY active_day ORDER BY active_day
 """
+
+
+def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ratio_to_report: each nation's share of its region's revenue —
+    share-of-parent in one pass via a whole-partition window over the
+    aggregated (not raw) frame: the fact table reduces to ≤nations rows
+    BEFORE the window, so the share computation is free. Revenue is the
+    exact DECIMAL sum; the share is ONE division of two exact sums
+    (correctly rounded everywhere)."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    rev = F.sum(
+        (
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+        ).cast("decimal(38,8)")
+    )
+    per_nation = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(rev.alias("revenue"))
+    )
+    w = Window.partitionBy("r_name")
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        F.col("revenue").cast("double").alias("revenue"),
+        (
+            F.col("revenue").cast("double")
+            / F.sum("revenue").over(w).cast("double")
+        ).alias("region_share"),
+    ).orderBy("r_name", "n_name")
+
+
+ANALYTICS_QUERIES["nation_revenue_share"] = q_nation_revenue_share
+ANALYTICS_ORACLES["nation_revenue_share"] = """
+WITH per_nation AS (
+  SELECT r_name, n_name,
+    sum((l_extendedprice::DECIMAL(18,4)
+         * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4)))::DECIMAL(38,8))
+      AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT r_name, n_name, revenue::DOUBLE AS revenue,
+  (revenue::DOUBLE / (sum(revenue) OVER (PARTITION BY r_name))::DOUBLE)
+    AS region_share
+FROM per_nation ORDER BY r_name, n_name
+"""
