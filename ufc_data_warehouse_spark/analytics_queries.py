@@ -2033,3 +2033,59 @@ SELECT r_name, n_name, revenue::DOUBLE AS revenue,
     AS region_share
 FROM per_nation ORDER BY r_name, n_name
 """
+
+
+def q_set_ops_customer_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT surface (absent from the reference, table
+    stakes for an engine): customers ordering in 1996 vs 1997 classified
+    as retained (both years), churned (1996 only), or new (1997 only).
+    Spark's intersect/exceptAll plan as hash left-semi/anti joins after
+    aggregation — each side is the ≤|customers| distinct frame, so the
+    set op never touches raw orders twice."""
+    orders = _read(spark, sf_dir, "orders")
+    year = F.year(F.col("o_orderdate").cast("timestamp"))
+    y96 = orders.where(year == 1996).select("o_custkey").distinct()
+    y97 = orders.where(year == 1997).select("o_custkey").distinct()
+    lab = lambda df, name: df.select(  # noqa: E731
+        F.lit(name).alias("cohort"), F.col("o_custkey")
+    )
+    out = (
+        lab(y96.intersect(y97), "retained")
+        .unionByName(lab(y96.exceptAll(y97), "churned"))
+        .unionByName(lab(y97.exceptAll(y96), "new"))
+    )
+    return (
+        out.groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("o_custkey").alias("min_custkey"),
+            F.max("o_custkey").alias("max_custkey"),
+        )
+        .orderBy("cohort")
+    )
+
+
+ANALYTICS_QUERIES["set_ops_customer_years"] = q_set_ops_customer_years
+ANALYTICS_ORACLES["set_ops_customer_years"] = """
+WITH y96 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE year(o_orderdate::TIMESTAMP) = 1996
+),
+y97 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE year(o_orderdate::TIMESTAMP) = 1997
+),
+labeled AS (
+  SELECT 'retained' AS cohort, o_custkey
+  FROM (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97)
+  UNION ALL
+  SELECT 'churned', o_custkey
+  FROM (SELECT o_custkey FROM y96 EXCEPT ALL SELECT o_custkey FROM y97)
+  UNION ALL
+  SELECT 'new', o_custkey
+  FROM (SELECT o_custkey FROM y97 EXCEPT ALL SELECT o_custkey FROM y96)
+)
+SELECT cohort, count(*) AS n_customers,
+  min(o_custkey) AS min_custkey, max(o_custkey) AS max_custkey
+FROM labeled GROUP BY cohort ORDER BY cohort
+"""
