@@ -2089,3 +2089,83 @@ SELECT cohort, count(*) AS n_customers,
   min(o_custkey) AS min_custkey, max(o_custkey) AS max_custkey
 FROM labeled GROUP BY cohort ORDER BY cohort
 """
+
+
+def q_argmax_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-event value per user via struct-argmax: ``max(struct(ts,
+    event_id, …payload))`` — lexicographic struct ordering makes the max
+    carry its whole row, and the tiebreak (event_id) inside the struct
+    makes ties deterministic where bare ``max_by`` isn't. This is the
+    map-side-combinable alternative to the row_number window: ONE
+    partial-aggregating shuffle of ≤1 row per (partition, user), versus
+    a window's full sort of every event. The oracle replays it as the
+    equivalent ranked window."""
+    ev = _read(spark, sf_dir, "events")
+    top = F.max(
+        F.struct(
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("event_id").alias("event_id"),
+            F.col("event_type").alias("event_type"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    ).alias("m")
+    return (
+        ev.groupBy("user_id")
+        .agg(top)
+        .select(
+            "user_id",
+            F.col("m.event_id").alias("last_event_id"),
+            F.col("m.event_type").alias("last_event_type"),
+            F.col("m.cents").alias("last_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ANALYTICS_QUERIES["argmax_latest_event"] = q_argmax_latest_event
+ANALYTICS_ORACLES["argmax_latest_event"] = """
+WITH ranked AS (
+  SELECT user_id, event_id, event_type,
+    floor(value * 100)::BIGINT AS cents,
+    row_number() OVER (
+      PARTITION BY user_id ORDER BY ts::TIMESTAMP DESC, event_id DESC
+    ) AS rk
+  FROM events
+)
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+  cents AS last_cents
+FROM ranked WHERE rk = 1 ORDER BY user_id
+"""
+
+
+def q_grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (not the rollup/cube lattice): per-priority,
+    per-status, and grand-total order stats in ONE Expand + ONE shuffle —
+    three separate GROUP BYs would scan and shuffle the fact three times.
+    grouping_id disambiguates the null-keyed subtotal rows from real
+    NULL keys."""
+    orders = _read(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        """
+SELECT o_orderpriority, o_orderstatus,
+  grouping__id AS gid,
+  count(*) AS n_orders,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM gs_orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+ORDER BY gid, o_orderpriority, o_orderstatus
+"""
+    )
+
+
+ANALYTICS_QUERIES["grouping_sets_order_stats"] = q_grouping_sets_order_stats
+ANALYTICS_ORACLES["grouping_sets_order_stats"] = """
+SELECT o_orderpriority, o_orderstatus,
+  grouping(o_orderpriority, o_orderstatus) AS gid,
+  count(*) AS n_orders,
+  sum(o_totalprice::DECIMAL(18,4))::DOUBLE AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+ORDER BY gid, o_orderpriority, o_orderstatus
+"""
