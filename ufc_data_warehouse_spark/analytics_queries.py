@@ -20,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .operators import dedup, grouped, timeseries
+from .operators import dedup, grouped, patterns, timeseries
 
 Query = Callable[[SparkSession, str], DataFrame]
 
@@ -2168,4 +2168,222 @@ SELECT o_orderpriority, o_orderstatus,
 FROM orders
 GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
 ORDER BY gid, o_orderpriority, o_orderstatus
+"""
+
+
+def q_pit_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time training-set assembly (operators/patterns.py::
+    pit_features): for every purchase label, features computed over the
+    user's events STRICTLY BEFORE the label — the feature-store join
+    that prevents label leakage, as ONE keyed window (all features share
+    the frame → one Window operator, one shuffle)."""
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    feats = patterns.pit_features(
+        ev,
+        entity="user_id",
+        ts="ts",
+        order_tiebreak="event_id",
+        label_filter=F.col("event_type") == "purchase",
+        value="cents",
+        feature_specs={
+            "prior_events": F.count(F.lit(1)),
+            "prior_cents": F.sum("cents"),
+            "prior_purchases": F.count(
+                F.when(F.col("event_type") == "purchase", 1)
+            ),
+            "last_prior_type": F.last("event_type", ignorenulls=True),
+        },
+    )
+    return feats.select(
+        "user_id",
+        "event_id",
+        "prior_events",
+        F.coalesce("prior_cents", F.lit(0)).alias("prior_cents"),
+        "prior_purchases",
+        "last_prior_type",
+    ).orderBy("event_id")
+
+
+ANALYTICS_QUERIES["pit_feature_assembly"] = q_pit_feature_assembly
+ANALYTICS_ORACLES["pit_feature_assembly"] = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, ts::TIMESTAMP AS ts,
+    floor(value * 100)::BIGINT AS cents
+  FROM events
+),
+feats AS (
+  SELECT user_id, event_id, event_type,
+    count(*) OVER w AS prior_events,
+    sum(cents) OVER w AS prior_cents,
+    count(CASE WHEN event_type = 'purchase' THEN 1 END) OVER w
+      AS prior_purchases,
+    last_value(event_type IGNORE NULLS) OVER w AS last_prior_type
+  FROM ev
+  WINDOW w AS (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  )
+)
+SELECT user_id, event_id, prior_events::BIGINT AS prior_events,
+  coalesce(prior_cents, 0)::BIGINT AS prior_cents,
+  prior_purchases::BIGINT AS prior_purchases, last_prior_type
+FROM feats WHERE event_type = 'purchase' ORDER BY event_id
+"""
+
+
+def q_grouped_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group ROC-AUC via the Mann-Whitney rank-sum identity
+    (operators/patterns.py::auc_by_group) — integer rank sums with
+    average-rank tie handling, ONE final division: no O(n²) pairwise
+    join, no float accumulation. 'Does event value predict purchase?'
+    per user-bucket."""
+    ev = _read(spark, sf_dir, "events").select(
+        (F.col("user_id") % 10).alias("bucket"),
+        F.floor(F.col("value") * 100).cast("long").alias("score"),
+        "event_type",
+    )
+    return patterns.auc_by_group(
+        ev,
+        group="bucket",
+        score="score",
+        is_pos=F.col("event_type") == "purchase",
+    ).orderBy("bucket")
+
+
+ANALYTICS_QUERIES["grouped_roc_auc"] = q_grouped_roc_auc
+ANALYTICS_ORACLES["grouped_roc_auc"] = """
+WITH scored AS (
+  SELECT user_id % 10 AS bucket,
+    floor(value * 100)::BIGINT AS score,
+    (event_type = 'purchase') AS is_pos
+  FROM events
+),
+ranked AS (
+  SELECT bucket, is_pos,
+    (2 * rank() OVER (PARTITION BY bucket ORDER BY score)
+     + count(*) OVER (PARTITION BY bucket ORDER BY score
+                      RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+     - 1)::BIGINT AS r2
+  FROM scored
+),
+agg AS (
+  SELECT bucket,
+    sum(CASE WHEN is_pos THEN r2 END)::BIGINT AS s2,
+    count(CASE WHEN is_pos THEN 1 END) AS n_pos,
+    count(CASE WHEN NOT is_pos THEN 1 END) AS n_neg
+  FROM ranked GROUP BY bucket
+)
+SELECT bucket, n_pos, n_neg,
+  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+    (s2 - n_pos * (n_pos + 1))::DOUBLE / (2 * n_pos * n_neg)::DOUBLE
+  END AS auc
+FROM agg ORDER BY bucket
+"""
+
+
+def q_sequence_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence matching (operators/patterns.py::
+    sequence_pattern_counts): per-user event streams encoded as ordered
+    symbol strings; count non-overlapping browse-then-buy runs
+    ('[CV]+P') — regex over a deterministic total order (ts, event_id),
+    one keyed exchange."""
+    ev = _read(spark, sf_dir, "events")
+    sym = (
+        F.when(F.col("event_type") == "click", "C")
+        .when(F.col("event_type") == "view", "V")
+        .when(F.col("event_type") == "signup", "S")
+        .when(F.col("event_type") == "purchase", "P")
+        .otherwise("E")
+    )
+    return patterns.sequence_pattern_counts(
+        ev.select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_id",
+            "event_type",
+        ),
+        entity="user_id",
+        ts="ts",
+        order_tiebreak="event_id",
+        symbol=sym,
+        pattern="[CV]+P",
+    ).orderBy("user_id")
+
+
+ANALYTICS_QUERIES["sequence_pattern_counts"] = q_sequence_pattern_counts
+ANALYTICS_ORACLES["sequence_pattern_counts"] = """
+WITH ev AS (
+  SELECT user_id, ts::TIMESTAMP AS ts, event_id,
+    CASE event_type WHEN 'click' THEN 'C' WHEN 'view' THEN 'V'
+      WHEN 'signup' THEN 'S' WHEN 'purchase' THEN 'P' ELSE 'E' END AS sym
+  FROM events
+),
+seqs AS (
+  SELECT user_id, string_agg(sym, '' ORDER BY ts, event_id) AS seq
+  FROM ev GROUP BY user_id
+)
+SELECT user_id, length(seq)::BIGINT AS seq_len,
+  len(regexp_extract_all(seq, '[CV]+P'))::BIGINT AS n_matches
+FROM seqs ORDER BY user_id
+"""
+
+
+def q_basket_cooccurrence_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence support (operators/patterns.py::
+    cooccurrence_pairs): supplier pairs sharing an order, counted by the
+    in-array pair-expansion trick — fan-out bounded by per-basket item
+    count; the basket×basket join space never exists."""
+    li = _read(spark, sf_dir, "lineitem")
+    return patterns.cooccurrence_pairs(
+        li.select("l_orderkey", "l_suppkey"),
+        basket="l_orderkey",
+        item="l_suppkey",
+    ).orderBy("item_a", "item_b")
+
+
+ANALYTICS_QUERIES["basket_cooccurrence_suppliers"] = q_basket_cooccurrence_suppliers
+ANALYTICS_ORACLES["basket_cooccurrence_suppliers"] = """
+WITH d AS (SELECT DISTINCT l_orderkey AS b, l_suppkey AS i FROM lineitem)
+SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_baskets
+FROM d a JOIN d b ON a.b = b.b AND a.i < b.i
+GROUP BY a.i, b.i ORDER BY item_a, item_b
+"""
+
+
+def q_profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass multi-column profiling (operators/patterns.py::
+    profile_columns): non-null / exact-distinct / min / max for four
+    orders columns in ONE aggregate over ONE scan, unpivoted via
+    stack() — the dbt-profiler shape."""
+    orders = _read(spark, sf_dir, "orders")
+    return patterns.profile_columns(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    ).orderBy("column_name")
+
+
+ANALYTICS_QUERIES["profile_orders_columns"] = q_profile_orders_columns
+ANALYTICS_ORACLES["profile_orders_columns"] = """
+SELECT * FROM (
+  SELECT 'o_orderkey' AS column_name, count(o_orderkey) AS n_nonnull,
+    count(DISTINCT o_orderkey) AS n_distinct,
+    min(o_orderkey)::VARCHAR AS min_value, max(o_orderkey)::VARCHAR AS max_value
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey', count(o_custkey), count(DISTINCT o_custkey),
+    min(o_custkey)::VARCHAR, max(o_custkey)::VARCHAR FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', count(o_orderstatus), count(DISTINCT o_orderstatus),
+    min(o_orderstatus), max(o_orderstatus) FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', count(o_orderpriority),
+    count(DISTINCT o_orderpriority),
+    min(o_orderpriority), max(o_orderpriority) FROM orders
+) ORDER BY column_name
 """
