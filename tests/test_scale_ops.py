@@ -737,3 +737,43 @@ def test_bucket_pruning_on_key_filter(spark, bucketed_tables):
         assert df.count() >= 1
     finally:
         spark.conf.set(conf, saved)
+
+
+def test_hll_rolling_7d_actives_within_bound_of_exact(spark):
+    """Scale path for rolling_active_users_7d: per-DAY HLL sketches stored
+    once, each 7-day window answered by unioning 7 sketches — no raw
+    event re-scan per window. Estimate must stay within 5% of the exact
+    rollup (lg_k=12 ⇒ ~1.6% std error)."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    from ufc_data_warehouse_spark.operators import scale
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", F.to_date(F.col("ts").cast("timestamp")).alias("day")
+    )
+    daily = scale.hll_partial_sketches(
+        ev, group_cols=[], value_col="user_id", bucket_col="day"
+    )
+    # window expansion over the ≤|days| sketch frame, never raw events
+    windows = daily.select(
+        F.explode(
+            F.expr("sequence(day, date_add(day, 6))")
+        ).alias("active_day"),
+        "sketch",
+    )
+    est = {
+        r["active_day"]: r["approx_distinct"]
+        for r in scale.hll_merged_estimate(windows, ["active_day"]).collect()
+    }
+    from ufc_data_warehouse_spark.analytics_queries import (
+        q_rolling_active_users_7d,
+    )
+
+    exact = {
+        r["active_day"]: r["active_users_7d"]
+        for r in q_rolling_active_users_7d(spark, SF_DIR).collect()
+    }
+    assert set(est) == set(exact)
+    for day, n in exact.items():
+        assert abs(est[day] - n) <= max(2, 0.05 * n), (day, est[day], n)
