@@ -2772,7 +2772,14 @@ BENCH_EXTRA = [
     "graph_pagerank_top100",
     "ann_cosine_scores_arrow",
     "curation_pipeline_e2e",
+    # feature-store point-in-time assembly (one keyed window over events)
+    "pit_feature_assembly",
 ]
+# NOT benchmarked: dedup_prefix_filter / graph_triangle_census — on this
+# synthetic corpus (5000 near-identical docs; a 91%-dense co-purchase
+# graph) their OUTPUT is quadratic (~millions of qualifying pairs /
+# ~1.5e8 real triangles), so wall time measures result size, not plan
+# quality. Both stay correctness-gated at sf0.01 via their oracles.
 
 for _name, _spec in CARD_SPECS.items():
     EXTRA_QUERIES[_name] = _make_card(_spec)
