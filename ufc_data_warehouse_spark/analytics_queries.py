@@ -2387,3 +2387,44 @@ SELECT * FROM (
     min(o_orderpriority), max(o_orderpriority) FROM orders
 ) ORDER BY column_name
 """
+
+
+def q_daily_event_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period growth (the BI day-over-day delta): daily event
+    counts per type with the previous day's count and the growth delta.
+    Aggregate FIRST (events reduce to ≤types×days rows), THEN the lag
+    window rides the tiny frame — the window never sees raw events.
+    Growth is exact integers (delta, prev) — the consumer computes the
+    rate; first day per type has NULL prev/delta."""
+    ev = _read(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("n_events").over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        prev.alias("prev_events"),
+        (F.col("n_events") - prev).alias("delta"),
+    ).orderBy("event_type", "day")
+
+
+ANALYTICS_QUERIES["daily_event_growth"] = q_daily_event_growth
+ANALYTICS_ORACLES["daily_event_growth"] = """
+WITH daily AS (
+  SELECT event_type, ts::TIMESTAMP::DATE AS day, count(*) AS n_events
+  FROM events GROUP BY event_type, day
+)
+SELECT event_type, day, n_events,
+  lag(n_events) OVER w AS prev_events,
+  (n_events - lag(n_events) OVER w)::BIGINT AS delta
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day)
+ORDER BY event_type, day
+"""
