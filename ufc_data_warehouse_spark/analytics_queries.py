@@ -2428,3 +2428,67 @@ FROM daily
 WINDOW w AS (PARTITION BY event_type ORDER BY day)
 ORDER BY event_type, day
 """
+
+
+def q_fulfillment_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cycle-time analytics: distribution of order→ship latency in days
+    (the ops-dashboard histogram behind SLA tracking). datediff is exact
+    integer day arithmetic; the histogram is one joint groupBy — the
+    join carries only the two date columns after pruning."""
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lat = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.datediff(
+            F.col("l_shipdate").cast("timestamp").cast("date"),
+            F.col("o_orderdate").cast("timestamp").cast("date"),
+        ).alias("latency_days")
+    )
+    return (
+        lat.groupBy("latency_days")
+        .agg(F.count(F.lit(1)).alias("n_lineitems"))
+        .orderBy("latency_days")
+    )
+
+
+ANALYTICS_QUERIES["fulfillment_latency_histogram"] = q_fulfillment_latency_histogram
+ANALYTICS_ORACLES["fulfillment_latency_histogram"] = """
+SELECT date_diff('day', o_orderdate::TIMESTAMP::DATE,
+                 l_shipdate::TIMESTAMP::DATE) AS latency_days,
+  count(*) AS n_lineitems
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY latency_days ORDER BY latency_days
+"""
+
+
+def q_user_engagement_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement density per user: active days over calendar span —
+    ``n_active_days / (span_days + 1)`` as exact integer num/den (the
+    chi-square discipline: the consumer divides). One groupBy computes
+    distinct days, first day, and last day in a single pass via
+    count_distinct + min/max on the pruned (user, day) projection."""
+    ev = _read(spark, sf_dir, "events")
+    day = F.to_date(F.col("ts").cast("timestamp"))
+    return (
+        ev.select("user_id", day.alias("day"))
+        .groupBy("user_id")
+        .agg(
+            F.count_distinct("day").alias("n_active_days"),
+            F.datediff(F.max("day"), F.min("day")).alias("span_minus_1"),
+        )
+        .select(
+            "user_id",
+            "n_active_days",
+            (F.col("span_minus_1") + 1).cast("long").alias("span_days"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ANALYTICS_QUERIES["user_engagement_ratio"] = q_user_engagement_ratio
+ANALYTICS_ORACLES["user_engagement_ratio"] = """
+SELECT user_id,
+  count(DISTINCT ts::TIMESTAMP::DATE) AS n_active_days,
+  (date_diff('day', min(ts::TIMESTAMP::DATE), max(ts::TIMESTAMP::DATE))
+   + 1)::BIGINT AS span_days
+FROM events GROUP BY user_id ORDER BY user_id
+"""
