@@ -2492,3 +2492,68 @@ SELECT user_id,
    + 1)::BIGINT AS span_days
 FROM events GROUP BY user_id ORDER BY user_id
 """
+
+
+def q_rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic CRM scoring: per customer, Recency
+    (days from last order to the corpus max date — a data-derived as-of,
+    so the query stays deterministic; X9's pinned-as-of discipline),
+    Frequency (order count), Monetary (exact DECIMAL total as cents),
+    each quintiled with a custkey tiebreak. One groupBy over orders; the
+    three ntile windows all ride the ≤customers aggregated frame; the
+    1-row as-of maximum broadcasts. Scale hazard, documented: a global
+    ntile is a single-task sort — at billions of customers swap it for
+    approx_percentile quintile boundaries broadcast into a CASE
+    bucketing (same scores up to boundary-tie placement)."""
+    orders = _read(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("timestamp").cast("date")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(od).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("decimal(38,4)")
+        .alias("total_price"),
+    )
+    asof = orders.agg(F.max(od).alias("asof"))
+    base = per_cust.crossJoin(F.broadcast(asof)).select(
+        "o_custkey",
+        F.datediff(F.col("asof"), F.col("last_order")).alias("recency_days"),
+        "frequency",
+        (F.col("total_price") * 100).cast("long").alias("monetary_cents"),
+    )
+    tile = lambda col, asc: F.ntile(5).over(  # noqa: E731
+        Window.orderBy(
+            F.asc(col) if asc else F.desc(col), F.asc("o_custkey")
+        )
+    )
+    return base.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        tile("recency_days", True).alias("r_score"),
+        tile("frequency", False).alias("f_score"),
+        tile("monetary_cents", False).alias("m_score"),
+    ).orderBy("o_custkey")
+
+
+ANALYTICS_QUERIES["rfm_customer_segments"] = q_rfm_customer_segments
+ANALYTICS_ORACLES["rfm_customer_segments"] = """
+WITH per_cust AS (
+  SELECT o_custkey,
+    max(o_orderdate::TIMESTAMP::DATE) AS last_order,
+    count(*) AS frequency,
+    (sum(o_totalprice::DECIMAL(18,4)) * 100)::BIGINT AS monetary_cents
+  FROM orders GROUP BY o_custkey
+),
+asof_d AS (SELECT max(o_orderdate::TIMESTAMP::DATE) AS d0 FROM orders)
+SELECT o_custkey,
+  date_diff('day', last_order, d0)::INT AS recency_days,
+  frequency, monetary_cents,
+  ntile(5) OVER (ORDER BY date_diff('day', last_order, d0) ASC,
+                 o_custkey ASC) AS r_score,
+  ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_score,
+  ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey ASC) AS m_score
+FROM per_cust CROSS JOIN asof_d
+ORDER BY o_custkey
+"""
