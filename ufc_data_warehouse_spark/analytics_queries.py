@@ -2557,3 +2557,70 @@ SELECT o_custkey,
 FROM per_cust CROSS JOIN asof_d
 ORDER BY o_custkey
 """
+
+
+def q_market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of supplier revenue per
+    nation — the antitrust/market-structure metric: HHI = Σ share_i² =
+    Σ r_i² / (Σ r_i)², emitted as exact integer num/den (the consumer
+    divides). Revenue is floored to whole dollars per ROW (exact floor
+    of the DECIMAL price expression) so every later sum and square stays
+    in BIGINT — no DECIMAL(38)/HUGEINT ever crosses a dataframe bridge,
+    where 1e19-scale integers round differently per engine. Shares are
+    never floated; sums are order-free. Two chained aggs on one
+    nation-keyed exchange; revenue reduces to ≤suppliers rows before any
+    squaring. Overflow bound: Σ r_i < 3e9 dollars per nation for the
+    square to fit int64 — at that scale emit thousands-of-dollars units
+    (same floor discipline)."""
+    li = _read(spark, sf_dir, "lineitem")
+    sup = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    row_dollars = F.floor(
+        (
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (
+                F.lit(1).cast("decimal(18,4)")
+                - F.col("l_discount").cast("decimal(18,4)")
+            )
+        ).cast("decimal(38,8)")
+    ).cast("long")
+    rev = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nation), sup["s_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name", "s_suppkey")
+        .agg(F.sum(row_dollars).alias("dollars"))
+    )
+    return (
+        rev.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.col("dollars") * F.col("dollars")).alias("hhi_num"),
+            F.sum("dollars").alias("total_dollars"),
+        )
+        .select(
+            "n_name",
+            "n_suppliers",
+            "hhi_num",
+            (F.col("total_dollars") * F.col("total_dollars")).alias("hhi_den"),
+        )
+        .orderBy("n_name")
+    )
+
+
+ANALYTICS_QUERIES["market_concentration_hhi"] = q_market_concentration_hhi
+ANALYTICS_ORACLES["market_concentration_hhi"] = """
+WITH rev AS (
+  SELECT n_name, s_suppkey,
+    sum(floor((l_extendedprice::DECIMAL(18,4)
+          * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4)))::DECIMAL(38,8))
+        ::BIGINT) AS dollars
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name, s_suppkey
+)
+SELECT n_name, count(*) AS n_suppliers,
+  sum(dollars * dollars)::BIGINT AS hhi_num,
+  (sum(dollars)::BIGINT * sum(dollars)::BIGINT)::BIGINT AS hhi_den
+FROM rev GROUP BY n_name ORDER BY n_name
+"""
