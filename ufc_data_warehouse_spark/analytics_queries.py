@@ -2624,3 +2624,58 @@ SELECT n_name, count(*) AS n_suppliers,
   (sum(dollars)::BIGINT * sum(dollars)::BIGINT)::BIGINT AS hhi_den
 FROM rev GROUP BY n_name ORDER BY n_name
 """
+
+
+def q_pareto_abc_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC inventory-style classification: customers ranked by
+    revenue with their RUNNING cumulative share, classed A (first 80% of
+    revenue), B (next 15%), C (tail) — all threshold compares in exact
+    integer cents (``100·cum ≤ 80·total``), never a float share. The
+    running-sum window rides the ≤customers aggregated frame (same
+    documented single-task hazard + quantile-boundary scale path as the
+    RFM ntiles); the 1-row grand total broadcasts."""
+    orders = _read(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,4)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    total = per_cust.agg(F.sum("cents").alias("total_cents"))
+    w = (
+        Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = per_cust.select(
+        "o_custkey", "cents", F.sum("cents").over(w).alias("cum_cents")
+    ).crossJoin(F.broadcast(total))
+    cls = (
+        F.when(F.lit(100) * F.col("cum_cents") <= F.lit(80) * F.col("total_cents"), "A")
+        .when(F.lit(100) * F.col("cum_cents") <= F.lit(95) * F.col("total_cents"), "B")
+        .otherwise("C")
+    )
+    return ranked.select(
+        "o_custkey", "cents", "cum_cents", cls.alias("abc_class")
+    ).orderBy(F.desc("cents"), F.asc("o_custkey"))
+
+
+ANALYTICS_QUERIES["pareto_abc_customers"] = q_pareto_abc_customers
+ANALYTICS_ORACLES["pareto_abc_customers"] = """
+WITH per_cust AS (
+  SELECT o_custkey,
+    (sum(o_totalprice::DECIMAL(18,4)) * 100)::BIGINT AS cents
+  FROM orders GROUP BY o_custkey
+),
+tot AS (SELECT sum(cents)::BIGINT AS total_cents FROM per_cust),
+ranked AS (
+  SELECT o_custkey, cents,
+    sum(cents) OVER (ORDER BY cents DESC, o_custkey ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_cents
+  FROM per_cust
+)
+SELECT o_custkey, cents, cum_cents,
+  CASE WHEN 100 * cum_cents <= 80 * total_cents THEN 'A'
+       WHEN 100 * cum_cents <= 95 * total_cents THEN 'B'
+       ELSE 'C' END AS abc_class
+FROM ranked CROSS JOIN tot
+ORDER BY cents DESC, o_custkey ASC
+"""
