@@ -2679,3 +2679,176 @@ SELECT o_custkey, cents, cum_cents,
 FROM ranked CROSS JOIN tot
 ORDER BY cents DESC, o_custkey ASC
 """
+
+
+def q_gini_lang_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini impurity (1 − Σpᵢ²) of the language mix per document source —
+    the diversity index a corpus-curation dashboard tracks per crawl
+    domain. Unlike Shannon entropy it needs no logarithm, so it stays
+    EXACT: emitted as integer num/den with gini = (n² − Σcᵢ²)/n².
+    Two chained aggs on ONE source-keyed exchange; the (source, lang)
+    pre-agg collapses the corpus to ≤|sources|·|langs| rows map-side
+    before any squaring. Overflow bound: n < 3e9 docs per source for n²
+    to fit int64 — at web scale emit per-mille counts (same integer
+    discipline as market_concentration_hhi)."""
+    docs = _read(spark, sf_dir, "documents")
+    by_lang = (
+        docs.where(F.col("lang").isNotNull())
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        by_lang.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_langs"),
+            F.sum("c").alias("n_docs"),
+            F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+        )
+        .select(
+            "source",
+            "n_langs",
+            "n_docs",
+            (F.col("n_docs") * F.col("n_docs") - F.col("sum_sq")).alias("gini_num"),
+            (F.col("n_docs") * F.col("n_docs")).alias("gini_den"),
+        )
+        .orderBy("source")
+    )
+
+
+ANALYTICS_QUERIES["gini_lang_diversity"] = q_gini_lang_diversity
+ANALYTICS_ORACLES["gini_lang_diversity"] = """
+WITH by_lang AS (
+  SELECT source, lang, count(*) AS c
+  FROM documents WHERE lang IS NOT NULL
+  GROUP BY source, lang
+)
+SELECT source,
+  count(*) AS n_langs,
+  sum(c)::BIGINT AS n_docs,
+  (sum(c)::BIGINT * sum(c)::BIGINT - sum(c * c)::BIGINT)::BIGINT AS gini_num,
+  (sum(c)::BIGINT * sum(c)::BIGINT)::BIGINT AS gini_den
+FROM by_lang GROUP BY source ORDER BY source
+"""
+
+
+def q_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival-time statistics — the burstiness signal
+    behind bot detection and traffic shaping. Gaps between consecutive
+    events (lag window, integer epoch seconds) reduce to exact moments
+    (n, Σg, Σg²); a user is "bursty" when the coefficient of variation
+    exceeds 1 (variance > mean²), which clears denominators to the pure
+    int64 compare ``n·Σg² > 2·(Σg)²`` — no float mean/σ ever exists.
+    ONE user-keyed exchange serves both the lag window and the agg
+    (same fused-partitioning shape as ts_zscore_outliers). Ties on ts
+    are broken by event_id so the gap sequence is a total order.
+    Sub-second truncation is pinned cross-engine: Spark's
+    ``unix_timestamp`` FLOORS to seconds, while DuckDB's
+    ``epoch(ts)::BIGINT`` ROUNDS — the oracle must use
+    ``epoch_us(ts) // 1000000`` (floor division) or ±1 s gap noise
+    flips is_bursty on boundary users."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_s").alias("sum_gap_s"),
+            F.sum(F.col("gap_s") * F.col("gap_s")).alias("sum_gap_sq"),
+        )
+        .where(F.col("n_gaps") >= 3)
+        .select(
+            "user_id",
+            "n_gaps",
+            "sum_gap_s",
+            "sum_gap_sq",
+            (
+                F.col("n_gaps") * F.col("sum_gap_sq")
+                > F.lit(2) * F.col("sum_gap_s") * F.col("sum_gap_s")
+            ).alias("is_bursty"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ANALYTICS_QUERIES["interarrival_burstiness"] = q_interarrival_burstiness
+ANALYTICS_ORACLES["interarrival_burstiness"] = """
+WITH gaps AS (
+  SELECT user_id,
+    (epoch_us(ts) // 1000000) - (epoch_us(lag(ts) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id)) // 1000000) AS gap_s
+  FROM events
+)
+SELECT user_id,
+  count(*) AS n_gaps,
+  sum(gap_s)::BIGINT AS sum_gap_s,
+  sum(gap_s * gap_s)::BIGINT AS sum_gap_sq,
+  (count(*)::BIGINT * sum(gap_s * gap_s)::BIGINT
+     > 2 * sum(gap_s)::BIGINT * sum(gap_s)::BIGINT) AS is_bursty
+FROM gaps WHERE gap_s IS NOT NULL
+GROUP BY user_id HAVING count(*) >= 3
+ORDER BY user_id
+"""
+
+
+def q_seasonal_dow_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal-baseline anomaly flags: each (event_type,
+    calendar day) count is compared against the average count for that
+    (event_type, weekday) across all weeks — the deseasonalized spike
+    detector that a raw z-score over days would false-positive on
+    weekends. The compare is exact: ``2·n_days·cnt > 3·total`` flags
+    days ≥1.5× their weekday baseline with no float division. Daily
+    counts aggregate once (events collapse to ≤types×days rows); the
+    tiny baseline frame broadcasts back onto it. ISO dayofweek is
+    pinned on both engines (Spark dayofweek: Sun=1 → remapped; DuckDB
+    isodow: Mon=1)."""
+    ev = _read(spark, sf_dir, "events")
+    # ISO weekday 1=Mon..7=Sun on both engines
+    isodow = ((F.dayofweek("ts") + 5) % 7 + 1).alias("isodow")
+    daily = ev.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("day"), isodow
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    baseline = daily.groupBy("event_type", "isodow").agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("cnt").alias("total")
+    )
+    return (
+        daily.join(F.broadcast(baseline), ["event_type", "isodow"])
+        .select(
+            "event_type",
+            "day",
+            "isodow",
+            "cnt",
+            "n_days",
+            "total",
+            (
+                F.lit(2) * F.col("n_days") * F.col("cnt")
+                > F.lit(3) * F.col("total")
+            ).alias("is_spike"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+ANALYTICS_QUERIES["seasonal_dow_deviation"] = q_seasonal_dow_deviation
+ANALYTICS_ORACLES["seasonal_dow_deviation"] = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day, isodow(ts)::INT AS isodow,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2, 3
+),
+baseline AS (
+  SELECT event_type, isodow, count(*) AS n_days, sum(cnt)::BIGINT AS total
+  FROM daily GROUP BY 1, 2
+)
+SELECT d.event_type, d.day, d.isodow, d.cnt,
+       b.n_days, b.total,
+       (2 * b.n_days * d.cnt > 3 * b.total) AS is_spike
+FROM daily d JOIN baseline b USING (event_type, isodow)
+ORDER BY d.event_type, d.day
+"""
