@@ -220,3 +220,20 @@ def test_kcore_peeling_cascades(spark):
         r["node"] for r in graph.kcore_nodes(df, k=2, rounds=1).collect()
     }
     assert shallow == {1, 2, 3, 4, 5, 6}
+
+
+def test_bfs_hops_frontier_semantics(spark):
+    """Path 0-1-2-3-4 plus a shortcut 0-9-3: node 3 must be reached at
+    hop 2 via the shortcut (min over paths), node 4 at hop 3, and a
+    disconnected node (7-8) must never appear. Re-reaching an already
+    visited node must not downgrade or duplicate its distance."""
+    from ufc_data_warehouse_spark.operators import graph
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (0, 9), (9, 3), (7, 8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {
+        (r["node"], r["hops"])
+        for r in graph.bfs_hops(df, seeds, rounds=3).collect()
+    }
+    assert got == {(0, 0), (1, 1), (9, 1), (2, 2), (3, 2), (4, 3)}

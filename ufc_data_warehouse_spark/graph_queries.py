@@ -164,14 +164,74 @@ def _kcore_oracle() -> str:
     )
 
 
+_BFS_ROUNDS = 3
+_BFS_SEED_MAX = 3  # custkeys 1..3
+
+
+def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blast-radius BFS: hop distance from seed customers (custkey ≤ 3)
+    over the symmetrized customer–supplier purchase graph, 3 rounds —
+    hop 1 = suppliers they bought from, hop 2 = co-buying customers,
+    hop 3 = those customers' other suppliers. Frontier-only expansion
+    (operators/graph.py::bfs_hops); the oracle replays the unrolled
+    level-synchronous fixpoint."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    edges = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + F.lit(_SUPP_OFFSET)).alias("dst"),
+    )
+    seeds = cust.where(F.col("c_custkey") <= _BFS_SEED_MAX).select("c_custkey")
+    return graph.bfs_hops(edges, seeds, rounds=_BFS_ROUNDS).orderBy("node")
+
+
+def _bfs_oracle() -> str:
+    ctes = [
+        f"""e AS (
+  SELECT DISTINCT o_custkey AS u, l_suppkey + {_SUPP_OFFSET} AS v
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)""",
+        """adj AS (SELECT u, v FROM e UNION SELECT v, u FROM e)""",
+        f"""d0 AS (
+  SELECT c_custkey AS node, 0 AS hops FROM customer
+  WHERE c_custkey <= {_BFS_SEED_MAX}
+)""",
+        """f0 AS (SELECT node FROM d0)""",
+    ]
+    for i in range(1, _BFS_ROUNDS + 1):
+        ctes.append(
+            f"""f{i} AS (
+  SELECT DISTINCT adj.v AS node FROM adj
+  JOIN f{i - 1} ON adj.u = f{i - 1}.node
+  WHERE adj.v NOT IN (SELECT node FROM d{i - 1})
+)"""
+        )
+        ctes.append(
+            f"""d{i} AS (
+  SELECT node, hops FROM d{i - 1}
+  UNION ALL SELECT node, {i} AS hops FROM f{i}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, hops FROM d{_BFS_ROUNDS} ORDER BY node"
+    )
+
+
 GRAPH_QUERIES: dict[str, Query] = {
     "graph_pagerank_top100": q_graph_pagerank,
     "graph_triangle_census": q_graph_triangles,
     "graph_kcore_nodes": q_graph_kcore,
+    "graph_bfs_hops": q_graph_bfs_hops,
 }
 
 GRAPH_ORACLES: dict[str, str] = {
     "graph_pagerank_top100": _pagerank_oracle(),
     "graph_triangle_census": _TRIANGLE_ORACLE,
     "graph_kcore_nodes": _kcore_oracle(),
+    "graph_bfs_hops": _bfs_oracle(),
 }

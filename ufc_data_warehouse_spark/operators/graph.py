@@ -226,3 +226,51 @@ def kcore_nodes(
     return alive.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("core_degree")
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS hop distance after ``rounds`` expansions →
+    ``(node, hops)`` for every node within ``rounds`` hops of a seed.
+
+    The reachability/blast-radius primitive (fraud rings around flagged
+    accounts, crawl frontier depth, dependency fallout). Level-
+    synchronous expansion: each round joins the CURRENT FRONTIER ONLY
+    (nodes first reached last round, not the whole visited set) against
+    the adjacency — one hash join on the node key + one min-agg per
+    round, so per-round cost tracks frontier size, the property that
+    keeps BFS feasible when the visited set grows to 10⁸ nodes.
+    Fixed round count ⇒ deterministic and SQL-replayable (unrolled
+    CTEs); min() is order-free so results are partitioning-invariant.
+    Per-round ``localCheckpoint`` truncates lineage as in ``pagerank``.
+    Edges are symmetrized (undirected reachability).
+    """
+    u, v = F.col(src).cast("long"), F.col(dst).cast("long")
+    half = edges.select(u.alias("u"), v.alias("v")).where(F.col("u") != F.col("v"))
+    adj = (
+        half.unionByName(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = seeds.select(F.col(seeds.columns[0]).cast("long").alias("node")).distinct()
+    dist = dist.select("node", F.lit(0).alias("hops")).localCheckpoint(eager=True)
+    frontier = dist
+    for i in range(1, rounds + 1):
+        reached = (
+            adj.join(
+                frontier.select(F.col("node").alias("u")), "u"
+            )
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .select("node", F.lit(i).alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.unionByName(reached).localCheckpoint(eager=True)
+        frontier = reached
+    return dist
