@@ -237,3 +237,16 @@ def test_bfs_hops_frontier_semantics(spark):
         for r in graph.bfs_hops(df, seeds, rounds=3).collect()
     }
     assert got == {(0, 0), (1, 1), (9, 1), (2, 2), (3, 2), (4, 3)}
+
+
+def test_interval_overlap_join_is_hash_not_nested_loop(spark):
+    """The whole point of the bucket grid: a no-shared-key range join
+    must plan as a hash equi-join on the bucket, never a
+    BroadcastNestedLoopJoin / CartesianProduct over |P|×|I|."""
+    from ufc_data_warehouse_spark.analytics_queries import (
+        q_interval_overlap_counts,
+    )
+
+    plan = _plan(q_interval_overlap_counts(spark, SF_DIR))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Join" in plan

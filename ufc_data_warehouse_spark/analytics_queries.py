@@ -2852,3 +2852,96 @@ SELECT d.event_type, d.day, d.isodow, d.cnt,
 FROM daily d JOIN baseline b USING (event_type, isodow)
 ORDER BY d.event_type, d.day
 """
+
+
+def q_collated_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping via Spark 4 COLLATION (UTF8_LCASE) —
+    the engine-level answer to dirty categorical casing that otherwise
+    needs lower() scattered through every query. Case noise is injected
+    deterministically (even event_ids upper-cased), then the groupBy
+    key is ``collate(type, 'UTF8_LCASE')``: the HASH of a collated
+    column is computed on the collation key, so 'CLICK' and 'click'
+    land in the same shuffle partition and agg group natively. The
+    emitted key is lower()ed because the collation-group representative
+    string is engine-chosen. Oracle: group by lower() — semantically
+    identical for ASCII categories."""
+    ev = _read(spark, sf_dir, "events")
+    noisy = ev.select(
+        F.when(F.col("event_id") % 2 == 0, F.upper("event_type"))
+        .otherwise(F.col("event_type"))
+        .alias("raw_type"),
+        "value",
+    )
+    return (
+        noisy.groupBy(F.collate("raw_type", "UTF8_LCASE").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(F.lower("k").alias("event_type"), "n_events", "value_cents")
+        .orderBy("event_type")
+    )
+
+
+ANALYTICS_QUERIES["collated_type_counts"] = q_collated_type_counts
+ANALYTICS_ORACLES["collated_type_counts"] = """
+WITH noisy AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+              ELSE event_type END AS raw_type, value
+  FROM events
+)
+SELECT lower(raw_type) AS event_type,
+  count(*) AS n_events,
+  sum(floor(value * 100)::BIGINT)::BIGINT AS value_cents
+FROM noisy GROUP BY lower(raw_type) ORDER BY event_type
+"""
+
+
+def q_interval_overlap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-entity interval containment WITHOUT a shared key: for each
+    user's daily "opening window" (first event of the day + 30 min),
+    count ALL platform events — any user — landing inside it (the
+    concurrent-load / co-activity question behind contention analysis).
+    A bare range join would plan as BroadcastNestedLoopJoin; the
+    operator (patterns.interval_overlap_join) grids both sides into 1h
+    epoch buckets so it plans as a HASH equi-join + exact residual —
+    Σ per-bucket products, never |intervals|×|events|. Counts are
+    per-interval so output stays ≤|user-days| rows; all epoch math is
+    integer µs (unix_micros / epoch_us both floor-exact)."""
+    ev = _read(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ; cast → TIMESTAMP under the pinned UTC session
+    # zone = the same naive-as-UTC epoch DuckDB's epoch_us(ts) computes
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    pts = ev.select(us.alias("ev_us"))
+    iv = (
+        ev.groupBy(
+            F.col("user_id").alias("iv_user"), F.to_date("ts").alias("day")
+        )
+        .agg(F.min(us).alias("start_us"))
+        .withColumn("end_us", F.col("start_us") + F.lit(30 * 60 * 1_000_000))
+    )
+    pairs = patterns.interval_overlap_join(
+        pts, iv, point_ts_us="ev_us", start_us="start_us", end_us="end_us"
+    )
+    return (
+        pairs.groupBy("iv_user", "day")
+        .agg(F.count(F.lit(1)).alias("n_overlap_events"))
+        .orderBy("iv_user", "day")
+    )
+
+
+ANALYTICS_QUERIES["interval_overlap_counts"] = q_interval_overlap_counts
+ANALYTICS_ORACLES["interval_overlap_counts"] = """
+WITH iv AS (
+  SELECT user_id AS iv_user, ts::DATE AS day,
+         min(epoch_us(ts)) AS start_us
+  FROM events GROUP BY 1, 2
+),
+iv2 AS (SELECT iv_user, day, start_us,
+               start_us + 30 * 60 * 1000000 AS end_us FROM iv)
+SELECT iv_user, day, count(*) AS n_overlap_events
+FROM iv2 JOIN events e
+  ON epoch_us(e.ts) >= iv2.start_us AND epoch_us(e.ts) < iv2.end_us
+GROUP BY iv_user, day
+ORDER BY iv_user, day
+"""

@@ -235,3 +235,47 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         f"stack({len(cols)}, {', '.join(stack_args)}) AS "
         "(column_name, n_nonnull, n_distinct, min_value, max_value)"
     )
+
+
+def interval_overlap_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_ts_us: str,
+    start_us: str,
+    end_us: str,
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Generic NON-equi interval containment join — point ∈ [start, end)
+    with NO shared key between the sides — planned as a HASH join.
+
+    Spark plans a bare range predicate as BroadcastNestedLoopJoin
+    (O(|P|·|I|) compares — dead at 10⁹×10⁸). The classic fix is a
+    bucket grid: each interval replicates to every ``bucket_s``-wide
+    epoch bucket it overlaps (sequence+explode — fan-out is
+    ⌈len/bucket_s⌉+1 per interval, so size ``bucket_s`` to the TYPICAL
+    interval length); each point maps to exactly ONE bucket, so after
+    the bucket equi-join + exact range residual every true pair appears
+    exactly once — no dedup pass. All epoch math is integer µs.
+    Returns the matched pairs (all interval columns + all point
+    columns); callers aggregate. This is the no-shared-key complement
+    of the equi-key-+-residual shape in q_scd2_point_in_time_join.
+    """
+    bus = int(bucket_s) * 1_000_000
+    # SQL `div` = exact int64 floor division (inputs are non-negative
+    # epochs) — float `/`+cast would misbucket near 2^53-scale epochs
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"{start_us} div {bus}"),
+                F.expr(f"({end_us} - 1) div {bus}"),
+            )
+        ),
+    )
+    pt = points.withColumn("__bucket", F.expr(f"{point_ts_us} div {bus}"))
+    out = iv.join(pt, "__bucket").where(
+        (F.col(point_ts_us) >= F.col(start_us))
+        & (F.col(point_ts_us) < F.col(end_us))
+    )
+    return out.drop("__bucket")
