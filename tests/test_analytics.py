@@ -250,3 +250,15 @@ def test_interval_overlap_join_is_hash_not_nested_loop(spark):
     plan = _plan(q_interval_overlap_counts(spark, SF_DIR))
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "Join" in plan
+
+
+def test_skyline_2d_known_points(spark):
+    """(1,5),(2,3),(3,3),(4,1) with noise dominated points: frontier is
+    {(1,5),(2,3),(4,1)} — (3,3) is dominated by (2,3) (same y, larger
+    x), and same-x duplicates collapse to the min-y candidate."""
+    from ufc_data_warehouse_spark.operators import patterns
+
+    pts = [(1, 5), (1, 9), (2, 3), (2, 7), (3, 3), (4, 1), (4, 6)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {(r["x"], r["y"]) for r in patterns.skyline_2d(df, "x", "y").collect()}
+    assert got == {(1, 5), (2, 3), (4, 1)}

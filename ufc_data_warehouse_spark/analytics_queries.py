@@ -2945,3 +2945,163 @@ FROM iv2 JOIN events e
 GROUP BY iv_user, day
 ORDER BY iv_user, day
 """
+
+
+def q_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the schema's FK edges in one
+    result: orphaned child rows per relationship (lineitem→orders,
+    lineitem→supplier, orders→customer, customer→nation) — the
+    migration/ingest gate that catches partial loads. Each edge is a
+    LEFT ANTI join (hash, parent side broadcast when dim-sized) feeding
+    a 1-row count; counts union into the audit table. Child scans prune
+    to the FK column only. Total child counts ride the same scans."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    sup = _read(spark, sf_dir, "supplier")
+
+    def edge(name, child, fk, parent, pk):
+        orphans = child.select(fk).join(
+            parent.select(pk), child[fk] == parent[pk], "left_anti"
+        )
+        return orphans.agg(
+            F.lit(name).alias("relationship"),
+            F.count(F.lit(1)).alias("n_orphans"),
+        ).crossJoin(
+            F.broadcast(child.agg(F.count(F.lit(1)).alias("n_child_rows")))
+        )
+
+    out = (
+        edge("lineitem->orders", li, "l_orderkey", orders, "o_orderkey")
+        .unionByName(edge("lineitem->supplier", li, "l_suppkey", sup, "s_suppkey"))
+        .unionByName(edge("orders->customer", orders, "o_custkey", cust, "c_custkey"))
+        .unionByName(edge("customer->nation", cust, "c_nationkey", nation, "n_nationkey"))
+    )
+    return out.select("relationship", "n_orphans", "n_child_rows").orderBy(
+        "relationship"
+    )
+
+
+ANALYTICS_QUERIES["fk_orphan_audit"] = q_fk_orphan_audit
+ANALYTICS_ORACLES["fk_orphan_audit"] = """
+SELECT * FROM (
+  SELECT 'lineitem->orders' AS relationship,
+    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans,
+    (SELECT count(*) FROM lineitem) AS n_child_rows
+  UNION ALL
+  SELECT 'lineitem->supplier',
+    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)),
+    (SELECT count(*) FROM lineitem)
+  UNION ALL
+  SELECT 'orders->customer',
+    (SELECT count(*) FROM orders o WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+    (SELECT count(*) FROM orders)
+  UNION ALL
+  SELECT 'customer->nation',
+    (SELECT count(*) FROM customer c WHERE NOT EXISTS
+      (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)),
+    (SELECT count(*) FROM customer)
+) ORDER BY relationship
+"""
+
+
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact QUANTITY-WEIGHTED median unit price per part brand — the
+    robust "typical traded price" (an unweighted median over lineitem
+    rows overweights small orders). Definition: smallest price whose
+    running weight reaches half the total, decided by the exact integer
+    compare ``2·cum_qty ≥ total_qty`` — no float share. Prices collapse
+    to distinct (brand, price_cents) rows map-side BEFORE the running
+    window, so the window rides ≤|brands|×|distinct prices|, and the
+    per-brand total joins back broadcast. Weighted-argmin is then a
+    min(struct) — order-free."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    # explicit floor: Spark's decimal->long cast truncates while
+    # DuckDB's rounds half-up — floor() pins both engines
+    cents = F.floor(
+        (F.col("l_extendedprice").cast("decimal(18,4)") * 100)
+        / F.col("l_quantity").cast("decimal(18,4)")
+    ).cast("long")
+    per_price = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.col("p_brand"), cents.alias("price_cents"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_price.select(
+        "p_brand", "price_cents", F.sum("qty").over(w).alias("cum_qty")
+    )
+    totals = per_price.groupBy("p_brand").agg(F.sum("qty").alias("total_qty"))
+    return (
+        cum.join(F.broadcast(totals), "p_brand")
+        .where(F.lit(2) * F.col("cum_qty") >= F.col("total_qty"))
+        .groupBy("p_brand")
+        .agg(F.min("price_cents").alias("weighted_median_cents"))
+        .orderBy("p_brand")
+    )
+
+
+ANALYTICS_QUERIES["weighted_median_price"] = q_weighted_median_price
+ANALYTICS_ORACLES["weighted_median_price"] = """
+WITH per_price AS (
+  SELECT p_brand,
+    floor((l_extendedprice::DECIMAL(18,4) * 100)
+      / l_quantity::DECIMAL(18,4))::BIGINT AS price_cents,
+    sum(l_quantity::BIGINT)::BIGINT AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT p_brand, price_cents,
+    sum(qty) OVER (PARTITION BY p_brand ORDER BY price_cents
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_qty
+  FROM per_price
+),
+tot AS (SELECT p_brand, sum(qty)::BIGINT AS total_qty FROM per_price GROUP BY 1)
+SELECT p_brand, min(price_cents) AS weighted_median_cents
+FROM cum JOIN tot USING (p_brand)
+WHERE 2 * cum_qty >= total_qty
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def q_skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts minimizing (size, price): the
+    "cheapest at its compactness level" shortlist no weighted score can
+    rank — the multi-objective selection primitive (patterns.skyline_2d
+    docstring has the ≤|distinct x| collapse + prefix-scan scale path).
+    Price floors to integer cents once (same float·100+floor on both
+    engines); the oracle is the declarative NOT EXISTS dominance test,
+    so it also PROVES the window formulation equals the set definition."""
+    part = _read(spark, sf_dir, "part")
+    pts = part.select(
+        F.col("p_size").alias("size"),
+        F.floor(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+    )
+    return patterns.skyline_2d(pts, "size", "price_cents").orderBy("size")
+
+
+ANALYTICS_QUERIES["skyline_price_size"] = q_skyline_price_size
+ANALYTICS_ORACLES["skyline_price_size"] = """
+WITH m AS (
+  SELECT p_size AS size,
+         min(floor(p_retailprice * 100)::BIGINT) AS price_cents
+  FROM part GROUP BY p_size
+)
+SELECT size, price_cents FROM m a
+WHERE NOT EXISTS (
+  SELECT 1 FROM m b
+  WHERE b.size <= a.size AND b.price_cents <= a.price_cents
+    AND (b.size < a.size OR b.price_cents < a.price_cents)
+)
+ORDER BY size
+"""

@@ -279,3 +279,32 @@ def interval_overlap_join(
         & (F.col(point_ts_us) < F.col(end_us))
     )
     return out.drop("__bucket")
+
+
+def skyline_2d(df: DataFrame, x: str, y: str) -> DataFrame:
+    """2-D skyline / Pareto frontier (minimize both ``x`` and ``y``):
+    rows no other row dominates (≤ on both dims, < on at least one) —
+    the multi-objective shortlist (cheapest-for-its-size, fastest-for-
+    its-cost) that a scalar score can't express.
+
+    O(n²) dominance self-joins are the naive plan; instead the input
+    collapses to one candidate per distinct ``x`` (only min-``y`` can
+    survive — any same-``x`` worse row is dominated), so the sort-scan
+    rides ≤|distinct x| rows: ascending-``x`` window keeps a row iff
+    every strictly-smaller ``x`` has strictly larger ``y`` (running min
+    over UNBOUNDED..1 PRECEDING). The global window is the documented
+    single-task hazard; at 10⁹ distinct ``x`` use repartitionByRange +
+    per-partition min + broadcast prefix-min (the parallel-prefix scan
+    shape noted in SCALE.md). Exact for integer dims; float dims keep
+    engine-identical compare semantics (no arithmetic performed).
+    """
+    cand = df.groupBy(F.col(x)).agg(F.min(F.col(y)).alias(y))
+    w = (
+        Window.orderBy(F.col(x).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        cand.withColumn("__prev_min", F.min(F.col(y)).over(w))
+        .where(F.col("__prev_min").isNull() | (F.col(y) < F.col("__prev_min")))
+        .drop("__prev_min")
+    )
