@@ -262,3 +262,36 @@ def test_skyline_2d_known_points(spark):
     df = spark.createDataFrame(pts, "x long, y long")
     got = {(r["x"], r["y"]) for r in patterns.skyline_2d(df, "x", "y").collect()}
     assert got == {(1, 5), (2, 3), (4, 1)}
+
+
+def test_position_attribution_conserves_cents(spark, duck):
+    """The 40/20/40 integer split must reconcile EXACTLY: total credited
+    cents == total cents of purchases that had ≥1 prior touch in their
+    group (no remainder cents ever leak)."""
+    from ufc_data_warehouse_spark.analytics_queries import (
+        q_position_attribution,
+    )
+
+    credited = sum(
+        r["credited_cents"]
+        for r in q_position_attribution(spark, SF_DIR).collect()
+    )
+    expected = duck.execute("""
+        WITH base AS (
+          SELECT user_id, ts, event_id, event_type,
+                 floor(value * 100)::BIGINT AS cents
+          FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        ),
+        grouped AS (
+          SELECT *, count(*) FILTER (WHERE event_type = 'purchase') OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS grp
+          FROM base
+        )
+        SELECT coalesce(sum(cents), 0)::BIGINT FROM grouped g
+        WHERE event_type = 'purchase' AND EXISTS (
+          SELECT 1 FROM grouped t
+          WHERE t.user_id = g.user_id AND t.grp = g.grp
+            AND t.event_type <> 'purchase')
+    """).fetchone()[0]
+    assert credited == expected and credited > 0

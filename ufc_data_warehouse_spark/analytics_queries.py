@@ -3105,3 +3105,127 @@ WHERE NOT EXISTS (
 )
 ORDER BY size
 """
+
+
+def q_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped, 40/20/40) multi-touch attribution in
+    EXACT integer cents — the marketing-credit model last-touch can't
+    express. Each purchase consumes the view/click touches since the
+    user's previous purchase: 40% to the first touch, 40% to the last,
+    the middle pool split evenly with the remainder cents going to the
+    EARLIEST middles — every split is integer div/mod, so credit sums
+    reconcile to conversion cents exactly, per conversion, by
+    construction (n=1 → all cents; n=2 → first gets the odd cent).
+    Shape: ONE user-keyed window assigns conversion groups (running
+    purchase count) + touch index; per-group stats and the conversion's
+    cents join back hashed on the same user key. Credit totals roll up
+    per touch type. Touch-assembly hazard is per-user history, the
+    standard keyed-window bound."""
+    ev = _read(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    ).where(F.col("event_type").isin("view", "click", "purchase"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # conv_cum BEFORE current row = which conversion group a touch feeds
+    grouped = base.withColumn(
+        "grp",
+        F.count(F.when(F.col("event_type") == "purchase", 1)).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    )
+    touches = grouped.where(F.col("event_type") != "purchase")
+    convs = grouped.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("grp").alias("cgrp"), F.col("cents").alias("conv_cents")
+    )
+    wt = Window.partitionBy("user_id", "grp").orderBy("ts", "event_id")
+    idx = touches.select(
+        "user_id",
+        "grp",
+        "event_type",
+        F.row_number().over(wt).alias("i"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("user_id", "grp")
+        ).alias("n"),
+    )
+    j = idx.join(
+        convs,
+        (idx["user_id"] == convs["user_id"]) & (idx["grp"] == convs["cgrp"]),
+    ).drop(convs["user_id"])
+    c, n, i = F.col("conv_cents"), F.col("n"), F.col("i")
+    forty = (c * 2 - (c * 2) % 5) / 5  # exact: floor(c*0.4) as integer math
+    forty = forty.cast("long")
+    mid_pool = c - 2 * forty
+    m = n - 2
+    per_mid = (mid_pool - mid_pool % m) / m
+    credit = (
+        F.when(n == 1, c)
+        .when((n == 2) & (i == 1), c - (c - c % 2) / 2)
+        .when((n == 2) & (i == 2), (c - c % 2) / 2)
+        .when(i == 1, forty)
+        .when(i == n, forty)
+        .otherwise(
+            per_mid + F.when(i - 1 <= mid_pool % m, 1).otherwise(0)
+        )
+        .cast("long")
+    )
+    return (
+        j.select("event_type", credit.alias("credit_cents"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("credit_cents").alias("credited_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ANALYTICS_QUERIES["position_attribution"] = q_position_attribution
+ANALYTICS_ORACLES["position_attribution"] = """
+WITH base AS (
+  SELECT user_id, ts, event_id, event_type,
+         floor(value * 100)::BIGINT AS cents
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+),
+grouped AS (
+  SELECT *, count(*) FILTER (WHERE event_type = 'purchase') OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS grp
+  FROM base
+),
+touches AS (
+  SELECT user_id, grp, event_type,
+    row_number() OVER (PARTITION BY user_id, grp ORDER BY ts, event_id) AS i,
+    count(*) OVER (PARTITION BY user_id, grp) AS n
+  FROM grouped WHERE event_type <> 'purchase'
+),
+convs AS (
+  SELECT user_id, grp AS cgrp, cents AS conv_cents
+  FROM grouped WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT t.*, c.conv_cents,
+    (c.conv_cents * 2) // 5 AS forty,
+    c.conv_cents - 2 * ((c.conv_cents * 2) // 5) AS mid_pool
+  FROM touches t JOIN convs c
+    ON t.user_id = c.user_id AND t.grp = c.cgrp
+),
+credited AS (
+  SELECT event_type,
+    CASE
+      WHEN n = 1 THEN conv_cents
+      WHEN n = 2 AND i = 1 THEN conv_cents - conv_cents // 2
+      WHEN n = 2 AND i = 2 THEN conv_cents // 2
+      WHEN i = 1 OR i = n THEN forty
+      ELSE mid_pool // (n - 2)
+           + CASE WHEN i - 1 <= mid_pool % (n - 2) THEN 1 ELSE 0 END
+    END AS credit_cents
+  FROM j
+)
+SELECT event_type, count(*) AS n_touches,
+       sum(credit_cents)::BIGINT AS credited_cents
+FROM credited GROUP BY event_type ORDER BY event_type
+"""
