@@ -3229,3 +3229,65 @@ SELECT event_type, count(*) AS n_touches,
        sum(credit_cents)::BIGINT AS credited_cents
 FROM credited GROUP BY event_type ORDER BY event_type
 """
+
+
+def q_udtf_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user capped running balance (cap 50 000 cents): purchases
+    credit, every other event type debits half its value — the
+    credit-limit / inventory-saturation recurrence. The clamp destroys
+    associativity (once a step saturates, later state depends on where),
+    so no window/prefix-sum form exists — exactly the TABLE-argument
+    UDTF's territory (operators/udtfs.py::ClampedBalanceUdtf). Integer
+    cents end-to-end; the oracle replays the ordered recurrence with a
+    recursive CTE, bit-exact."""
+    from .operators.udtfs import register_balance_udtf
+
+    register_balance_udtf(spark)
+    ev = _read(spark, sf_dir, "events")
+    ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * 100).cast("long"),
+        )
+        .otherwise(-(F.floor(F.col("value") * 50).cast("long")))
+        .alias("delta_cents"),
+    ).createOrReplaceTempView("balance_udtf_src")
+    return spark.sql(
+        """
+SELECT * FROM clamped_balance_udtf(
+  TABLE(SELECT user_id, ts, event_id, delta_cents FROM balance_udtf_src)
+  PARTITION BY user_id ORDER BY (ts, event_id))
+ORDER BY user_id"""
+    )
+
+
+ANALYTICS_QUERIES["udtf_clamped_balance"] = q_udtf_clamped_balance
+ANALYTICS_ORACLES["udtf_clamped_balance"] = """
+WITH RECURSIVE o AS (
+  SELECT user_id,
+    CASE WHEN event_type = 'purchase' THEN floor(value * 100)::BIGINT
+         ELSE -(floor(value * 50)::BIGINT) END AS delta_cents,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+    count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+),
+r AS (
+  SELECT user_id, rn, n,
+    least(50000, greatest(0, delta_cents)) AS bal,
+    CASE WHEN least(50000, greatest(0, delta_cents)) <> delta_cents
+         THEN 1 ELSE 0 END AS clamps
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.rn, o.n,
+    least(50000, greatest(0, r.bal + o.delta_cents)),
+    r.clamps + CASE
+      WHEN least(50000, greatest(0, r.bal + o.delta_cents))
+           <> r.bal + o.delta_cents THEN 1 ELSE 0 END
+  FROM o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1
+)
+SELECT user_id, n::INT AS n_steps, bal AS final_cents, clamps::INT AS n_clamps
+FROM r WHERE rn = n ORDER BY user_id
+"""

@@ -86,3 +86,44 @@ def register_table_udtfs(spark) -> None:
                 yield self.user, self.n, self.s
 
     spark.udtf.register("ewma_udtf", EwmaUdtf)
+
+
+def register_balance_udtf(spark) -> None:
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="user_id bigint, n_steps int, final_cents bigint, n_clamps int"
+    )
+    class ClampedBalanceUdtf:
+        """Capped running balance — the inventory/credit-limit
+        recurrence ``bal := min(CAP, max(0, bal + delta))`` per ordered
+        row. The CLAMP is what makes it genuinely sequential: a plain
+        running sum is a window, but once a step saturates, every later
+        value depends on where the clamp bit — no prefix-sum
+        decomposition exists (non-associative). Integer cents
+        throughout ⇒ bit-exact vs the oracle's recursive-CTE replay.
+        The integer twin of EwmaUdtf's float recurrence; O(1) state
+        per entity."""
+
+        CAP = 50_000
+
+        def __init__(self) -> None:
+            self.user = None
+            self.bal = 0
+            self.n = 0
+            self.clamps = 0
+
+        def eval(self, row):
+            self.user = row["user_id"]
+            self.n += 1
+            raw = self.bal + row["delta_cents"]
+            clamped = min(self.CAP, max(0, raw))
+            if clamped != raw:
+                self.clamps += 1
+            self.bal = clamped
+
+        def terminate(self):
+            if self.user is not None:
+                yield self.user, self.n, self.bal, self.clamps
+
+    spark.udtf.register("clamped_balance_udtf", ClampedBalanceUdtf)
