@@ -295,3 +295,24 @@ def test_position_attribution_conserves_cents(spark, duck):
             AND t.event_type <> 'purchase')
     """).fetchone()[0]
     assert credited == expected and credited > 0
+
+
+def test_spatial_nn_grid_is_hash_join_and_complete(spark):
+    """The 3×3 grid join must plan as a hash equi-join (no nested loop),
+    and on a known layout it must find exactly the true in-range
+    nearest neighbors — including a cross-cell pair — while excluding
+    out-of-range points."""
+    from ufc_data_warehouse_spark.operators import spatial
+
+    # radius 10: (0,0)-(6,8) is exactly on the d2=100 boundary
+    # (inclusive); (6,8)-(12,12) crosses a diagonal cell boundary and is
+    # closer (52); (100,100) is isolated
+    pts = spark.createDataFrame(
+        [(1, 0, 0), (2, 6, 8), (3, 12, 12), (4, 100, 100)],
+        "id long, x long, y long",
+    )
+    df = spatial.nn_within_radius(pts, id_col="id", x="x", y="y", radius=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    got = {(r["id"], r["nn_id"], r["d2"]) for r in df.collect()}
+    assert got == {(1, 2, 100), (2, 3, 52), (3, 2, 52)}

@@ -3291,3 +3291,58 @@ r AS (
 SELECT user_id, n::INT AS n_steps, bal AS final_cents, clamps::INT AS n_clamps
 FROM r WHERE rn = n ORDER BY user_id
 """
+
+
+def q_spatial_nn_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-radius nearest-neighbor join on a synthetic customer map:
+    each customer gets deterministic integer micro-coordinates
+    (md5-derived, engine-identical), and we find the nearest OTHER
+    customer within 20 000 micro-units — the store-matching / sensor-
+    correlation shape. operators/spatial.py::nn_within_radius grids the
+    plane at cell = radius so the 3×3 neighborhood join is a HASH
+    equi-join and completeness is guaranteed; distance stays squared
+    int64 (no sqrt, no float). The oracle brute-forces all pairs —
+    feasible at oracle scale, and PROVES the grid join misses nothing."""
+    from .operators import spatial
+
+    cust = _read(spark, sf_dir, "customer")
+    coord = lambda salt: (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col("c_custkey").cast("string"))), 1, 7),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        coord("x:").alias("x"),
+        coord("y:").alias("y"),
+    )
+    return spatial.nn_within_radius(
+        pts, id_col="id", x="x", y="y", radius=20_000
+    ).orderBy("id")
+
+
+ANALYTICS_QUERIES["spatial_nn_customers"] = q_spatial_nn_customers
+ANALYTICS_ORACLES["spatial_nn_customers"] = """
+WITH pts AS (
+  SELECT c_custkey AS id,
+    ('0x' || substr(md5('x:' || c_custkey), 1, 7))::BIGINT % 1000000 AS x,
+    ('0x' || substr(md5('y:' || c_custkey), 1, 7))::BIGINT % 1000000 AS y
+  FROM customer
+),
+pairs AS (
+  SELECT a.id AS id, b.id AS nn_id,
+    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM pts a JOIN pts b ON a.id <> b.id
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        <= 20000 * 20000
+),
+ranked AS (
+  SELECT id, nn_id, d2,
+    row_number() OVER (PARTITION BY id ORDER BY d2, nn_id) AS rn
+  FROM pairs
+)
+SELECT id, nn_id, d2 FROM ranked WHERE rn = 1 ORDER BY id
+"""
