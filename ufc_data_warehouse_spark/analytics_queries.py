@@ -3346,3 +3346,52 @@ ranked AS (
 )
 SELECT id, nn_id, d2 FROM ranked WHERE rn = 1 ORDER BY id
 """
+
+
+def q_spatial_density_cores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN core-point detection on the synthetic customer map
+    (eps = 30 000 micro-units, minPts = 3): density hotspots via the
+    same provably-complete grid join as spatial_nn_customers, with
+    zero-neighbor points KEPT at count 0 (left join back — the case an
+    inner join silently drops). All-pairs oracle."""
+    from .operators import spatial
+
+    cust = _read(spark, sf_dir, "customer")
+    coord = lambda salt: (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col("c_custkey").cast("string"))), 1, 7),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        coord("x:").alias("x"),
+        coord("y:").alias("y"),
+    )
+    return spatial.density_core_points(
+        pts, id_col="id", x="x", y="y", eps=30_000, min_pts=3
+    ).orderBy("id")
+
+
+ANALYTICS_QUERIES["spatial_density_cores"] = q_spatial_density_cores
+ANALYTICS_ORACLES["spatial_density_cores"] = """
+WITH pts AS (
+  SELECT c_custkey AS id,
+    ('0x' || substr(md5('x:' || c_custkey), 1, 7))::BIGINT % 1000000 AS x,
+    ('0x' || substr(md5('y:' || c_custkey), 1, 7))::BIGINT % 1000000 AS y
+  FROM customer
+),
+cnt AS (
+  SELECT a.id, count(*) AS n_neighbors
+  FROM pts a JOIN pts b ON a.id <> b.id
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        <= 30000 * 30000
+  GROUP BY a.id
+)
+SELECT p.id, coalesce(c.n_neighbors, 0)::BIGINT AS n_neighbors,
+       coalesce(c.n_neighbors, 0) >= 3 AS is_core
+FROM pts p LEFT JOIN cnt c USING (id)
+ORDER BY p.id
+"""

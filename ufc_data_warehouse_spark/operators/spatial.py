@@ -85,3 +85,73 @@ def nn_within_radius(
         F.col("b.nid").alias("nn_id"),
         F.col("b.d2").alias("d2"),
     )
+
+
+def density_core_points(
+    points: DataFrame,
+    *,
+    id_col: str,
+    x: str,
+    y: str,
+    eps: int,
+    min_pts: int,
+) -> DataFrame:
+    """DBSCAN's core-point primitive: for every point, the count of
+    OTHER points within ``eps`` (squared-int64 compare), flagged
+    ``is_core`` when ≥ ``min_pts`` — the density filter that seeds
+    cluster expansion and, standalone, the hotspot detector.
+
+    Same provably-complete 3×3 grid join as ``nn_within_radius``
+    (cell = eps); the per-point neighbor count is one hash agg on the
+    candidate pairs. Points with ZERO in-range neighbors are kept
+    (count 0) via a left join back to the input — the isolated-point
+    case an inner-join formulation silently drops.
+    """
+    pts = points.select(
+        F.col(id_col).cast("long").alias("pid"),
+        F.col(x).cast("long").alias("px"),
+        F.col(y).cast("long").alias("py"),
+    )
+    r = int(eps)
+    probe = pts.select(
+        "pid",
+        "px",
+        "py",
+        F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)])).alias("dx"),
+    ).select(
+        "pid",
+        "px",
+        "py",
+        (F.expr(f"px div {r}") + F.col("dx")).alias("cx"),
+        F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)])).alias("dy"),
+    ).select(
+        "pid", "px", "py", "cx", (F.expr(f"py div {r}") + F.col("dy")).alias("cy")
+    )
+    build = pts.select(
+        F.col("pid").alias("nid"),
+        F.col("px").alias("nx"),
+        F.col("py").alias("ny"),
+        F.expr(f"px div {r}").alias("cx"),
+        F.expr(f"py div {r}").alias("cy"),
+    )
+    d2 = (F.col("px") - F.col("nx")) * (F.col("px") - F.col("nx")) + (
+        F.col("py") - F.col("ny")
+    ) * (F.col("py") - F.col("ny"))
+    counts = (
+        probe.join(build, ["cx", "cy"])
+        .where(F.col("pid") != F.col("nid"))
+        .where(d2 <= F.lit(r * r))
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n_neighbors"))
+    )
+    return (
+        pts.select("pid")
+        .join(counts, "pid", "left")
+        .select(
+            F.col("pid").alias("id"),
+            F.coalesce("n_neighbors", F.lit(0)).alias("n_neighbors"),
+            (F.coalesce("n_neighbors", F.lit(0)) >= F.lit(int(min_pts))).alias(
+                "is_core"
+            ),
+        )
+    )
