@@ -3395,3 +3395,107 @@ SELECT p.id, coalesce(c.n_neighbors, 0)::BIGINT AS n_neighbors,
 FROM pts p LEFT JOIN cnt c USING (id)
 ORDER BY p.id
 """
+
+
+def q_tvd_drift_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor between consecutive weeks of traffic:
+    total variation distance TVD = ½·Σ|p_t − q_t| over the event-type
+    distribution — the drift metric that, unlike PSI/KL, needs NO
+    logarithm, so it stays an exact rational:
+    num = Σ|c1_t·N2 − c2_t·N1|, den = 2·N1·N2. One groupBy collapses
+    events to ≤weeks×types counts; everything after rides that tiny
+    frame — week pairs × distinct types is a broadcast cross of two
+    dimension-sized sides (the chi_square_source_lang shape), and the
+    left joins keep ZERO cells (a type absent from one week still
+    contributes |c·N|, which an inner-join TVD silently drops).
+    Overflow: c·N < 9e18 ⇒ fine to ~3e9 events/week."""
+    ev = _read(spark, sf_dir, "events")
+    wk = (
+        ev.select(F.weekofyear("ts").alias("week"), "event_type")
+        .groupBy("week", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    weeks = wk.groupBy("week").agg(F.sum("c").alias("n"))
+    pairs = (
+        weeks.alias("w1")
+        .join(weeks.alias("w2"), F.col("w1.week") + 1 == F.col("w2.week"))
+        .select(
+            F.col("w1.week").alias("week_a"),
+            F.col("w2.week").alias("week_b"),
+            F.col("w1.n").alias("n_a"),
+            F.col("w2.n").alias("n_b"),
+        )
+    )
+    types = wk.select("event_type").distinct()
+    ca = wk.select(
+        F.col("week").alias("wa"), F.col("event_type").alias("ta"),
+        F.col("c").alias("c_a"),
+    )
+    cb = wk.select(
+        F.col("week").alias("wb"), F.col("event_type").alias("tb"),
+        F.col("c").alias("c_b"),
+    )
+    terms = (
+        pairs.crossJoin(F.broadcast(types))
+        .join(
+            ca,
+            (F.col("week_a") == F.col("wa")) & (F.col("event_type") == F.col("ta")),
+            "left",
+        )
+        .drop("wa", "ta")
+        .join(
+            cb,
+            (F.col("week_b") == F.col("wb")) & (F.col("event_type") == F.col("tb")),
+            "left",
+        )
+        .drop("wb", "tb")
+        .select(
+            "week_a", "week_b", "n_a", "n_b",
+            F.coalesce("c_a", F.lit(0)).alias("c_a"),
+            F.coalesce("c_b", F.lit(0)).alias("c_b"),
+        )
+        .where((F.col("c_a") > 0) | (F.col("c_b") > 0))
+    )
+    return (
+        terms.groupBy("week_a", "week_b", "n_a", "n_b")
+        .agg(
+            F.sum(
+                F.abs(F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a"))
+            ).alias("tvd_num")
+        )
+        .select(
+            "week_a",
+            "week_b",
+            "tvd_num",
+            (F.lit(2) * F.col("n_a") * F.col("n_b")).alias("tvd_den"),
+        )
+        .orderBy("week_a")
+    )
+
+
+ANALYTICS_QUERIES["tvd_drift_weekly"] = q_tvd_drift_weekly
+ANALYTICS_ORACLES["tvd_drift_weekly"] = """
+WITH wk AS (
+  SELECT weekofyear(ts)::INT AS week, event_type, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+weeks AS (SELECT week, sum(c)::BIGINT AS n FROM wk GROUP BY week),
+pairs AS (
+  SELECT w1.week AS week_a, w2.week AS week_b, w1.n AS n_a, w2.n AS n_b
+  FROM weeks w1 JOIN weeks w2 ON w1.week + 1 = w2.week
+),
+types AS (
+  SELECT p.week_a, p.week_b, p.n_a, p.n_b, t.event_type,
+    coalesce(a.c, 0)::BIGINT AS c_a, coalesce(b.c, 0)::BIGINT AS c_b
+  FROM pairs p
+  CROSS JOIN (SELECT DISTINCT event_type FROM wk) t
+  LEFT JOIN wk a ON a.week = p.week_a AND a.event_type = t.event_type
+  LEFT JOIN wk b ON b.week = p.week_b AND b.event_type = t.event_type
+  WHERE coalesce(a.c, 0) > 0 OR coalesce(b.c, 0) > 0
+)
+SELECT week_a, week_b,
+  sum(abs(c_a * n_b - c_b * n_a))::BIGINT AS tvd_num,
+  (2 * n_a * n_b)::BIGINT AS tvd_den
+FROM types GROUP BY week_a, week_b, n_a, n_b
+ORDER BY week_a
+"""

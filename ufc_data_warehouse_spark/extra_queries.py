@@ -2774,6 +2774,11 @@ BENCH_EXTRA = [
     "curation_pipeline_e2e",
     # feature-store point-in-time assembly (one keyed window over events)
     "pit_feature_assembly",
+    # grid-join spatial family and frontier-only BFS (bounded outputs)
+    "spatial_nn_customers",
+    "graph_bfs_hops",
+    # bucket-grid range join (the no-shared-key interval containment)
+    "interval_overlap_counts",
 ]
 # NOT benchmarked: dedup_prefix_filter / graph_triangle_census — on this
 # synthetic corpus (5000 near-identical docs; a 91%-dense co-purchase
