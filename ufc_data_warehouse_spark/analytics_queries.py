@@ -3499,3 +3499,52 @@ SELECT week_a, week_b,
 FROM types GROUP BY week_a, week_b, n_a, n_b
 ORDER BY week_a
 """
+
+
+def q_entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed entity-resolution pipeline on the part catalog — the
+    master-data-management job end-to-end as ONE lazy plan: blocked
+    fuzzy matching (same-brand equi-join blocks + thresholded JVM
+    levenshtein ≤ 4 — Σ|block|², never N²) → min-label connected
+    components (dedup.duplicate_clusters, per-round localCheckpoint) →
+    canonical survivor (min key). The batch twin of curation_pipeline_
+    e2e: components reuse the SAME blocking/CC operators the dedup
+    family is built on, demonstrating operator composition rather than
+    per-task rewrites. Oracle replays matching declaratively and the
+    closure as a recursive CTE."""
+    part = _read(spark, sf_dir, "part")
+    pairs = dedup.blocked_edit_distance_pairs(
+        part, key="p_partkey", name="p_name", block="p_brand", max_dist=4
+    ).select(F.col("id_1").alias("id_a"), F.col("id_2").alias("id_b"))
+    ids = part.select(F.col("p_partkey").alias("id"))
+    return dedup.duplicate_clusters(pairs, ids).orderBy("id")
+
+
+ANALYTICS_QUERIES["entity_resolution_parts"] = q_entity_resolution_parts
+ANALYTICS_ORACLES["entity_resolution_parts"] = """
+WITH RECURSIVE dup_pairs AS (
+  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= 4
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM dup_pairs
+  UNION SELECT id_b, id_a FROM dup_pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+  WHERE r.src <> e.dst
+),
+comp AS (
+  SELECT src AS id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src
+)
+SELECT p.p_partkey AS id,
+  coalesce(c.cluster_id, p.p_partkey) AS cluster_id,
+  CASE WHEN coalesce(c.cluster_id, p.p_partkey) = p.p_partkey
+       THEN 1 ELSE 0 END AS is_canonical
+FROM part p LEFT JOIN comp c ON p.p_partkey = c.id
+ORDER BY id
+"""
