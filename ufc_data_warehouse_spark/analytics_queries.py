@@ -3548,3 +3548,94 @@ SELECT p.p_partkey AS id,
 FROM part p LEFT JOIN comp c ON p.p_partkey = c.id
 ORDER BY id
 """
+
+
+def q_time_to_convert_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median seconds from a user's FIRST signup to their FIRST
+    subsequent purchase, cohorted by signup week — the activation-speed
+    metric product teams track. Latencies are exact integer seconds
+    (floored epochs, same pin as interarrival_burstiness); the median
+    uses the 2·cum ≥ n running-count compare on the per-cohort ordered
+    latencies (the weighted_median_price shape with unit weights) —
+    never percentile_cont's engine-specific interpolation. Events
+    collapse to ≤1 row per user BEFORE cohorting; all windows/aggs ride
+    one cohort-keyed exchange on that tiny frame. Users who never
+    purchase after signup are excluded (funnel semantics)."""
+    ev = _read(spark, sf_dir, "events")
+    us = F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+    firsts = (
+        ev.where(F.col("event_type").isin("signup", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", us)).alias("s_us")
+        )
+    )
+    ev2 = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("p_us")
+    )
+    lat = (
+        firsts.where(F.col("s_us").isNotNull())
+        .join(ev2, "user_id")
+        .where(F.col("p_us") >= F.col("s_us"))
+        .groupBy("user_id", "s_us")
+        .agg(F.min("p_us").alias("first_p_us"))
+        .select(
+            "user_id",
+            F.weekofyear(
+                F.to_timestamp(F.col("s_us"))
+            ).alias("signup_week"),
+            (F.col("first_p_us") - F.col("s_us")).alias("lat_s"),
+        )
+    )
+    w = (
+        Window.partitionBy("signup_week")
+        .orderBy("lat_s", "user_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = lat.select(
+        "signup_week",
+        "lat_s",
+        F.count(F.lit(1)).over(w).alias("cum_n"),
+    )
+    totals = lat.groupBy("signup_week").agg(F.count(F.lit(1)).alias("n_users"))
+    return (
+        cum.join(F.broadcast(totals), "signup_week")
+        .where(F.lit(2) * F.col("cum_n") >= F.col("n_users"))
+        .groupBy("signup_week", "n_users")
+        .agg(F.min("lat_s").alias("median_latency_s"))
+        .select("signup_week", "n_users", "median_latency_s")
+        .orderBy("signup_week")
+    )
+
+
+ANALYTICS_QUERIES["time_to_convert_median"] = q_time_to_convert_median
+ANALYTICS_ORACLES["time_to_convert_median"] = """
+WITH firsts AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'signup'
+        THEN epoch_us(ts) // 1000000 END) AS s_us
+  FROM events WHERE event_type IN ('signup', 'purchase')
+  GROUP BY user_id
+),
+lat AS (
+  SELECT f.user_id,
+    weekofyear(to_timestamp(f.s_us))::INT AS signup_week,
+    min(epoch_us(e.ts) // 1000000) - f.s_us AS lat_s
+  FROM firsts f JOIN events e
+    ON e.user_id = f.user_id AND e.event_type = 'purchase'
+   AND epoch_us(e.ts) // 1000000 >= f.s_us
+  WHERE f.s_us IS NOT NULL
+  GROUP BY f.user_id, f.s_us
+),
+cum AS (
+  SELECT signup_week, lat_s,
+    count(*) OVER (PARTITION BY signup_week ORDER BY lat_s, user_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+    count(*) OVER (PARTITION BY signup_week) AS n_users
+  FROM lat
+)
+SELECT signup_week, n_users::BIGINT AS n_users,
+       min(lat_s)::BIGINT AS median_latency_s
+FROM cum WHERE 2 * cum_n >= n_users
+GROUP BY signup_week, n_users ORDER BY signup_week
+"""
