@@ -3639,3 +3639,64 @@ SELECT signup_week, n_users::BIGINT AS n_users,
 FROM cum WHERE 2 * cum_n >= n_users
 GROUP BY signup_week, n_users ORDER BY signup_week
 """
+
+
+def q_embedding_hygiene_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table hygiene gate per label shard — the pre-training
+    audit that catches the classic vector-store corruptions: dimension
+    drift (mixed encoder versions), NaN/Inf poisoning (one NaN in a
+    matmul poisons a whole batch score), and zero vectors (cosine
+    undefined). All signals reduce in ONE agg over ONE scan: modal dim
+    via exact min/max compare (drifted shard ⇔ min≠max), NaN/Inf and
+    all-zero flags via JVM array predicates (`exists`/`forall` — no
+    Python, no explode: the array never fans out to dim× rows).
+    Pure integer outputs. NULL-row pin: Spark's forall over a NULL
+    array yields NULL (sum skips it) while DuckDB's NOT EXISTS over
+    unnest(NULL) is TRUE — the oracle guards with IS NOT NULL so both
+    engines count zero-vectors over non-null rows only."""
+    emb = _read(spark, sf_dir, "embeddings")
+    has_bad = F.exists(
+        "embedding", lambda v: v.isNaN() | (F.abs(v) > F.lit(3.0e38))
+    )
+    all_zero = F.forall("embedding", lambda v: v == F.lit(0.0))
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min(F.size("embedding")).alias("min_dim"),
+            F.max(F.size("embedding")).alias("max_dim"),
+            F.sum(has_bad.cast("long")).alias("n_nonfinite"),
+            F.sum(all_zero.cast("long")).alias("n_zero_vectors"),
+            F.sum(F.col("embedding").isNull().cast("long")).alias("n_null_rows"),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            "min_dim",
+            "max_dim",
+            (F.col("min_dim") != F.col("max_dim")).alias("dim_drift"),
+            "n_nonfinite",
+            "n_zero_vectors",
+            "n_null_rows",
+        )
+        .orderBy("label")
+    )
+
+
+ANALYTICS_QUERIES["embedding_hygiene_audit"] = q_embedding_hygiene_audit
+ANALYTICS_ORACLES["embedding_hygiene_audit"] = """
+SELECT label,
+  count(*) AS n_vectors,
+  min(len(embedding))::INT AS min_dim,
+  max(len(embedding))::INT AS max_dim,
+  (min(len(embedding)) <> max(len(embedding))) AS dim_drift,
+  sum(CASE WHEN EXISTS (SELECT 1 FROM unnest(embedding) AS u(v)
+            WHERE isnan(v) OR abs(v) > 3.0e38) THEN 1 ELSE 0 END)::BIGINT
+    AS n_nonfinite,
+  sum(CASE WHEN embedding IS NOT NULL AND NOT EXISTS
+            (SELECT 1 FROM unnest(embedding) AS u(v)
+             WHERE v <> 0.0) THEN 1 ELSE 0 END)::BIGINT AS n_zero_vectors,
+  sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_rows
+FROM embeddings
+GROUP BY label ORDER BY label
+"""
