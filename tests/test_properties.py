@@ -177,3 +177,121 @@ def test_triangle_count_matches_bruteforce(spark, edge_list):
         len(adj),
         expected,
     )
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(0, 3),
+)
+def test_bfs_hops_matches_bruteforce(spark, edge_list, seed):
+    """Frontier BFS == brute-force shortest hop distance on arbitrary
+    small graphs (dups, self-loops, disconnected parts included)."""
+    from ufc_data_warehouse_spark.operators import graph
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edge_list:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    rounds = 3
+    dist = {seed: 0}
+    frontier = {seed}
+    for i in range(1, rounds + 1):
+        frontier = {
+            n for f in frontier for n in adj.get(f, ()) if n not in dist
+        }
+        for n in frontier:
+            dist[n] = i
+    df = spark.createDataFrame(edge_list or [(0, 0)], "src long, dst long")
+    seeds = spark.createDataFrame([(seed,)], "node long")
+    got = {
+        (r["node"], r["hops"])
+        for r in graph.bfs_hops(df, seeds, rounds=rounds).collect()
+    }
+    assert got == set(dist.items())
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 60)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_skyline_matches_bruteforce(spark, pts):
+    """Window skyline == the NOT EXISTS dominance definition on
+    arbitrary small point sets (duplicates included)."""
+    from ufc_data_warehouse_spark.operators import patterns
+
+    uniq = set(pts)
+    expected = {
+        (x, y)
+        for (x, y) in uniq
+        if not any(
+            bx <= x and by <= y and (bx < x or by < y) for (bx, by) in uniq
+        )
+    }
+    df = spark.createDataFrame(list(pts), "x long, y long")
+    got = {
+        (r["x"], r["y"])
+        for r in patterns.skyline_2d(df, "x", "y").collect()
+    }
+    assert got == expected
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(st.integers(0, 5_000_000), min_size=1, max_size=25),
+    st.lists(
+        st.tuples(st.integers(0, 4_500_000), st.integers(1, 2_500_000)),
+        min_size=1,
+        max_size=15,
+    ),
+)
+def test_interval_overlap_join_matches_bruteforce(spark, points, spans):
+    """Bucket-grid containment join == brute-force [start, end) test on
+    arbitrary small inputs, including bucket-boundary values — each true
+    (point, interval) pair must appear EXACTLY once."""
+    from collections import Counter
+
+    from ufc_data_warehouse_spark.operators import patterns
+
+    pdf = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(points)], "point_id long, p_us long"
+    )
+    idf = spark.createDataFrame(
+        [(j, s, s + ln) for j, (s, ln) in enumerate(spans)],
+        "iv_id long, start_us long, end_us long",
+    )
+    out = patterns.interval_overlap_join(
+        pdf, idf, point_ts_us="p_us", start_us="start_us",
+        end_us="end_us", bucket_s=1,  # 1s buckets; µs values span several
+    )
+    got = Counter(
+        (r["point_id"], r["iv_id"]) for r in out.collect()
+    )
+    expected = Counter(
+        (i, j)
+        for i, p in enumerate(points)
+        for j, (s, ln) in enumerate(spans)
+        if s <= p < s + ln
+    )
+    assert got == expected
