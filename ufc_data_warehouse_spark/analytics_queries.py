@@ -3700,3 +3700,322 @@ SELECT label,
 FROM embeddings
 GROUP BY label ORDER BY label
 """
+
+
+def q_association_rules_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over (order = basket, supplier =
+    item): support / confidence / lift for every co-purchased supplier
+    pair with support ≥ 3 — the recommender-bootstrap job. Pair space is
+    built per-basket (hash equi-join on l_orderkey then item_a < item_b
+    triangularization), so cost is Σ|basket|² — the basket×basket join
+    space never exists. Item totals and the basket count are
+    dimension-sized broadcasts back onto the pair frame. Lift stays an
+    exact integer rational lift_num/lift_den = pair·N / (cnt_a·cnt_b)
+    (< 9e18 up to ~3e9 baskets); confidence is pair_cnt/cnt_a by the
+    same columns. Beyond-parity: the reference has no co-occurrence
+    surface (SURVEY.md §2 — aggregation stops at A1-A9)."""
+    li = _read(spark, sf_dir, "lineitem")
+    bi = li.select("l_orderkey", "l_suppkey").distinct()
+    item_cnt = bi.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    nb = bi.agg(F.count_distinct("l_orderkey").alias("n_baskets"))
+    left = bi.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("item_a"))
+    right = bi.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("item_b"))
+    pairs = (
+        left.join(right, "ok")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .where(F.col("pair_cnt") >= 3)
+    )
+    ca = item_cnt.select(F.col("l_suppkey").alias("item_a"), F.col("cnt").alias("cnt_a"))
+    cb = item_cnt.select(F.col("l_suppkey").alias("item_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        pairs.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "item_a",
+            "item_b",
+            "pair_cnt",
+            "cnt_a",
+            "cnt_b",
+            "n_baskets",
+            (F.col("pair_cnt") * F.col("n_baskets")).alias("lift_num"),
+            (F.col("cnt_a") * F.col("cnt_b")).alias("lift_den"),
+        )
+        .orderBy("item_a", "item_b")
+    )
+
+
+ANALYTICS_QUERIES["association_rules_suppliers"] = q_association_rules_suppliers
+ANALYTICS_ORACLES["association_rules_suppliers"] = """
+WITH bi AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+ic AS (SELECT l_suppkey, count(*)::BIGINT AS cnt FROM bi GROUP BY 1),
+nb AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_baskets FROM bi),
+p AS (
+  SELECT a.l_suppkey AS item_a, b.l_suppkey AS item_b,
+         count(*)::BIGINT AS pair_cnt
+  FROM bi a JOIN bi b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2 HAVING count(*) >= 3)
+SELECT p.item_a, p.item_b, p.pair_cnt,
+  ca.cnt AS cnt_a, cb.cnt AS cnt_b, nb.n_baskets,
+  (p.pair_cnt * nb.n_baskets)::BIGINT AS lift_num,
+  (ca.cnt * cb.cnt)::BIGINT AS lift_den
+FROM p
+JOIN ic ca ON ca.l_suppkey = p.item_a
+JOIN ic cb ON cb.l_suppkey = p.item_b
+CROSS JOIN nb
+ORDER BY p.item_a, p.item_b
+"""
+
+
+def q_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit fraud/quality audit on order totals: observed
+    leading-digit counts vs the Benford expectation, with the per-digit
+    chi-square contribution kept as an exact integer rational
+    chi_num/chi_den = (1000·cnt − p‰·N)² / (1000·p‰·N) against pinned
+    per-mille Benford constants (301,176,…,46) — no log10 or float share
+    anywhere. The digit comes from int→string of floor(price) (both
+    engines render integers identically; never from formatting a DOUBLE,
+    whose textual form is engine-defined). Zero-count digits are kept
+    via the 9-row constant dim LEFT JOIN. Scale note: (1000·cnt)² caps
+    exact BIGINT at ~3e15 rows/digit; past that, compute per-partition
+    counts first (this shape already does) and move the square to
+    DECIMAL(38,0). One count groupBy = one exchange; the totals cross is
+    a 1-row broadcast."""
+    o = _read(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        o.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = o.agg(F.count(F.lit(1)).alias("total"))
+    benford = spark.createDataFrame(
+        [(1, 301), (2, 176), (3, 125), (4, 97), (5, 79),
+         (6, 67), (7, 58), (8, 51), (9, 46)],
+        "digit int, p_mille bigint",
+    )
+    joined = (
+        benford.join(F.broadcast(counts), "digit", "left")
+        .select("digit", "p_mille", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+    )
+    d = F.lit(1000) * F.col("cnt") - F.col("p_mille") * F.col("total")
+    return joined.select(
+        "digit",
+        "cnt",
+        "total",
+        "p_mille",
+        (d * d).alias("chi_num"),
+        (F.lit(1000) * F.col("p_mille") * F.col("total")).alias("chi_den"),
+    ).orderBy("digit")
+
+
+ANALYTICS_QUERIES["benford_price_audit"] = q_benford_price_audit
+ANALYTICS_ORACLES["benford_price_audit"] = """
+WITH c AS (
+  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                        1, 1) AS INT) AS digit,
+         count(*)::BIGINT AS cnt
+  FROM orders GROUP BY 1),
+t AS (SELECT count(*)::BIGINT AS total FROM orders),
+b AS (SELECT * FROM (VALUES (1, 301), (2, 176), (3, 125), (4, 97), (5, 79),
+                            (6, 67), (7, 58), (8, 51), (9, 46))
+      AS v(digit, p_mille))
+SELECT b.digit, coalesce(c.cnt, 0)::BIGINT AS cnt, t.total,
+  b.p_mille::BIGINT AS p_mille,
+  ((1000 * coalesce(c.cnt, 0) - b.p_mille * t.total)
+   * (1000 * coalesce(c.cnt, 0) - b.p_mille * t.total))::BIGINT AS chi_num,
+  (1000 * b.p_mille * t.total)::BIGINT AS chi_den
+FROM b LEFT JOIN c ON b.digit = c.digit CROSS JOIN t
+ORDER BY b.digit
+"""
+
+
+def q_ab_test_two_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between deterministic experiment arms
+    (user_id parity — rerun-stable, no RNG): did arm B's purchase
+    conversion differ from arm A's? Users collapse to one converted
+    flag each (events never pairwise-joined), arms collapse to
+    (n, x) counts, and z² = (x_a·n_b − x_b·n_a)²·N / (n_a·n_b·x·(N−x))
+    is evaluated with every factor cast int→double FIRST and a pinned
+    multiplication tree, so the one float expression is bit-identical
+    cross-engine (int→double exact < 2^53; each * and / correctly
+    rounded). The integer cross-product x_a·n_b stays exact BIGINT to
+    ~3e9 users/arm. Degenerate arms (zero or all conversions) yield
+    NULL via the same guard on both engines. Two exchanges total:
+    user collapse, then a 2-row arm agg."""
+    ev = _read(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    )
+    g = per_user.groupBy((F.col("user_id") % 2).alias("variant")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("x")
+    )
+    row = g.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("x"))).alias("x_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("x"))).alias("x_b"),
+    )
+    d = F.col("x_a") * F.col("n_b") - F.col("x_b") * F.col("n_a")
+    big_n = F.col("n_a") + F.col("n_b")
+    pool = F.col("x_a") + F.col("x_b")
+    non = big_n - pool
+    z2 = (
+        (d.cast("double") * d.cast("double")) * big_n.cast("double")
+    ) / (
+        (
+            (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            * pool.cast("double")
+        )
+        * non.cast("double")
+    )
+    return row.select(
+        "x_a",
+        "n_a",
+        "x_b",
+        "n_b",
+        F.when(
+            (pool > 0) & (non > 0) & (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            z2,
+        ).alias("z_squared"),
+    )
+
+
+ANALYTICS_QUERIES["ab_test_two_proportion"] = q_ab_test_two_proportion
+ANALYTICS_ORACLES["ab_test_two_proportion"] = """
+WITH pu AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1),
+g AS (
+  SELECT user_id % 2 AS variant, count(*)::BIGINT AS n,
+         sum(conv)::BIGINT AS x
+  FROM pu GROUP BY 1),
+r AS (
+  SELECT
+    max(CASE WHEN variant = 0 THEN n END)::BIGINT AS n_a,
+    max(CASE WHEN variant = 0 THEN x END)::BIGINT AS x_a,
+    max(CASE WHEN variant = 1 THEN n END)::BIGINT AS n_b,
+    max(CASE WHEN variant = 1 THEN x END)::BIGINT AS x_b
+  FROM g)
+SELECT x_a, n_a, x_b, n_b,
+  CASE WHEN (x_a + x_b) > 0 AND (n_a + n_b - x_a - x_b) > 0
+            AND n_a > 0 AND n_b > 0 THEN
+    (((x_a * n_b - x_b * n_a)::DOUBLE * (x_a * n_b - x_b * n_a)::DOUBLE)
+      * (n_a + n_b)::DOUBLE)
+    / (((n_a::DOUBLE * n_b::DOUBLE) * (x_a + x_b)::DOUBLE)
+       * (n_a + n_b - x_a - x_b)::DOUBLE)
+  END AS z_squared
+FROM r
+"""
+
+
+def q_mad_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier detection via median absolute deviation —
+    the z-score monitor's (ts_zscore_outliers) breakdown-resistant twin:
+    a single fat-finger value shifts mean AND stddev, but not med/MAD.
+    Both medians are the LOWER median (min v with 2·cum ≥ n over
+    distinct-value counts — no even-n interpolation, so no float
+    averaging), computed windowed per type on the collapsed
+    (type, value) frame. |v − med| and the 3·MAD fence are single IEEE
+    ops on both engines ⇒ bit-exact flags. Events scan twice (once per
+    median pass); the ≤types-row med/mad frames broadcast back. Scale:
+    windows ride distinct values per type, not raw rows."""
+    ev = _read(spark, sf_dir, "events").select("event_type", "value")
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    vals = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("c"))
+    med = (
+        vals.select(
+            "event_type",
+            "value",
+            F.sum("c").over(w_cum).alias("cum"),
+            F.sum("c").over(w_all).alias("tot"),
+        )
+        .where(F.lit(2) * F.col("cum") >= F.col("tot"))
+        .groupBy("event_type")
+        .agg(F.min("value").alias("med"))
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+    )
+    w_cum2 = (
+        Window.partitionBy("event_type")
+        .orderBy("dev")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mad = (
+        dev.groupBy("event_type", "dev")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "event_type",
+            "dev",
+            F.sum("c").over(w_cum2).alias("cum"),
+            F.sum("c").over(w_all).alias("tot"),
+        )
+        .where(F.lit(2) * F.col("cum") >= F.col("tot"))
+        .groupBy("event_type")
+        .agg(F.min("dev").alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum(
+                F.when(F.col("dev") > F.lit(3.0) * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ANALYTICS_QUERIES["mad_value_outliers"] = q_mad_value_outliers
+ANALYTICS_ORACLES["mad_value_outliers"] = """
+WITH vals AS (
+  SELECT event_type, value, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, value,
+    sum(c) OVER (PARTITION BY event_type ORDER BY value
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    sum(c) OVER (PARTITION BY event_type) AS tot
+  FROM vals),
+med AS (
+  SELECT event_type, min(value) AS med
+  FROM cum WHERE 2 * cum >= tot GROUP BY 1),
+dev AS (
+  SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+  FROM events e JOIN med m ON e.event_type = m.event_type),
+dvals AS (
+  SELECT event_type, dev, count(*)::BIGINT AS c
+  FROM dev GROUP BY 1, 2),
+cum2 AS (
+  SELECT event_type, dev,
+    sum(c) OVER (PARTITION BY event_type ORDER BY dev
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    sum(c) OVER (PARTITION BY event_type) AS tot
+  FROM dvals),
+mad AS (
+  SELECT event_type, min(dev) AS mad
+  FROM cum2 WHERE 2 * cum >= tot GROUP BY 1)
+SELECT d.event_type, d.med, m.mad,
+  sum(CASE WHEN d.dev > 3.0::DOUBLE * m.mad THEN 1 ELSE 0 END)::BIGINT
+    AS n_outliers,
+  count(*)::BIGINT AS n_events
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY 1, 2, 3
+ORDER BY d.event_type
+"""
