@@ -252,6 +252,11 @@ GROUP BY winner ORDER BY {out} DESC, fighter""",
 _FIGHT_ORDER = "event_date ASC NULLS LAST, event, bout, fight_id"
 
 MODEL_BODIES: dict[str, tuple[str, str]] = {
+    # ---- staging (stg_fight_results.sql / stg_event_details.sql — exposed
+    # as first-class oracle-gated queries, not only as CTEs under every
+    # downstream model) --------------------------------------------------
+    "stg_fight_results": ("", "SELECT * FROM stg_fight_results"),
+    "stg_event_details": ("", "SELECT * FROM stg_event_details"),
     # ---- core --------------------------------------------------------------
     "fct_fights": (
         "",
