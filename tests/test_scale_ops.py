@@ -777,3 +777,29 @@ def test_hll_rolling_7d_actives_within_bound_of_exact(spark):
     assert set(est) == set(exact)
     for day, n in exact.items():
         assert abs(est[day] - n) <= max(2, 0.05 * n), (day, est[day], n)
+
+
+def test_approx_percentile_rank_error_bounded(spark):
+    """Scale path for exact percentile queries (weighted_median_price,
+    value_percentiles): at 100 TB the exact distinct-collapse + running
+    window is replaced by approx_percentile (Greenwald-Khanna). The
+    sketch's contract is RANK error, not value error — verify that the
+    value it returns for p in {0.5, 0.95, 0.99} sits within ±1% of the
+    target rank position on the real distribution (accuracy=10000 ⇒
+    ε=1e-4, so 1% is generous headroom over the guarantee)."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select("o_totalprice")
+    n = o.count()
+    approx = o.agg(
+        F.percentile_approx(
+            "o_totalprice", [0.5, 0.95, 0.99], 10000
+        ).alias("p")
+    ).collect()[0]["p"]
+    for target, v in zip((0.5, 0.95, 0.99), approx):
+        rank = o.where(F.col("o_totalprice") <= F.lit(v)).count()
+        assert abs(rank / n - target) <= 0.01, (
+            f"p{target}: value {v} has true rank {rank / n:.4f}"
+        )

@@ -4019,3 +4019,53 @@ FROM dev d JOIN mad m ON d.event_type = m.event_type
 GROUP BY 1, 2, 3
 ORDER BY d.event_type
 """
+
+
+def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy backtest of the seasonal-naive model (predict
+    today's per-type event count = same weekday last week) — the
+    capacity-planning sanity baseline every fancier forecaster must
+    beat. Events collapse to the ≤types×days daily frame FIRST; the
+    7-day shift is a calendar self-join on (type, d−7d) — not lag(7
+    rows), which silently misaligns across missing days — so both
+    sides of the join ride dimension-sized frames. Accuracy is WAPE
+    kept as an exact integer rational Σ|actual−forecast| / Σactual;
+    no float ever appears. Inner join scores only days with a
+    forecast available (the honest backtest window)."""
+    ev = _read(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    prev = daily.select(
+        "event_type",
+        F.date_add("d", 7).alias("d"),
+        F.col("c").alias("f"),
+    )
+    return (
+        daily.join(prev, ["event_type", "d"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(F.abs(F.col("c") - F.col("f"))).alias("wape_num"),
+            F.sum("c").alias("wape_den"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ANALYTICS_QUERIES["seasonal_naive_backtest"] = q_seasonal_naive_backtest
+ANALYTICS_ORACLES["seasonal_naive_backtest"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2),
+prev AS (
+  SELECT event_type, d + INTERVAL 7 DAY AS d, c AS f FROM daily)
+SELECT daily.event_type,
+  count(*)::BIGINT AS n_days,
+  sum(abs(daily.c - prev.f))::BIGINT AS wape_num,
+  sum(daily.c)::BIGINT AS wape_den
+FROM daily JOIN prev
+  ON daily.event_type = prev.event_type AND daily.d = prev.d
+GROUP BY 1 ORDER BY 1
+"""
