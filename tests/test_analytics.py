@@ -316,3 +316,24 @@ def test_spatial_nn_grid_is_hash_join_and_complete(spark):
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     got = {(r["id"], r["nn_id"], r["d2"]) for r in df.collect()}
     assert got == {(1, 2, 100), (2, 3, 52), (3, 2, 52)}
+
+
+def test_gap_audit_stitches_bucket_boundaries(spark):
+    """The bucketed gap audit must equal the naive global-lead answer on
+    a layout engineered to cross its failure planes: a gap spanning a
+    bucket border, a gap spanning ENTIRELY EMPTY buckets, an in-bucket
+    gap, and a contiguous run (no false gap). bucket_size=4096 puts
+    keys {1,2,3} in bucket 0, {5000,5002} in bucket 1, 20000 in bucket
+    4 (buckets 2-3 empty)."""
+    from ufc_data_warehouse_spark.analytics_queries import gap_audit
+
+    keys = spark.createDataFrame(
+        [(1,), (2,), (3,), (5000,), (5002,), (20000,)], "k long"
+    )
+    row = gap_audit(keys, "k", bucket_size=4096).collect()[0]
+    assert row["n_keys"] == 6
+    assert row["min_key"] == 1 and row["max_key"] == 20000
+    # missing: 4..4999 (4996), 5001 (1), 5003..19999 (14997)
+    assert row["total_missing"] == 19994 == (20000 - 1 + 1) - 6
+    assert row["n_gaps"] == 3
+    assert row["max_gap_len"] == 14997

@@ -4069,3 +4069,174 @@ FROM daily JOIN prev
   ON daily.event_type = prev.event_type AND daily.d = prev.d
 GROUP BY 1 ORDER BY 1
 """
+
+
+def gap_audit(keys: DataFrame, key: str, bucket_size: int = 4096) -> DataFrame:
+    """One-row gap/island audit of a sequential integer key column:
+    n_keys, min/max key, total missing keys, number of gaps, and the
+    longest gap. The adjacency window is partitioned by ``key div
+    bucket_size`` so per-key work never rides a global single-task
+    sort; only the per-bucket summary frame (≤ keyspace/bucket_size
+    rows) crosses the one unpartitioned lead() that stitches
+    bucket-boundary gaps — a consecutive-key pair spanning empty
+    buckets is exactly (bucket max_k → next non-empty bucket min_k).
+    All arithmetic is int64; no float appears."""
+    k = keys.select(F.col(key).cast("long").alias("k")).distinct()
+    k = k.withColumn("b", F.expr(f"k div {int(bucket_size)}"))
+    wb = Window.partitionBy("b").orderBy("k")
+    gap = F.col("nk") - F.col("k") - F.lit(1)
+    per_bucket = (
+        k.withColumn("nk", F.lead("k").over(wb))
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.coalesce(
+                F.sum(F.when(gap > 0, gap)), F.lit(0).cast("long")
+            ).alias("miss_in"),
+            F.count(F.when(gap > 0, 1)).alias("gaps_in"),
+            F.coalesce(
+                F.max(F.when(gap > 0, gap)), F.lit(0).cast("long")
+            ).alias("maxgap_in"),
+        )
+    )
+    xgap = F.col("next_min") - F.col("max_k") - F.lit(1)
+    stitched = per_bucket.withColumn(
+        "next_min", F.lead("min_k").over(Window.orderBy("b"))
+    ).withColumn(
+        "miss_x", F.when(xgap > 0, xgap).otherwise(F.lit(0).cast("long"))
+    )
+    return stitched.agg(
+        F.sum("cnt").alias("n_keys"),
+        F.min("min_k").alias("min_key"),
+        F.max("max_k").alias("max_key"),
+        (F.sum("miss_in") + F.sum("miss_x")).alias("total_missing"),
+        (
+            F.sum("gaps_in")
+            + F.sum(F.when(F.col("miss_x") > 0, 1).otherwise(0))
+        ).alias("n_gaps"),
+        F.greatest(F.max("maxgap_in"), F.max("miss_x")).alias(
+            "max_gap_len"
+        ),
+    )
+
+
+def q_orderkey_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-surrogate-key completeness audit on orders.o_orderkey
+    — the load-gap detector (did an ingest batch drop a key range?).
+    TPC-H keyspaces are deliberately sparse, so the audit must count
+    many real gaps, not assume density. See gap_audit for the bucketed
+    no-global-window formulation."""
+    return gap_audit(_read(spark, sf_dir, "orders"), "o_orderkey")
+
+
+ANALYTICS_QUERIES["orderkey_gap_audit"] = q_orderkey_gap_audit
+ANALYTICS_ORACLES["orderkey_gap_audit"] = """
+WITH k AS (SELECT DISTINCT o_orderkey::BIGINT AS k FROM orders),
+g AS (SELECT k, lead(k) OVER (ORDER BY k) AS nk FROM k)
+SELECT count(*)::BIGINT AS n_keys,
+  min(k)::BIGINT AS min_key,
+  max(k)::BIGINT AS max_key,
+  coalesce(sum(CASE WHEN nk > k + 1 THEN nk - k - 1 END), 0)::BIGINT
+    AS total_missing,
+  count(CASE WHEN nk > k + 1 THEN 1 END)::BIGINT AS n_gaps,
+  coalesce(max(CASE WHEN nk > k + 1 THEN nk - k - 1 END), 0)::BIGINT
+    AS max_gap_len
+FROM g
+"""
+
+
+def q_nation_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic string aggregation: per nation, the
+    alphabetically-sorted comma-joined set of market segments its
+    customers span. collect_set is order-nondeterministic across
+    partitions/reruns, so the contract is array_sort BEFORE concat_ws
+    — the only way a string_agg is reproducible on a distributed
+    engine. Customers reduce map-side to distinct (nation, segment)
+    pairs; the nation dim broadcasts."""
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        cust.join(
+            F.broadcast(nation),
+            cust.c_nationkey == nation.n_nationkey,
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.concat_ws(
+                ",", F.array_sort(F.collect_set("c_mktsegment"))
+            ).alias("segments"),
+        )
+        .orderBy("nation")
+    )
+
+
+ANALYTICS_QUERIES["nation_segment_rollup"] = q_nation_segment_rollup
+ANALYTICS_ORACLES["nation_segment_rollup"] = """
+SELECT n_name AS nation,
+  count(*)::BIGINT AS n_customers,
+  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+    AS segments
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_rank_movers_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week leaderboard movement: each event type's rank by
+    weekly volume plus its rank delta vs the previous week — the
+    'top movers' dashboard shape. Events collapse to the ≤weeks×types
+    frame first; both windows (rank within week, lag across weeks)
+    ride that dimension-sized frame, never raw events. Rank tiebreak
+    on type name makes ranks — and therefore deltas — total and
+    reproducible. date_trunc('week') is Monday-start on both engines."""
+    ev = _read(spark, sf_dir, "events")
+    weekly = (
+        ev.groupBy(
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rnk = F.rank().over(
+        Window.partitionBy("week").orderBy(
+            F.desc("cnt"), F.asc("event_type")
+        )
+    )
+    ranked = weekly.withColumn("rnk", rnk)
+    delta = F.col("prev_rnk") - F.col("rnk")
+    return (
+        ranked.withColumn(
+            "prev_rnk",
+            F.lag("rnk").over(
+                Window.partitionBy("event_type").orderBy("week")
+            ),
+        )
+        .select(
+            "week",
+            "event_type",
+            "cnt",
+            "rnk",
+            delta.alias("rank_delta"),
+        )
+        .orderBy("week", "rnk")
+    )
+
+
+ANALYTICS_QUERIES["rank_movers_weekly"] = q_rank_movers_weekly
+ANALYTICS_ORACLES["rank_movers_weekly"] = """
+WITH weekly AS (
+  SELECT date_trunc('week', ts)::DATE AS week, event_type,
+    count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT *, rank() OVER (
+      PARTITION BY week ORDER BY cnt DESC, event_type) AS rnk
+  FROM weekly)
+SELECT week, event_type, cnt, rnk,
+  (lag(rnk) OVER (PARTITION BY event_type ORDER BY week) - rnk)::INT
+    AS rank_delta
+FROM ranked ORDER BY week, rnk
+"""
