@@ -4240,3 +4240,156 @@ SELECT week, event_type, cnt, rnk,
     AS rank_delta
 FROM ranked ORDER BY week, rnk
 """
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type CUSUM changepoint: the day where the cumulative
+    deviation of daily volume from the period mean peaks — the
+    level-shift detector behind 'when did traffic structurally
+    change?'. The mean is never materialized as a float: the statistic
+    is denominator-cleared to S_t = n_days·(running count) − t·total,
+    all int64 (n_days·run < 2^63 even at 10-year × 1e12-event scale).
+    Events collapse to the ≤types×days frame first; every window —
+    running sum, row index, whole-partition totals, argmax rank —
+    shares the ONE event_type partitioning. Argmax tiebreak is the
+    earliest day, making the changepoint total and reproducible."""
+    ev = _read(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wp = Window.partitionBy("event_type")
+    wo = wp.orderBy("d")
+    scored = (
+        daily.withColumn("t", F.row_number().over(wo))
+        .withColumn(
+            "run",
+            F.sum("c").over(
+                wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("n_days", F.count(F.lit(1)).over(wp))
+        .withColumn("total", F.sum("c").over(wp))
+        .withColumn(
+            "s_abs",
+            F.abs(
+                F.col("n_days") * F.col("run") - F.col("t") * F.col("total")
+            ),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(F.desc("s_abs"), F.asc("d"))
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .where("rn = 1")
+        .select(
+            "event_type",
+            F.col("d").alias("changepoint_day"),
+            F.col("s_abs").alias("cusum_scaled"),
+            "n_days",
+            "total",
+        )
+        .orderBy("event_type")
+    )
+
+
+ANALYTICS_QUERIES["cusum_changepoint"] = q_cusum_changepoint
+ANALYTICS_ORACLES["cusum_changepoint"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, d,
+    row_number() OVER (PARTITION BY event_type ORDER BY d) AS t,
+    sum(c) OVER (PARTITION BY event_type ORDER BY d) AS run,
+    count(*) OVER (PARTITION BY event_type) AS n_days,
+    sum(c) OVER (PARTITION BY event_type) AS total
+  FROM daily),
+scored AS (
+  SELECT *, abs(n_days * run - t * total) AS s_abs,
+    row_number() OVER (PARTITION BY event_type
+      ORDER BY abs(n_days * run - t * total) DESC, d) AS rn
+  FROM cum)
+SELECT event_type, d AS changepoint_day,
+  s_abs::BIGINT AS cusum_scaled,
+  n_days::BIGINT AS n_days,
+  total::BIGINT AS total
+FROM scored WHERE rn = 1 ORDER BY event_type
+"""
+
+
+def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: cumulative distinct-term count (and
+    cumulative token count) after each decile of the corpus, in doc_id
+    order — the 'is more data still adding new vocabulary?' curve that
+    sizes tokenizer/vocab builds. Exact, with NO per-prefix rescan: a
+    term's contribution to every prefix is fully determined by its
+    FIRST bucket (min over a map-side-combinable agg), so the corpus is
+    scanned once, the token explode stays narrow, and the only
+    unpartitioned window rides the ≤10-row bucket frame. Deciles come
+    from the doc_id range via a 1-row broadcast bounds cross; integer
+    `div` keeps bucketing float-free."""
+    from .operators import dedup as dd
+
+    docs = _read(spark, sf_dir, "documents")
+    bounds = docs.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    toks = docs.select(
+        "doc_id", F.explode(dd.tokens(F.col("text"))).alias("term")
+    ).where(F.col("term") != "")
+    tb = toks.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(9), F.expr("((doc_id - lo) * 10) div (hi - lo + 1)")
+        )
+        .cast("int")
+        .alias("bucket"),
+        "term",
+    )
+    inst = tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("new_tokens"))
+    first = tb.groupBy("term").agg(F.min("bucket").alias("bucket"))
+    vocab = first.groupBy("bucket").agg(F.count(F.lit(1)).alias("new_terms"))
+    joined = inst.join(vocab, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("new_tokens", F.lit(0).cast("long")).alias("new_tokens"),
+        F.coalesce("new_terms", F.lit(0).cast("long")).alias("new_terms"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return joined.select(
+        "bucket",
+        F.sum("new_tokens").over(w).alias("cum_tokens"),
+        F.sum("new_terms").over(w).alias("cum_vocab"),
+    ).orderBy("bucket")
+
+
+ANALYTICS_QUERIES["vocab_growth_curve"] = q_vocab_growth_curve
+
+
+def _vocab_growth_oracle() -> str:
+    from .extra_queries import _TOKS_SQL
+
+    return f"""
+WITH bounds AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+tb AS (
+  SELECT least(9, ((tok.doc_id - b.lo) * 10) // (b.hi - b.lo + 1))::INT
+      AS bucket, term
+  FROM tok, bounds b WHERE term <> ''),
+inst AS (SELECT bucket, count(*)::BIGINT AS new_tokens FROM tb GROUP BY 1),
+firsts AS (SELECT term, min(bucket) AS bucket FROM tb GROUP BY 1),
+vocab AS (
+  SELECT bucket, count(*)::BIGINT AS new_terms FROM firsts GROUP BY 1),
+j AS (
+  SELECT coalesce(inst.bucket, vocab.bucket) AS bucket,
+    coalesce(new_tokens, 0) AS new_tokens,
+    coalesce(new_terms, 0) AS new_terms
+  FROM inst FULL OUTER JOIN vocab ON inst.bucket = vocab.bucket)
+SELECT bucket,
+  (sum(new_tokens) OVER (ORDER BY bucket))::BIGINT AS cum_tokens,
+  (sum(new_terms) OVER (ORDER BY bucket))::BIGINT AS cum_vocab
+FROM j ORDER BY bucket
+"""
+
+
+ANALYTICS_ORACLES["vocab_growth_curve"] = _vocab_growth_oracle()
