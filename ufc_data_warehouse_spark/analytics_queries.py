@@ -4393,3 +4393,55 @@ FROM j ORDER BY bucket
 
 
 ANALYTICS_ORACLES["vocab_growth_curve"] = _vocab_growth_oracle()
+
+
+def q_event_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder audit: per type, how far events arrive behind
+    the running maximum event-time in arrival (event_id) order — the
+    measurement that SIZES a streaming watermark (`withWatermark`
+    delay) instead of guessing it. Lateness is exact integer
+    microseconds (runmax − ts_us, ≥0 by construction); thresholds are
+    integer compares and the max is floored to whole seconds with
+    integer div — no float, no timestamp arithmetic ambiguity. The
+    running max is a per-type prefix scan; at 100 TB the associative
+    scale path is per-ingest-batch maxima merged monotonically (max is
+    order-insensitive), not one giant ordered partition."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(ts::timestamp)").alias("us"),
+    )
+    runmax = F.max("us").over(
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = F.col("mx") - F.col("us")
+    return (
+        ev.withColumn("mx", runmax)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(late > 60_000_000, 1)).alias("n_late_60s"),
+            F.count(F.when(late > 3_600_000_000, 1)).alias("n_late_1h"),
+            F.expr("max(mx - us) div 1000000").alias("max_lateness_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ANALYTICS_QUERIES["event_disorder_audit"] = q_event_disorder_audit
+ANALYTICS_ORACLES["event_disorder_audit"] = """
+WITH e AS (
+  SELECT event_type, event_id, epoch_us(ts) AS us FROM events),
+r AS (
+  SELECT event_type, us,
+    max(us) OVER (PARTITION BY event_type ORDER BY event_id) AS mx
+  FROM e)
+SELECT event_type,
+  count(*)::BIGINT AS n_events,
+  count(CASE WHEN mx - us > 60000000 THEN 1 END)::BIGINT AS n_late_60s,
+  count(CASE WHEN mx - us > 3600000000 THEN 1 END)::BIGINT AS n_late_1h,
+  (max(mx - us) // 1000000)::BIGINT AS max_lateness_s
+FROM r GROUP BY 1 ORDER BY 1
+"""
