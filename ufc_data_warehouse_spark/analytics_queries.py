@@ -4445,3 +4445,58 @@ SELECT event_type,
   (max(mx - us) // 1000000)::BIGINT AS max_lateness_s
 FROM r GROUP BY 1 ORDER BY 1
 """
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit of a quasi-identifier set — the
+    re-identification risk gate a dataset must pass before export.
+    QI = (nation, account-balance band); sensitive attribute = market
+    segment. One groupBy builds the equivalence classes, one agg
+    summarizes: minimum class size (k), minimum distinct sensitive
+    values per class (l), classes below k=5, and rows they expose.
+    The balance band is integer-exact: cents div 100000 — never a
+    float floor (DECIMAL→DOUBLE rounding differs across engines).
+    Classes ≤ |nations|×|bands|, so everything after the first
+    map-side-combinable agg is dimension-sized."""
+    cust = _read(spark, sf_dir, "customer")
+    classes = (
+        cust.select(
+            "c_nationkey",
+            F.expr(
+                "cast(c_acctbal * 100 as bigint) div 100000"
+            ).alias("bal_band"),
+            "c_mktsegment",
+        )
+        .groupBy("c_nationkey", "bal_band")
+        .agg(
+            F.count(F.lit(1)).alias("sz"),
+            F.countDistinct("c_mktsegment").alias("l"),
+        )
+    )
+    return classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("sz").alias("k_min"),
+        F.min("l").alias("l_min"),
+        F.count(F.when(F.col("sz") < 5, 1)).alias("n_classes_lt5"),
+        F.coalesce(
+            F.sum(F.when(F.col("sz") < 5, F.col("sz"))),
+            F.lit(0).cast("long"),
+        ).alias("rows_at_risk"),
+    )
+
+
+ANALYTICS_QUERIES["k_anonymity_audit"] = q_k_anonymity_audit
+ANALYTICS_ORACLES["k_anonymity_audit"] = """
+WITH classes AS (
+  SELECT c_nationkey,
+    (CAST(c_acctbal * 100 AS BIGINT) // 100000) AS bal_band,
+    count(*)::BIGINT AS sz,
+    count(DISTINCT c_mktsegment)::BIGINT AS l
+  FROM customer GROUP BY 1, 2)
+SELECT count(*)::BIGINT AS n_classes,
+  min(sz)::BIGINT AS k_min,
+  min(l)::BIGINT AS l_min,
+  count(CASE WHEN sz < 5 THEN 1 END)::BIGINT AS n_classes_lt5,
+  coalesce(sum(CASE WHEN sz < 5 THEN sz END), 0)::BIGINT AS rows_at_risk
+FROM classes
+"""
