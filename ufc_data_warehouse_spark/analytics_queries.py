@@ -4500,3 +4500,221 @@ SELECT count(*)::BIGINT AS n_classes,
   coalesce(sum(CASE WHEN sz < 5 THEN sz END), 0)::BIGINT AS rows_at_risk
 FROM classes
 """
+
+
+def q_phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact positional phrase search ("hash join") per source — the
+    inverted-index phrase operator, done as a ZERO-JOIN scan: token
+    adjacency is evaluated inside the token array with a higher-order
+    `aggregate` over `sequence(0, n-2)`, so there is no posexplode, no
+    positional self-join, and the only exchange is the tiny per-source
+    rollup. At 100 TB this is a single codegen'd projection over the
+    corpus — the plan a posting-list join only beats when the phrase's
+    terms are rare AND an index already exists."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z]+", " ")), " "
+    )
+    occ = F.aggregate(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(
+            (F.element_at(toks, i + 1) == "hash")
+            & (F.element_at(toks, i + 2) == "join"),
+            1,
+        )
+        .otherwise(0)
+        .cast("long"),
+    )
+    return (
+        docs.select("source", occ.alias("occ"))
+        .groupBy("source")
+        .agg(
+            F.count(F.when(F.col("occ") > 0, 1)).alias("docs_matched"),
+            F.sum("occ").alias("occurrences"),
+        )
+        .orderBy("source")
+    )
+
+
+ANALYTICS_QUERIES["phrase_search_positional"] = q_phrase_search_positional
+ANALYTICS_ORACLES["phrase_search_positional"] = """
+WITH toks AS (
+  SELECT source,
+    string_split(trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')), ' ')
+      AS ls
+  FROM documents),
+occ AS (
+  SELECT source,
+    coalesce(list_sum(list_transform(generate_series(1, len(ls) - 1),
+      i -> CASE WHEN ls[i] = 'hash' AND ls[i+1] = 'join' THEN 1 ELSE 0 END)),
+      0)::BIGINT AS occ
+  FROM toks)
+SELECT source, count(CASE WHEN occ > 0 THEN 1 END)::BIGINT AS docs_matched,
+  sum(occ)::BIGINT AS occurrences
+FROM occ GROUP BY source ORDER BY source
+"""
+
+
+def q_equidepth_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH (quantile-bucketed) histogram of order totals — the
+    optimizer-statistics primitive equi-width histograms can't replace
+    on skewed data. ntile(10) over the TOTAL order (cents, orderkey) is
+    deterministic across engines: ties can't straddle a boundary
+    ambiguously because the sort key is unique. Scale note: a global
+    ntile is a single-partition window — at 100 TB swap the ranking for
+    `approx_percentile` boundaries (the `value_percentiles` scale path)
+    or a two-phase rank (partition rank + broadcast offsets, see
+    operators/scale.py); at dashboard cardinalities this exact form is
+    the right default. Money stays integer cents (floor-pinned — Spark
+    truncates, DuckDB rounds)."""
+    cents = F.floor(F.col("o_totalprice").cast("decimal(18,4)") * 100).cast(
+        "long"
+    )
+    o = _read(spark, sf_dir, "orders").select(cents.alias("c"), "o_orderkey")
+    w = Window.orderBy("c", "o_orderkey")
+    return (
+        o.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c").alias("lo_cents"),
+            F.max("c").alias("hi_cents"),
+            F.sum("c").alias("sum_cents"),
+        )
+        .orderBy("decile")
+    )
+
+
+ANALYTICS_QUERIES["equidepth_histogram_price"] = q_equidepth_histogram_price
+ANALYTICS_ORACLES["equidepth_histogram_price"] = """
+WITH b AS (
+  SELECT floor(o_totalprice::DECIMAL(18,4) * 100)::BIGINT AS c, o_orderkey,
+    ntile(10) OVER (ORDER BY floor(o_totalprice::DECIMAL(18,4) * 100)::BIGINT,
+      o_orderkey) AS decile
+  FROM orders)
+SELECT decile::INT AS decile, count(*)::BIGINT AS n, min(c)::BIGINT AS lo_cents,
+  max(c)::BIGINT AS hi_cents, sum(c)::BIGINT AS sum_cents
+FROM b GROUP BY decile ORDER BY decile
+"""
+
+
+def q_prorate_order_total_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder proration: allocate each order header's total
+    (integer cents) across its lineitems proportional to extended price
+    so per-order allocations sum EXACTLY to the header — the billing /
+    revenue-recognition allocator where `total * ratio` floats lose
+    cents. base = total·w div Σw; the (total − Σbase) leftover cents
+    (provably 0 ≤ rem < n_lines) go one each to the largest
+    `(total·w) mod Σw` remainders, tie-broken on the full line key so
+    ranking is total. All windows share ONE hashpartitioning(l_orderkey)
+    exchange; the orders side joins on its key. Output is the global
+    reconciliation (Σalloc must equal Σtotals) so the gate fails if any
+    order leaks a cent. Identical-duplicate lines (the synthetic
+    lineitem has them) get arbitrary rk among themselves but identical
+    alloc multisets, so aggregates stay deterministic."""
+    li = _read(spark, sf_dir, "lineitem")
+    ords = _read(spark, sf_dir, "orders")
+    lc = F.floor(F.col("l_extendedprice").cast("decimal(18,4)") * 100).cast(
+        "long"
+    )
+    oc = F.floor(F.col("o_totalprice").cast("decimal(18,4)") * 100).cast("long")
+    lines = li.select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", lc.alias("w")
+    )
+    heads = ords.select("o_orderkey", oc.alias("total"))
+    wsum = Window.partitionBy("l_orderkey")
+    wrk = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("rmd"), "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    j = (
+        lines.join(heads, lines.l_orderkey == heads.o_orderkey)
+        .withColumn("wtot", F.sum("w").over(wsum))
+        .withColumn("base", F.expr("total * w div wtot"))
+        .withColumn("rmd", F.expr("(total * w) % wtot"))
+        .withColumn("rk", F.row_number().over(wrk))
+        .withColumn("rem", F.col("total") - F.sum("base").over(wsum))
+    )
+    return j.groupBy().agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            F.col("base") + F.when(F.col("rk") <= F.col("rem"), 1).otherwise(0)
+        ).alias("sum_alloc_cents"),
+        F.sum(F.when(F.col("rk") == 1, F.col("total"))).alias(
+            "sum_total_cents"
+        ),
+        F.sum(F.when(F.col("rk") <= F.col("rem"), 1).otherwise(0)).alias(
+            "n_bumped_lines"
+        ),
+    )
+
+
+ANALYTICS_QUERIES["prorate_order_total_cents"] = q_prorate_order_total_cents
+ANALYTICS_ORACLES["prorate_order_total_cents"] = """
+WITH lines AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+    floor(l_extendedprice::DECIMAL(18,4) * 100)::BIGINT AS w
+  FROM lineitem),
+heads AS (
+  SELECT o_orderkey,
+    floor(o_totalprice::DECIMAL(18,4) * 100)::BIGINT AS total
+  FROM orders),
+j AS (
+  SELECT l.*, h.total,
+    (h.total * l.w) // sum(w) OVER (PARTITION BY l_orderkey) AS base,
+    (h.total * l.w) % (sum(w) OVER (PARTITION BY l_orderkey)) AS rmd
+  FROM lines l JOIN heads h ON l.l_orderkey = h.o_orderkey),
+r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY l_orderkey
+      ORDER BY rmd DESC, l_linenumber, l_partkey, l_suppkey) AS rk,
+    total - sum(base) OVER (PARTITION BY l_orderkey) AS rem
+  FROM j)
+SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders,
+  count(*)::BIGINT AS n_lines,
+  sum(base + CASE WHEN rk <= rem THEN 1 ELSE 0 END)::BIGINT AS sum_alloc_cents,
+  sum(CASE WHEN rk = 1 THEN total END)::BIGINT AS sum_total_cents,
+  sum(CASE WHEN rk <= rem THEN 1 ELSE 0 END)::BIGINT AS n_bumped_lines
+FROM r
+"""
+
+
+def q_hll_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ accuracy gate: per-event-type approx_count_distinct
+    (rsd 2%) must land within max(5%, ±3) of the exact distinct count.
+    The oracle emits the exact side plus a literal TRUE — if Spark's
+    sketch ever drifts outside the bound the hash compare fails, so the
+    estimator's error contract is itself oracle-gated (same pattern as
+    the t-digest rank-error test in tests/test_scale_ops.py). This is
+    the audit that justifies swapping exact countDistinct for HLL at
+    100 TB, where the exact path's per-group distinct-expand is the
+    dominant shuffle."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.greatest(
+                    F.round(F.col("exact_users") * 0.05), F.lit(3)
+                ).cast("long")
+            ).alias("within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ANALYTICS_QUERIES["hll_accuracy_audit"] = q_hll_accuracy_audit
+ANALYTICS_ORACLES["hll_accuracy_audit"] = """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users,
+  TRUE AS within_5pct
+FROM events GROUP BY event_type ORDER BY event_type
+"""
