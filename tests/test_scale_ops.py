@@ -803,3 +803,31 @@ def test_approx_percentile_rank_error_bounded(spark):
         assert abs(rank / n - target) <= 0.01, (
             f"p{target}: value {v} has true rank {rank / n:.4f}"
         )
+
+
+def test_global_prefix_sum_matches_single_window(spark):
+    """Two-phase bucketed prefix sum ≡ the single-partition global window
+    it replaces, and the heavy window must ride hashpartitioning(bucket),
+    not an unpartitioned sort."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ufc_data_warehouse_spark.extra_queries import _read
+    from ufc_data_warehouse_spark.operators.scale import global_prefix_sum
+
+    o = _read(spark, SF_DIR, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("v")
+    )
+    two_phase = global_prefix_sum(o, "v", "o_orderkey", n_buckets=16)
+    ref = o.withColumn(
+        "cum_ref",
+        F.sum("v").over(
+            Window.orderBy("o_orderkey").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    joined = two_phase.join(ref.select("o_orderkey", "cum_ref"), "o_orderkey")
+    assert joined.filter(F.col("cum") != F.col("cum_ref")).count() == 0
+    plan = two_phase._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(_bkt" in plan

@@ -4718,3 +4718,441 @@ SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users,
   TRUE AS within_5pct
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+def q_pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling (the survey
+    /importance-sampling workhorse): k=100 evenly spaced probe points
+    t_i = (2i+1)·W div 2k over the cumulative weight line pick rows with
+    multiplicity = #targets inside [cum−w, cum) — computed in CLOSED
+    FORM (two ceil-divs per row), so selection needs no target join at
+    all. The cumulative line comes from operators/scale.py::
+    global_prefix_sum — range-bucketed two-phase cumsum, never a
+    single-partition global window — making this sampler fully
+    distributed: prefix-sum + one broadcast total + a scan. Everything
+    is int64 (weights are floor-pinned cents); Σmult ≡ k by
+    construction, and the oracle recomputes the same closed form off
+    DuckDB's native running sum, so the two-phase Spark prefix is
+    itself being cross-checked."""
+    from .operators.scale import global_prefix_sum
+
+    k = 100
+    cents = F.floor(F.col("o_totalprice").cast("decimal(18,4)") * 100).cast(
+        "long"
+    )
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", cents.alias("w"))
+    c = global_prefix_sum(o, "w", "o_orderkey", n_buckets=64)
+    tot = c.agg(F.max("cum").alias("wtotal"))
+    c = (
+        c.crossJoin(F.broadcast(tot))
+        .withColumn("cum_prev", F.col("cum") - F.col("w"))
+        .withColumn("m_lo", F.expr(f"(2*{k}*cum_prev + wtotal - 1) div wtotal"))
+        .withColumn("m_hi", F.expr(f"(2*{k}*cum + wtotal - 1) div wtotal"))
+        .withColumn("i_min", F.expr("m_lo div 2"))
+        .withColumn(
+            "i_max",
+            F.expr("CASE WHEN m_hi >= 2 THEN (m_hi - 2) div 2 ELSE -1 END"),
+        )
+        .withColumn(
+            "mult",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.expr(f"least(cast({k}-1 as bigint), i_max) - i_min + 1"),
+            ),
+        )
+    )
+    return (
+        c.filter(F.col("mult") > 0)
+        .select("o_orderkey", "w", "mult")
+        .orderBy("o_orderkey")
+    )
+
+
+ANALYTICS_QUERIES["pps_systematic_sample"] = q_pps_systematic_sample
+ANALYTICS_ORACLES["pps_systematic_sample"] = """
+WITH c AS (
+  SELECT o_orderkey,
+    floor(o_totalprice::DECIMAL(18,4) * 100)::BIGINT AS w,
+    sum(floor(o_totalprice::DECIMAL(18,4) * 100)::BIGINT)
+      OVER (ORDER BY o_orderkey) AS cum
+  FROM orders),
+t AS (SELECT max(cum) AS wtotal FROM c),
+m AS (
+  SELECT o_orderkey, w, cum, cum - w AS cum_prev,
+    (2*100*(cum - w) + t.wtotal - 1) // t.wtotal AS m_lo,
+    (2*100*cum + t.wtotal - 1) // t.wtotal AS m_hi
+  FROM c, t),
+x AS (
+  SELECT o_orderkey, w,
+    greatest(0, least(100-1,
+        CASE WHEN m_hi >= 2 THEN (m_hi - 2) // 2 ELSE -1 END)
+      - (m_lo // 2) + 1)::BIGINT AS mult
+  FROM m)
+SELECT o_orderkey, w, mult FROM x WHERE mult > 0 ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# lexical / hybrid search family (documents + embeddings)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("hash", "join", "vector", "scan")
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BM25 score (k1=1.2, b=0.75) for the fixed query
+    ``_BM25_TERMS``, in EXACT integer arithmetic until one final double
+    division per (doc, term):
+
+        idf      = (2N - 2df + 1) / (2df + 1)          [Robertson, log-free]
+        tf_norm  = 44·tf·Σdl / (20·tf·Σdl + 6·Σdl + 18·dl·N)
+
+    (k1, b multiplied through by 20·Σdl so numerator/denominator are
+    int64; the log-free idf keeps the score a single a/b division —
+    bit-identical across engines — instead of a cross-libm ``ln``.)
+    The per-document total is the per-term doubles added in the FIXED
+    textual order of ``_BM25_TERMS``, so summation order is pinned on
+    both engines. int64 bounds: num ≈ 2N·44·tf·Σdl — fine through
+    sf0.1 (Σdl ≈ 1e6); beyond ~1e12 tokens promote to DECIMAL(38,0).
+
+    Scale shape: one token explode (narrow), two hash aggs keyed on
+    doc_id/term, a broadcast of the ≤|terms| df rows and the 1-row
+    corpus stats — no global window anywhere."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+        ).alias("toks"),
+    )
+    toks = docs.select(
+        "doc_id", F.explode("toks").alias("term")
+    ).where(F.col("term") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.sum("dl").alias("sumdl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    tf = (
+        toks.where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            (
+                (
+                    (2 * F.col("n_docs") - 2 * F.col("df") + 1)
+                    * 44
+                    * F.col("tf")
+                    * F.col("sumdl")
+                ).cast("double")
+                / (
+                    (2 * F.col("df") + 1)
+                    * (
+                        20 * F.col("tf") * F.col("sumdl")
+                        + 6 * F.col("sumdl")
+                        + 18 * F.col("dl") * F.col("n_docs")
+                    )
+                ).cast("double")
+            ).alias("s"),
+        )
+    )
+    per_term = scored.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("term") == t, F.col("s"))).alias(f"s_{t}")
+            for t in _BM25_TERMS
+        ]
+    )
+    zero = F.lit(0.0)
+    total = F.coalesce(F.col(f"s_{_BM25_TERMS[0]}"), zero)
+    for t in _BM25_TERMS[1:]:
+        total = total + F.coalesce(F.col(f"s_{t}"), zero)
+    return (
+        dl.join(per_term, "doc_id", "left")
+        .select("doc_id", "dl", total.alias("score"))
+    )
+
+
+_BM25_SCORE_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+    unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents),
+f AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM f GROUP BY doc_id),
+stats AS (SELECT sum(dl)::BIGINT AS sumdl, count(*)::BIGINT AS n_docs FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM f
+  WHERE term IN ('hash', 'join', 'vector', 'scan') GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+    ((2*s.n_docs - 2*d.df + 1) * 44 * tf.tf * s.sumdl)::DOUBLE
+      / ((2*d.df + 1)
+         * (20*tf.tf*s.sumdl + 6*s.sumdl + 18*dl.dl*s.n_docs))::DOUBLE AS sc
+  FROM tf JOIN dfreq d USING (term) JOIN dl USING (doc_id), stats s),
+per_term AS (
+  SELECT doc_id,
+    max(CASE WHEN term = 'hash' THEN sc END) AS s_hash,
+    max(CASE WHEN term = 'join' THEN sc END) AS s_join,
+    max(CASE WHEN term = 'vector' THEN sc END) AS s_vector,
+    max(CASE WHEN term = 'scan' THEN sc END) AS s_scan
+  FROM scored GROUP BY doc_id),
+bm25 AS (
+  SELECT dl.doc_id, dl.dl,
+    coalesce(s_hash, 0.0) + coalesce(s_join, 0.0)
+      + coalesce(s_vector, 0.0) + coalesce(s_scan, 0.0) AS score
+  FROM dl LEFT JOIN per_term USING (doc_id))
+"""
+
+
+def q_bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 documents by BM25 for a fixed 4-term query (see
+    ``_bm25_scores``). The top-k is TakeOrderedAndProject (no global
+    sort); the rank column is a row_number over the already-limited
+    50-row frame, so the only unpartitioned window rides 50 rows."""
+    scores = _bm25_scores(spark, sf_dir)
+    top = scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(50)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.select(
+        "doc_id", "dl", "score", F.row_number().over(w).alias("rank")
+    ).orderBy("rank")
+
+
+ANALYTICS_QUERIES["bm25_doc_ranking"] = q_bm25_doc_ranking
+ANALYTICS_ORACLES["bm25_doc_ranking"] = (
+    _BM25_SCORE_SQL
+    + """
+SELECT doc_id, dl, score,
+  row_number() OVER (ORDER BY score DESC, doc_id)::INT AS rank
+FROM bm25 ORDER BY score DESC, doc_id LIMIT 50
+"""
+)
+
+
+def q_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval fused with Reciprocal Rank
+    Fusion: RRF(d) = Σ_arms 1/(60 + rank_arm(d)) over (a) the BM25
+    ranking of ``_BM25_TERMS`` and (b) exact-cosine neighbors of the
+    query embedding vec_id=0 (doc_id aligns with vec_id in the
+    testdata). Each arm contributes only its top-200 — the fusion
+    contract stays scale-stable (arms are top-k retrievers, never full
+    scans, so corpus growth changes candidates, not the operator).
+    1/(60+rank) is an int→double division (bit-exact cross-engine) and
+    the two contributions are added in fixed order. Full-outer join of
+    two ≤200-row arms, then a 30-row TakeOrdered — everything after
+    retrieval is broadcast-sized."""
+    from .operators import simsearch
+
+    emb = _read(spark, sf_dir, "embeddings")
+    lex = (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(200)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+            .alias("lex_rank"),
+        )
+    )
+    vec = (
+        simsearch.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=200)
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("vec_rank"))
+    )
+    fused = (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            (
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(60) + F.col("vec_rank")), F.lit(0.0)
+                )
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(30)
+
+
+ANALYTICS_QUERIES["rrf_hybrid_search"] = q_rrf_hybrid_search
+ANALYTICS_ORACLES["rrf_hybrid_search"] = (
+    _BM25_SCORE_SQL
+    + """,
+lex AS (
+  SELECT doc_id,
+    row_number() OVER (ORDER BY score DESC, doc_id)::INT AS lex_rank
+  FROM bm25 ORDER BY score DESC, doc_id LIMIT 200),
+q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+cos AS (
+  SELECT e.vec_id AS doc_id,
+    list_dot_product(e.embedding::DOUBLE[], q.qvec)
+      / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(q.qvec, q.qvec))) AS cosine
+  FROM embeddings e, q WHERE e.vec_id <> 0),
+vec AS (
+  SELECT doc_id,
+    row_number() OVER (ORDER BY cosine DESC, doc_id)::INT AS vec_rank
+  FROM cos ORDER BY cosine DESC, doc_id LIMIT 200),
+fused AS (
+  SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id, lex_rank, vec_rank,
+    coalesce(1.0::DOUBLE / (60 + lex_rank), 0.0)
+      + coalesce(1.0::DOUBLE / (60 + vec_rank), 0.0) AS rrf
+  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+SELECT doc_id, lex_rank, vec_rank, rrf FROM fused
+ORDER BY rrf DESC, doc_id LIMIT 30
+"""
+)
+
+
+def q_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user union of overlapping activity intervals (each event
+    opens a [ts, ts+300s) window): merged-island count and total covered
+    seconds — the classic interval-union / utilization operator (billing
+    minutes, GPU occupancy, on-call coverage). Gaps-and-islands in one
+    pass: running max of interval end over PRECEDING rows marks island
+    starts, a running sum numbers them — both windows ride the SAME
+    (user_id)×(ts, event_id) sort, so Spark plans ONE hash exchange +
+    one sort for the whole query; epoch-second integer arithmetic keeps
+    it exact. Adjacent intervals (start == running end) merge, matching
+    the closed-open convention."""
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("s")
+    )
+    iv = ev.withColumn("e", F.col("s") + 300)
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    flagged = iv.withColumn(
+        "pmax", F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    ).withColumn(
+        "ni",
+        F.when(
+            F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "isle",
+        F.sum("ni").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    g = islands.groupBy("user_id", "isle").agg(
+        F.min("s").alias("st"),
+        F.max("e").alias("en"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum(F.col("en") - F.col("st")).alias("covered_sec"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ANALYTICS_QUERIES["interval_union_coverage"] = q_interval_union_coverage
+ANALYTICS_ORACLES["interval_union_coverage"] = """
+WITH iv AS (
+  SELECT user_id, event_id,
+    epoch_us(ts) // 1000000 AS s,
+    epoch_us(ts) // 1000000 + 300 AS e
+  FROM events),
+m AS (
+  SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM iv),
+fl AS (
+  SELECT *, CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS ni
+  FROM m),
+isl AS (
+  SELECT *, sum(ni) OVER (PARTITION BY user_id ORDER BY s, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isle
+  FROM fl),
+g AS (
+  SELECT user_id, isle, min(s) AS st, max(e) AS en, count(*) AS n
+  FROM isl GROUP BY user_id, isle)
+SELECT user_id, sum(n)::BIGINT AS n_events, count(*)::BIGINT AS n_islands,
+  sum(en - st)::BIGINT AS covered_sec
+FROM g GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_zorder_clustering_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) data-layout audit — the clustering step
+    behind multi-dimensional data skipping (Delta OPTIMIZE ZORDER,
+    Hudi/Iceberg sort orders): interleave the low 8 bits of two query
+    dimensions (o_custkey%256, o_orderkey%256), range-bucket the curve
+    into 64 'files', and report each file's min/max zone map per
+    dimension plus its span — the exact statistics a scan planner prunes
+    on. Bucketing is z·64 div 2^16 (pure integer math off the fixed
+    16-bit curve domain), so there is NO global sort and NO row_number:
+    layout assignment is embarrassingly parallel, and the audit is one
+    hash agg over 64 groups. Zone spans ≪ 256 on both dims are what make
+    2-D predicates skip; a linear layout would give span≈255 on the
+    second dim."""
+    from .operators.scale import z_value
+
+    o = _read(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 256).alias("k1"),
+        (F.col("o_orderkey") % 256).alias("k2"),
+    )
+    z = o.withColumn("z", z_value(F.col("k1"), F.col("k2"), 8)).withColumn(
+        "file_id", (F.col("z") * 64 / 65536).cast("long")
+    )
+    return (
+        z.groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("k1").alias("min_k1"),
+            F.max("k1").alias("max_k1"),
+            F.min("k2").alias("min_k2"),
+            F.max("k2").alias("max_k2"),
+        )
+        .select(
+            "file_id",
+            "n_rows",
+            "min_k1",
+            "max_k1",
+            "min_k2",
+            "max_k2",
+            (F.col("max_k1") - F.col("min_k1")).alias("span_k1"),
+            (F.col("max_k2") - F.col("min_k2")).alias("span_k2"),
+        )
+        .orderBy("file_id")
+    )
+
+
+def _zvalue_sql(k1: str, k2: str, bits: int = 8) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({k1} // {2**i}) % 2) * {4**i}")
+        terms.append(f"(({k2} // {2**i}) % 2) * {2 * 4**i}")
+    return " + ".join(terms)
+
+
+ANALYTICS_QUERIES["zorder_clustering_audit"] = q_zorder_clustering_audit
+ANALYTICS_ORACLES["zorder_clustering_audit"] = f"""
+WITH k AS (
+  SELECT o_custkey % 256 AS k1, o_orderkey % 256 AS k2 FROM orders),
+z AS (
+  SELECT k1, k2, ({_zvalue_sql('k1', 'k2', 8)}) AS z FROM k),
+f AS (SELECT k1, k2, (z * 64) // 65536 AS file_id FROM z),
+g AS (
+  SELECT file_id, count(*)::BIGINT AS n_rows,
+    min(k1) AS min_k1, max(k1) AS max_k1,
+    min(k2) AS min_k2, max(k2) AS max_k2
+  FROM f GROUP BY file_id)
+SELECT file_id, n_rows, min_k1, max_k1, min_k2, max_k2,
+  max_k1 - min_k1 AS span_k1, max_k2 - min_k2 AS span_k2
+FROM g ORDER BY file_id
+"""

@@ -21,7 +21,7 @@ from __future__ import annotations
 import shutil
 from pathlib import Path
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -416,4 +416,63 @@ def key_skew_report(
             # across engines (truncate vs round-half-even)
             F.expr(f"n_rows * 10000L DIV {total}L").alias("share_bps"),
         )
+    )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    n_buckets: int = 256,
+    out_col: str = "cum",
+) -> DataFrame:
+    """Global (whole-table) running sum WITHOUT the single-partition
+    window that ``Window.orderBy(...)`` with no partitionBy degenerates
+    to — the classic 100 TB killer (one task sorts and scans the world).
+
+    Two-phase, the textbook distributed scan/prefix-sum:
+
+    1. range-bucket on ``order_col`` (integer arithmetic off a 1-row
+       broadcast bounds cross), cumsum WITHIN each bucket — a
+       hashpartitioning(bucket) window, parallel across buckets;
+    2. per-bucket totals (≤ ``n_buckets`` rows) get an EXCLUSIVE cumsum
+       on the driver-sized frame, then broadcast-join back as offsets.
+
+    ``out_col`` is the inclusive prefix sum in ``order_col`` order.
+    Requires ``order_col`` integer-typed (range bucketing); uniqueness is
+    NOT required — ties are summed in (order_col, monotonic-in-bucket)
+    order, which is only deterministic per-bucket totals-wise, so
+    downstream consumers should either have unique keys (orderkey) or
+    consume only tie-insensitive aggregates."""
+    lo_hi = df.agg(
+        F.min(order_col).alias("_lo"), F.max(order_col).alias("_hi")
+    )
+    b = (
+        df.crossJoin(F.broadcast(lo_hi))
+        .withColumn(
+            "_bkt",
+            F.expr(
+                f"cast(least({n_buckets - 1}, "
+                f"(({order_col} - _lo) * {n_buckets}) div (_hi - _lo + 1)) "
+                "as int)"
+            ),
+        )
+        .drop("_lo", "_hi")
+    )
+    w_in = Window.partitionBy("_bkt").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = b.withColumn("_local_cum", F.sum(value_col).over(w_in))
+    totals = b.groupBy("_bkt").agg(F.sum(value_col).alias("_tot"))
+    w_off = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = totals.select(
+        "_bkt",
+        (F.sum("_tot").over(w_off) - F.col("_tot")).alias("_offset"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "_bkt")
+        .withColumn(out_col, F.col("_local_cum") + F.col("_offset"))
+        .drop("_bkt", "_local_cum", "_offset")
     )
