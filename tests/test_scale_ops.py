@@ -831,3 +831,34 @@ def test_global_prefix_sum_matches_single_window(spark):
     assert joined.filter(F.col("cum") != F.col("cum_ref")).count() == 0
     plan = two_phase._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(_bkt" in plan
+
+
+def test_salted_replicate_join_row_identical_and_salted_keys(spark):
+    """Salted fact⋈dim must be row-identical to the plain join (inner AND
+    left with unmatched fact keys), and the physical join must actually
+    key on the salt."""
+    from pyspark.sql import functions as F
+
+    from ufc_data_warehouse_spark.extra_queries import _read
+    from ufc_data_warehouse_spark.operators.scale import salted_replicate_join
+
+    li = _read(spark, SF_DIR, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_orderkey", "l_linenumber"
+    )
+    supp = _read(spark, SF_DIR, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    ).filter(F.col("suppkey") % 3 != 0)  # force unmatched fact keys
+
+    for how in ("inner", "left"):
+        salted = salted_replicate_join(li, supp, "suppkey", n_salts=4, how=how)
+        plain = li.join(supp, "suppkey", how)
+        assert salted.exceptAll(plain).count() == 0
+        assert plain.exceptAll(salted).count() == 0
+
+    plan = (
+        salted_replicate_join(li, supp, "suppkey", n_salts=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "_salt" in plan

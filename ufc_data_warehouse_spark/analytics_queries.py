@@ -5156,3 +5156,190 @@ SELECT file_id, n_rows, min_k1, max_k1, min_k2, max_k2,
   max_k1 - min_k1 AS span_k1, max_k2 - min_k2 AS span_k2
 FROM g ORDER BY file_id
 """
+
+
+def q_salted_join_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue through a SALTED fact⋈dim join
+    (operators/scale.py::salted_replicate_join): lineitem keyed on
+    l_suppkey with salt = pmod(hash(row), 8), supplier replicated 8× —
+    the manual skew remedy for a hot join key when the dim can't
+    broadcast and AQE skew-split doesn't apply (shuffle-hash path,
+    streaming micro-batches, pre-AQE engines). The oracle is the PLAIN
+    join — salting must be row-identical by construction. DECIMAL cents
+    keep the aggregate exact."""
+    from .operators.scale import salted_replicate_join
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.floor(F.col("l_extendedprice").cast("decimal(18,4)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    supp = _read(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    joined = salted_replicate_join(li, supp, "suppkey", n_salts=8)
+    return (
+        joined.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+ANALYTICS_QUERIES["salted_join_supplier_revenue"] = q_salted_join_supplier_revenue
+ANALYTICS_ORACLES["salted_join_supplier_revenue"] = """
+SELECT s_nationkey, count(*)::BIGINT AS n_items,
+  sum(floor(l_extendedprice::DECIMAL(18,4) * 100)::BIGINT)::BIGINT
+    AS revenue_cents
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+
+def q_ts_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type autocorrelation of the daily value series at lags 1-3 —
+    the seasonality/persistence probe run before picking a forecast
+    model or a watermark horizon. One window (type × day order) produces
+    all three lag columns, a ``stack`` unpivots them (no re-sort: stack
+    is a projection), and each (type, lag) cell reduces to exact
+    integer/decimal moments; the only float ops are the final
+    correctly-rounded division/sqrt, so cross-engine hashes match.
+    Daily cents products are summed in DECIMAL(38,0) (int64 would
+    overflow at ~1e19 — the oracle mirrors with HUGEINT, a different
+    exact route to the identical value)."""
+    ev = _read(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts::timestamp) div 86400000000").alias("day"),
+            F.floor(F.col("value").cast("decimal(12,4)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "x",
+        F.lag("x", 1).over(w).alias("b1"),
+        F.lag("x", 2).over(w).alias("b2"),
+        F.lag("x", 3).over(w).alias("b3"),
+    )
+    pairs = lagged.select(
+        "event_type",
+        F.col("x").alias("a"),
+        F.expr("stack(3, 1, b1, 2, b2, 3, b3) as (lag, b)"),
+    ).filter(F.col("b").isNotNull())
+    d30 = lambda c: F.col(c).cast("decimal(30,0)")  # noqa: E731
+    m = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum((d30("a") * d30("b")).cast("decimal(38,0)")).alias("sab"),
+        F.sum((d30("a") * d30("a")).cast("decimal(38,0)")).alias("saa"),
+        F.sum((d30("b") * d30("b")).cast("decimal(38,0)")).alias("sbb"),
+    )
+    n8 = F.col("n").cast("decimal(8,0)")
+    s15 = lambda c: F.col(c).cast("decimal(15,0)")  # noqa: E731
+    num = (n8 * F.col("sab").cast("decimal(30,0)") - s15("sa") * s15("sb")).cast(
+        "double"
+    )
+    dena = (
+        n8 * F.col("saa").cast("decimal(30,0)") - s15("sa") * s15("sa")
+    ).cast("double")
+    denb = (
+        n8 * F.col("sbb").cast("decimal(30,0)") - s15("sb") * s15("sb")
+    ).cast("double")
+    return m.select(
+        "event_type",
+        "lag",
+        F.col("n").alias("n_pairs"),
+        (num / F.sqrt(dena * denb)).alias("acf"),
+    ).orderBy("event_type", "lag")
+
+
+ANALYTICS_QUERIES["ts_autocorr_daily"] = q_ts_autocorr_daily
+ANALYTICS_ORACLES["ts_autocorr_daily"] = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+    sum(floor(value::DECIMAL(12,4) * 100)::BIGINT)::BIGINT AS x
+  FROM events GROUP BY event_type, day),
+lagged AS (
+  SELECT event_type, x,
+    lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS b1,
+    lag(x, 2) OVER (PARTITION BY event_type ORDER BY day) AS b2,
+    lag(x, 3) OVER (PARTITION BY event_type ORDER BY day) AS b3
+  FROM daily),
+pairs AS (
+  SELECT event_type, 1 AS lag, x AS a, b1 AS b FROM lagged WHERE b1 IS NOT NULL
+  UNION ALL
+  SELECT event_type, 2, x, b2 FROM lagged WHERE b2 IS NOT NULL
+  UNION ALL
+  SELECT event_type, 3, x, b3 FROM lagged WHERE b3 IS NOT NULL),
+m AS (
+  SELECT event_type, lag, count(*)::BIGINT AS n,
+    sum(a)::BIGINT AS sa, sum(b)::BIGINT AS sb,
+    sum(a::HUGEINT * b::HUGEINT) AS sab,
+    sum(a::HUGEINT * a::HUGEINT) AS saa,
+    sum(b::HUGEINT * b::HUGEINT) AS sbb
+  FROM pairs GROUP BY event_type, lag)
+SELECT event_type, lag, n AS n_pairs,
+  (n::HUGEINT * sab - sa::HUGEINT * sb::HUGEINT)::DOUBLE
+    / sqrt((n::HUGEINT * saa - sa::HUGEINT * sa::HUGEINT)::DOUBLE
+           * (n::HUGEINT * sbb - sb::HUGEINT * sb::HUGEINT)::DOUBLE) AS acf
+FROM m ORDER BY event_type, lag
+"""
+
+
+def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation WITHOUT running the join — the planner-side
+    degree sketch: |events ⋈ orders on user_id=o_custkey| =
+    Σ_k n_events(k)·n_orders(k), computed from the two per-key count
+    aggregates (each a fraction of the join's shuffle volume). Reports
+    the top-15 contributing keys with their integer-bps share of the
+    estimated output — the keys AQE skew-split (or salting) would have
+    to absorb. Exact, so the oracle is the same arithmetic; at 100 TB
+    the per-key counts come from sampled or sketched (count-min)
+    degrees instead, same shape."""
+    ev = _read(spark, sf_dir, "events").groupBy(
+        F.col("user_id").alias("k")
+    ).agg(F.count(F.lit(1)).alias("n_left"))
+    orders = _read(spark, sf_dir, "orders").groupBy(
+        F.col("o_custkey").alias("k")
+    ).agg(F.count(F.lit(1)).alias("n_right"))
+    contrib = ev.join(orders, "k").select(
+        "k", "n_left", "n_right", (F.col("n_left") * F.col("n_right")).alias("contrib")
+    )
+    total = contrib.agg(F.sum("contrib").alias("est_join_rows"))
+    return (
+        contrib.crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            "n_left",
+            "n_right",
+            "contrib",
+            "est_join_rows",
+            F.expr("contrib * 10000L div est_join_rows").alias("share_bps"),
+        )
+        .orderBy(F.desc("contrib"), F.asc("k"))
+        .limit(15)
+    )
+
+
+ANALYTICS_QUERIES["join_cardinality_estimate"] = q_join_cardinality_estimate
+ANALYTICS_ORACLES["join_cardinality_estimate"] = """
+WITH l AS (SELECT user_id AS k, count(*)::BIGINT AS n_left FROM events GROUP BY user_id),
+r AS (SELECT o_custkey AS k, count(*)::BIGINT AS n_right FROM orders GROUP BY o_custkey),
+c AS (
+  SELECT k, n_left, n_right, n_left * n_right AS contrib
+  FROM l JOIN r USING (k)),
+t AS (SELECT sum(contrib)::BIGINT AS est_join_rows FROM c)
+SELECT k, n_left, n_right, contrib, t.est_join_rows,
+  contrib * 10000 // t.est_join_rows AS share_bps
+FROM c, t ORDER BY contrib DESC, k LIMIT 15
+"""

@@ -476,3 +476,39 @@ def global_prefix_sum(
         .withColumn(out_col, F.col("_local_cum") + F.col("_offset"))
         .drop("_bkt", "_local_cum", "_offset")
     )
+
+
+def salted_replicate_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join by key salting: the classic manual remedy when
+    one join key carries a disproportionate share of the fact rows and
+    the dim is too big to broadcast (where AQE's skew-split handles the
+    SMJ case, this handles the shuffle-hash/pre-AQE case and gives the
+    planner a uniformly distributed key to hash on).
+
+    fact rows get salt = pmod(hash(<all fact columns>), n_salts) — a
+    deterministic spread, no rand(); the dim side is replicated n_salts×
+    via an explode of a literal salt array. The join key becomes
+    (on, _salt), so a hot key's rows land on n_salts reducers instead of
+    one. Cost: dim shuffle volume × n_salts — use AFTER key_skew_report
+    shows a hot key and only with dims small enough that replication is
+    cheaper than one straggler reducer.
+
+    Result is row-identical to ``fact.join(dim, on, how)`` for inner and
+    left joins (salting partitions fact rows; every fact row still meets
+    every dim row of its key exactly once)."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_replicate_join supports inner/left only")
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.hash(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
+    )
+    salted_dim = dim.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i) for i in range(n_salts)])),
+    )
+    return salted_fact.join(salted_dim, [on, "_salt"], how).drop("_salt")
