@@ -5343,3 +5343,113 @@ SELECT k, n_left, n_right, contrib, t.est_join_rows,
   contrib * 10000 // t.est_join_rows AS share_bps
 FROM c, t ORDER BY contrib DESC, k LIMIT 15
 """
+
+
+def q_langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-audit confusion matrix for the stopword-ratio language
+    heuristic vs the stored ``lang`` label: counts + integer-bps row
+    shares per (actual, predicted) cell — the precision/recall raw
+    material for deciding whether a cheap filter is safe to run at
+    corpus scale. One scan, two hash aggs; the share join broadcasts
+    the ≤|langs| row totals."""
+    from .operators.text import lang_guess_expr
+
+    docs = _read(spark, sf_dir, "documents")
+    cells = docs.select(
+        F.col("lang").alias("actual"),
+        lang_guess_expr(F.col("text")).alias("predicted"),
+    ).groupBy("actual", "predicted").agg(F.count(F.lit(1)).alias("n_docs"))
+    row_tot = cells.groupBy("actual").agg(F.sum("n_docs").alias("row_total"))
+    return (
+        cells.join(F.broadcast(row_tot), "actual")
+        .select(
+            "actual",
+            "predicted",
+            "n_docs",
+            F.expr("n_docs * 10000L div row_total").alias("row_share_bps"),
+        )
+        .orderBy("actual", "predicted")
+    )
+
+
+ANALYTICS_QUERIES["langid_confusion_matrix"] = q_langid_confusion_matrix
+
+
+def _langid_confusion_oracle() -> str:
+    # mirrors the text_language_id oracle's token/stopword shape exactly
+    from .extra_queries import _TOKS_SQL
+    from .operators.text import EN_STOPWORDS
+
+    stoplist = "[" + ", ".join(f"'{s}'" for s in EN_STOPWORDS) + "]"
+    return f"""
+WITH sig AS (
+  SELECT lang,
+    len({_TOKS_SQL}) AS n_tokens,
+    len(list_filter({_TOKS_SQL}, t -> list_contains({stoplist}, t)))
+      AS stop_tokens
+  FROM documents),
+pred AS (
+  SELECT lang AS actual,
+    CASE WHEN stop_tokens * 20 >= n_tokens THEN 'en' ELSE 'und' END AS predicted
+  FROM sig),
+cells AS (
+  SELECT actual, predicted, count(*)::BIGINT AS n_docs
+  FROM pred GROUP BY actual, predicted),
+tot AS (SELECT actual, sum(n_docs)::BIGINT AS row_total FROM cells GROUP BY actual)
+SELECT cells.actual, predicted, n_docs,
+  n_docs * 10000 // row_total AS row_share_bps
+FROM cells JOIN tot ON cells.actual = tot.actual
+ORDER BY cells.actual, predicted
+"""
+
+
+ANALYTICS_ORACLES["langid_confusion_matrix"] = _langid_confusion_oracle()
+
+
+def q_array_hof_order_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order-function surface over grouped data: per order,
+    the lineitem cents collected into a DESC-sorted array, then
+    ``slice`` (top-3), ``aggregate`` (their sum — a fold, not an agg
+    node), and ``exists`` (any item over $2000) — all JVM-side lambda
+    expressions inside whole-stage codegen, no UDF, no second shuffle:
+    everything after the single groupBy is a projection.
+    ``collect_list`` alone is order-nondeterministic; ``sort_array``
+    pins the multiset to a canonical order, which is what makes the
+    result (and the DuckDB ``list_sort`` oracle) engine-exact. Keyed to
+    orders with ≥ 4 items so the slice is meaningful."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.floor(F.col("l_extendedprice").cast("decimal(18,4)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    arr = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("cents"), asc=False).alias("arr")
+    )
+    top3 = F.slice(F.col("arr"), 1, 3)
+    return (
+        arr.filter(F.size("arr") >= 4)
+        .select(
+            "l_orderkey",
+            F.size("arr").alias("n_items"),
+            F.aggregate(
+                top3, F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("top3_cents"),
+            F.exists(F.col("arr"), lambda x: x > 200000).alias("has_big_item"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+ANALYTICS_QUERIES["array_hof_order_top3"] = q_array_hof_order_top3
+ANALYTICS_ORACLES["array_hof_order_top3"] = """
+WITH arr AS (
+  SELECT l_orderkey,
+    list_sort(list(floor(l_extendedprice::DECIMAL(18,4) * 100)::BIGINT),
+              'DESC') AS a
+  FROM lineitem GROUP BY l_orderkey)
+SELECT l_orderkey, len(a)::INT AS n_items,
+  list_aggregate(a[1:3], 'sum')::BIGINT AS top3_cents,
+  len(list_filter(a, x -> x > 200000)) > 0 AS has_big_item
+FROM arr WHERE len(a) >= 4 ORDER BY l_orderkey
+"""

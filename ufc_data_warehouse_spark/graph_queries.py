@@ -235,3 +235,63 @@ GRAPH_ORACLES: dict[str, str] = {
     "graph_kcore_nodes": _kcore_oracle(),
     "graph_bfs_hops": _bfs_oracle(),
 }
+
+
+def q_graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest supply route within 3 hops: Bellman-Ford over the
+    symmetrized customer–supplier graph, edge weight = min line quantity
+    between the pair (operators/graph.py::sssp_bounded). Seeds are
+    custkeys ≤ 3; the oracle replays the unrolled relaxations."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    half = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(_SUPP_OFFSET)).alias("dst"),
+        )
+        .agg(F.min(F.col("l_quantity").cast("long")).alias("w"))
+    )
+    edges = half.unionByName(
+        half.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    seeds = cust.where(F.col("c_custkey") <= _BFS_SEED_MAX).select("c_custkey")
+    return graph.sssp_bounded(edges, seeds, rounds=_BFS_ROUNDS).orderBy("node")
+
+
+def _sssp_oracle() -> str:
+    ctes = [
+        f"""h AS (
+  SELECT o_custkey AS u, l_suppkey + {_SUPP_OFFSET} AS v,
+    min(l_quantity::BIGINT) AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2
+)""",
+        "e AS (SELECT u, v, w FROM h UNION ALL SELECT v, u, w FROM h)",
+        f"""d0 AS (
+  SELECT c_custkey::BIGINT AS node, 0::BIGINT AS dist FROM customer
+  WHERE c_custkey <= {_BFS_SEED_MAX}
+)""",
+    ]
+    for i in range(1, _BFS_ROUNDS + 1):
+        ctes.append(
+            f"""d{i} AS (
+  SELECT node, min(dist)::BIGINT AS dist FROM (
+    SELECT node, dist FROM d{i - 1}
+    UNION ALL
+    SELECT e.v AS node, d{i - 1}.dist + e.w AS dist
+    FROM d{i - 1} JOIN e ON d{i - 1}.node = e.u
+  ) GROUP BY node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, dist FROM d{_BFS_ROUNDS} ORDER BY node"
+    )
+
+
+GRAPH_QUERIES["graph_sssp_bounded"] = q_graph_sssp_bounded
+GRAPH_ORACLES["graph_sssp_bounded"] = _sssp_oracle()

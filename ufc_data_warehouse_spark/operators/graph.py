@@ -274,3 +274,56 @@ def bfs_hops(
         dist = dist.unionByName(reached).localCheckpoint(eager=True)
         frontier = reached
     return dist
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Bounded-hop weighted shortest path (Bellman-Ford, ``rounds``
+    relaxations) → ``(node, dist)``: minimum total edge weight over any
+    path of ≤ ``rounds`` edges from a seed — the weighted upgrade of
+    ``bfs_hops`` (cheapest supply route, trust propagation, latency
+    radius).
+
+    Each round is one hash join (dist ⋈ edges on the source key) + one
+    min-agg — both order-free, so the result is partitioning-invariant
+    and SQL-replayable as unrolled CTEs. Parallel edges collapse to
+    their min weight up front (only the cheapest can ever win), which
+    also bounds the join fan-out. Fixed round count keeps the plan
+    finite; at true scale the same loop runs delta-stepping style
+    (relax only nodes improved last round — the frontier optimization
+    ``bfs_hops`` uses) with ``localCheckpoint`` per round truncating
+    lineage, done here too. Integer weights ⇒ exact."""
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"),
+            F.col(dst).cast("long").alias("v"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select(F.col(seeds.columns[0]).cast("long").alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        relaxed = e.join(
+            dist.withColumnRenamed("node", "u"), "u"
+        ).select(F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist
