@@ -295,3 +295,103 @@ def test_interval_overlap_join_matches_bruteforce(spark, points, spans):
         if s <= p < s + ln
     )
     assert got == expected
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10), st.integers(0, 10), st.integers(1, 9)),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(0, 3),
+    st.integers(1, 3),
+)
+def test_sssp_bounded_matches_bruteforce(spark, edge_list, seed, rounds):
+    """Bellman-Ford sssp_bounded == brute-force ≤rounds-edge shortest
+    path on arbitrary small weighted digraphs (parallel edges,
+    self-loops, unreachable parts included)."""
+    from ufc_data_warehouse_spark.operators import graph
+
+    best: dict[int, int] = {seed: 0}
+    for _ in range(rounds):
+        nxt = dict(best)
+        for a, b, w in edge_list:
+            if a != b and a in best:
+                cand = best[a] + w
+                if cand < nxt.get(b, 1 << 60):
+                    nxt[b] = cand
+        best = nxt
+    df = spark.createDataFrame(
+        edge_list or [(0, 0, 1)], "src long, dst long, w long"
+    )
+    seeds = spark.createDataFrame([(seed,)], "node long")
+    got = {
+        (r["node"], r["dist"])
+        for r in graph.sssp_bounded(df, seeds, rounds=rounds).collect()
+    }
+    assert got == set(best.items())
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(st.integers(-1000, 1000), min_size=1, max_size=60),
+    st.integers(1, 10),
+)
+def test_global_prefix_sum_matches_running_total(spark, values, n_buckets):
+    """Two-phase bucketed prefix sum == a plain running total for any
+    values (negatives included) and any bucket count (incl. more buckets
+    than rows)."""
+    from ufc_data_warehouse_spark.operators.scale import global_prefix_sum
+
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        (r["k"], r["cum"])
+        for r in global_prefix_sum(df, "v", "k", n_buckets=n_buckets).collect()
+    }
+    run, want = 0, set()
+    for i, v in enumerate(values):
+        run += v
+        want.add((i, run))
+    assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(st.integers(0, 6), min_size=1, max_size=40),
+    st.lists(st.tuples(st.integers(0, 6), st.integers(0, 100)), max_size=10),
+)
+def test_salted_replicate_join_matches_plain(spark, fact_keys, dim_rows):
+    """Salted join == plain join as multisets, for arbitrary fact-key
+    multiplicity, duplicate dim keys, and unmatched keys on both sides."""
+    from collections import Counter
+
+    from ufc_data_warehouse_spark.operators.scale import salted_replicate_join
+
+    fact = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(fact_keys)], "k long, fid long"
+    )
+    dim = spark.createDataFrame(dim_rows or [(99, 0)], "k long, attr long")
+    for how in ("inner", "left"):
+        got = Counter(
+            (r["k"], r["fid"], r["attr"])
+            for r in salted_replicate_join(fact, dim, "k", n_salts=3, how=how).collect()
+        )
+        want = Counter(
+            (r["k"], r["fid"], r["attr"])
+            for r in fact.join(dim, "k", how).collect()
+        )
+        assert got == want

@@ -60,3 +60,38 @@ def test_materialize_layout(spark, tmp_path):
     assert len(parts) >= 10  # partitioned marts by natural key
     df: DataFrame = spark.read.parquet(path)
     assert df.count() > 0
+
+
+def test_registries_complete_under_any_import_order():
+    """Regression: importing analytics_queries BEFORE extra_queries used
+    to trip a circular import that silently snapshotted the analytics
+    registries half-filled — every query registered after the cycle
+    point vanished from EXTRA_QUERIES and one oracle went missing.
+    Run both orders in fresh interpreters and require identical,
+    oracle-complete registries."""
+    import json
+    import subprocess
+    import sys
+
+    prog = """
+import json, sys
+order = sys.argv[1]
+if order == "analytics_first":
+    import ufc_data_warehouse_spark.analytics_queries  # noqa: F401
+from ufc_data_warehouse_spark.extra_queries import EXTRA_ORACLES, EXTRA_QUERIES
+missing = [k for k in EXTRA_QUERIES
+           if k not in EXTRA_ORACLES and not k.startswith("streaming")]
+print(json.dumps({"n": len(EXTRA_QUERIES), "missing": missing}))
+"""
+    results = {}
+    for order in ("extra_first", "analytics_first"):
+        out = subprocess.run(
+            [sys.executable, "-c", prog, order],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        results[order] = json.loads(out.stdout.strip().splitlines()[-1])
+    assert results["extra_first"]["missing"] == []
+    assert results["analytics_first"]["missing"] == []
+    assert results["extra_first"]["n"] == results["analytics_first"]["n"]

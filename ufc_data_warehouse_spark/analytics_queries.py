@@ -4367,7 +4367,7 @@ ANALYTICS_QUERIES["vocab_growth_curve"] = q_vocab_growth_curve
 
 
 def _vocab_growth_oracle() -> str:
-    from .extra_queries import _TOKS_SQL
+    from .sqlfrag import _TOKS_SQL
 
     return f"""
 WITH bounds AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
@@ -5377,7 +5377,7 @@ ANALYTICS_QUERIES["langid_confusion_matrix"] = q_langid_confusion_matrix
 
 def _langid_confusion_oracle() -> str:
     # mirrors the text_language_id oracle's token/stopword shape exactly
-    from .extra_queries import _TOKS_SQL
+    from .sqlfrag import _TOKS_SQL
     from .operators.text import EN_STOPWORDS
 
     stoplist = "[" + ", ".join(f"'{s}'" for s in EN_STOPWORDS) + "]"
@@ -5452,4 +5452,43 @@ SELECT l_orderkey, len(a)::INT AS n_items,
   list_aggregate(a[1:3], 'sum')::BIGINT AS top3_cents,
   len(list_filter(a, x -> x > 200000)) > 0 AS has_big_item
 FROM arr WHERE len(a) >= 4 ORDER BY l_orderkey
+"""
+
+
+def q_multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vision-token budgeting end-to-end: binary corpus →
+    mapInPandas(fake decode → md5-derived dims) →
+    operators/multimodal.py::patchify_plan (ViT 16-px patch grid,
+    padding, token count). The token-count column is what a
+    fixed-budget vision batcher packs on WITHOUT decoding pixels; the
+    md5 stub keeps the whole Arrow-batched pipeline oracle-checkable."""
+    from .operators import multimodal
+
+    docs = _read(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(docs)
+    decoded = multimodal.decode_media(media, fake=True)
+    return multimodal.patchify_plan(decoded, patch=16).orderBy("media_id")
+
+
+ANALYTICS_QUERIES["multimodal_patch_grid"] = q_multimodal_patch_grid
+ANALYTICS_ORACLES["multimodal_patch_grid"] = """
+WITH h AS (
+  SELECT doc_id AS media_id,
+    ('0x' || substr(md5(text), 1, 8))::BIGINT AS hv
+  FROM documents WHERE doc_id % 3 = 0),
+dims AS (
+  SELECT media_id,
+    (16 + hv % 2048)::INT AS width,
+    (16 + (hv // 2048) % 2048)::INT AS height
+  FROM h),
+grid AS (
+  SELECT media_id, width, height,
+    (width + 15) // 16 AS n_patches_x,
+    (height + 15) // 16 AS n_patches_y
+  FROM dims)
+SELECT media_id, width, height, n_patches_x, n_patches_y,
+  n_patches_x * 16 - width AS pad_x,
+  n_patches_y * 16 - height AS pad_y,
+  n_patches_x * n_patches_y + 1 AS n_tokens
+FROM grid ORDER BY media_id
 """

@@ -129,8 +129,7 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
+from .sqlfrag import _NORM_SQL, _TOKS_SQL  # noqa: E402
 
 _SHINGLES_SQL = f"""
 doc_toks AS (

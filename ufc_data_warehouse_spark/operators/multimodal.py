@@ -202,3 +202,29 @@ def attach_asset_metadata(assets: DataFrame) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.col("path").alias("source"),
     )
+
+
+def patchify_plan(
+    decoded: DataFrame, patch: int = 16, cls_token: bool = True
+) -> DataFrame:
+    """ViT-style patch-grid planning for image rows: patches per axis
+    (ceil division), the zero-padding each axis needs to reach a whole
+    patch multiple, and the resulting transformer token count
+    (+1 CLS when ``cls_token``). Pure integer Column math — the pixel
+    unfold belongs in the codec UDF; this computes the token budget a
+    vision-encoder batcher packs on, which is what the PIPELINE needs
+    at 100 TB (group images by n_tokens to build fixed-budget batches
+    without decoding anything)."""
+    p = F.lit(patch)
+    n_px = F.expr(f"(width + {patch - 1}) div {patch}")
+    n_py = F.expr(f"(height + {patch - 1}) div {patch}")
+    return decoded.filter(F.col("kind") == "image").select(
+        "media_id",
+        "width",
+        "height",
+        n_px.alias("n_patches_x"),
+        n_py.alias("n_patches_y"),
+        (n_px * p - F.col("width")).alias("pad_x"),
+        (n_py * p - F.col("height")).alias("pad_y"),
+        (n_px * n_py + (1 if cls_token else 0)).alias("n_tokens"),
+    )
