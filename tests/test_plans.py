@@ -122,3 +122,11 @@ def test_prefix_filter_plans_as_hash_joins(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_rank_window_rides_the_limited_frame(spark):
+    # the ranking must be TakeOrderedAndProject(top-50) feeding a 50-row
+    # window — a partition-less window over the FULL corpus reappearing
+    # means the top-k rewrite regressed
+    plan = _plan(EXTRA_QUERIES["bm25_doc_ranking"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan

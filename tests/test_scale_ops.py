@@ -862,3 +862,62 @@ def test_salted_replicate_join_row_identical_and_salted_keys(spark):
         .toString()
     )
     assert "_salt" in plan
+
+
+def test_rollup_router_serves_subset_dims_from_rollup(spark, tmp_path):
+    """A (day, event_type) rollup must answer an event_type-only query
+    with fact-identical numbers while scanning the ROLLUP files, and a
+    non-covered query must fall back to the fact path."""
+    from pyspark.sql import functions as F
+
+    from ufc_data_warehouse_spark.extra_queries import _read
+    from ufc_data_warehouse_spark.operators.scale import RollupRouter
+
+    ev = _read(spark, SF_DIR, "events").select(
+        "event_type",
+        "user_id",
+        F.expr("unix_micros(ts::timestamp) div 86400000000").alias("day"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    rollup_path = str(tmp_path / "rollup_day_type")
+    ev.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents")
+    ).write.parquet(rollup_path)
+
+    router = RollupRouter()
+    router.register(
+        spark.read.parquet(rollup_path),
+        dims=["day", "event_type"],
+        measures={"n": "sum", "cents": "sum"},
+    )
+
+    routed = router.route(
+        ["event_type"],
+        ["n", "cents"],
+        fact_path=lambda: ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents")
+        ),
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents")
+    )
+    assert routed.exceptAll(direct).count() == 0
+    assert direct.exceptAll(routed).count() == 0
+    # plan strings elide paths — identify the scanned source by its
+    # ReadSchema: the rollup exposes pre-aggregated (n, cents) columns,
+    # the fact scan would expose raw (ts, value)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "n:bigint,cents:bigint" in plan.replace(" ", "")
+    assert "ts:timestamp" not in plan and "value:double" not in plan
+
+    # user_id is not in the rollup dims → fact fallback
+    fallback = router.route(
+        ["user_id"],
+        ["n"],
+        fact_path=lambda: ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+    )
+    plan_fb = fallback._jdf.queryExecution().executedPlan().toString()
+    assert "user_id:" in plan_fb.replace(" ", "")
+    assert "n:bigint,cents:bigint" not in plan_fb.replace(" ", "")

@@ -5492,3 +5492,131 @@ SELECT media_id, width, height, n_patches_x, n_patches_y,
   n_patches_x * n_patches_y + 1 AS n_tokens
 FROM grid ORDER BY media_id
 """
+
+
+def q_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split — the standing growth dashboard
+    query. One distinct (user, day) pass, one per-user min-day agg, then
+    a co-partitioned join (both sides hash on user_id; AQE aligns them)
+    and a day rollup. Day arithmetic is pure integer epoch math."""
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts::timestamp) div 86400000000").alias("day"),
+    )
+    active = ev.distinct()
+    first = active.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        active.join(first, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(
+                F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+            ).alias("new_users"),
+            F.sum(
+                F.when(F.col("day") != F.col("first_day"), 1).otherwise(0)
+            ).alias("returning_users"),
+        )
+        .orderBy("day")
+    )
+
+
+ANALYTICS_QUERIES["new_vs_returning_daily"] = q_new_vs_returning_daily
+ANALYTICS_ORACLES["new_vs_returning_daily"] = """
+WITH active AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+first AS (
+  SELECT user_id, min(day) AS first_day FROM active GROUP BY user_id)
+SELECT day,
+  sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)::BIGINT AS new_users,
+  sum(CASE WHEN day != first_day THEN 1 ELSE 0 END)::BIGINT AS returning_users
+FROM active JOIN first USING (user_id)
+GROUP BY day ORDER BY day
+"""
+
+
+def q_revenue_bridge_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue bridge — the finance walk that explains
+    each month's revenue change as new + expansion − contraction −
+    churned, per customer transitions between adjacent months. One
+    (customer, month) cents agg, then a self full-outer join shifted by
+    one month (both sides hash on custkey, so the join co-partitions),
+    then a month rollup. The identity end = start + new + expansion −
+    contraction − churned holds exactly because everything is integer
+    cents."""
+    o = _read(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("m"),
+        F.floor(F.col("o_totalprice").cast("decimal(18,4)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    cm = o.groupBy("o_custkey", "m").agg(F.sum("cents").alias("rev"))
+    prev = cm.select(
+        F.col("o_custkey").alias("ck"),
+        (F.col("m") + 1).alias("month"),
+        F.col("rev").alias("prev_rev"),
+    )
+    curr = cm.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("m").alias("month"),
+        F.col("rev").alias("curr_rev"),
+    )
+    both = prev.join(curr, ["ck", "month"], "full_outer")
+    z = F.lit(0).cast("long")
+    p, c = F.coalesce("prev_rev", z), F.coalesce("curr_rev", z)
+    return (
+        both.groupBy("month")
+        .agg(
+            F.sum(p).alias("start_rev"),
+            F.sum(c).alias("end_rev"),
+            F.sum(F.when(F.col("prev_rev").isNull(), c).otherwise(z)).alias(
+                "new_rev"
+            ),
+            F.sum(
+                F.when(
+                    F.col("prev_rev").isNotNull()
+                    & F.col("curr_rev").isNotNull(),
+                    F.greatest(c - p, z),
+                ).otherwise(z)
+            ).alias("expansion"),
+            F.sum(
+                F.when(
+                    F.col("prev_rev").isNotNull()
+                    & F.col("curr_rev").isNotNull(),
+                    F.greatest(p - c, z),
+                ).otherwise(z)
+            ).alias("contraction"),
+            F.sum(F.when(F.col("curr_rev").isNull(), p).otherwise(z)).alias(
+                "churned_rev"
+            ),
+        )
+        .orderBy("month")
+    )
+
+
+ANALYTICS_QUERIES["revenue_bridge_mom"] = q_revenue_bridge_mom
+ANALYTICS_ORACLES["revenue_bridge_mom"] = """
+WITH cm AS (
+  SELECT o_custkey,
+    date_part('year', o_orderdate)::BIGINT * 12
+      + date_part('month', o_orderdate)::BIGINT - 1 AS m,
+    sum(floor(o_totalprice::DECIMAL(18,4) * 100)::BIGINT)::BIGINT AS rev
+  FROM orders GROUP BY 1, 2),
+prev AS (SELECT o_custkey AS ck, m + 1 AS month, rev AS prev_rev FROM cm),
+curr AS (SELECT o_custkey AS ck, m AS month, rev AS curr_rev FROM cm),
+both_m AS (
+  SELECT coalesce(prev.ck, curr.ck) AS ck,
+    coalesce(prev.month, curr.month) AS month, prev_rev, curr_rev
+  FROM prev FULL OUTER JOIN curr
+    ON prev.ck = curr.ck AND prev.month = curr.month)
+SELECT month,
+  sum(coalesce(prev_rev, 0))::BIGINT AS start_rev,
+  sum(coalesce(curr_rev, 0))::BIGINT AS end_rev,
+  sum(CASE WHEN prev_rev IS NULL THEN coalesce(curr_rev, 0) ELSE 0 END)::BIGINT AS new_rev,
+  sum(CASE WHEN prev_rev IS NOT NULL AND curr_rev IS NOT NULL
+      THEN greatest(curr_rev - prev_rev, 0) ELSE 0 END)::BIGINT AS expansion,
+  sum(CASE WHEN prev_rev IS NOT NULL AND curr_rev IS NOT NULL
+      THEN greatest(prev_rev - curr_rev, 0) ELSE 0 END)::BIGINT AS contraction,
+  sum(CASE WHEN curr_rev IS NULL THEN coalesce(prev_rev, 0) ELSE 0 END)::BIGINT AS churned_rev
+FROM both_m GROUP BY month ORDER BY month
+"""

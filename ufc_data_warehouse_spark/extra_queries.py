@@ -2778,6 +2778,12 @@ BENCH_EXTRA = [
     "graph_bfs_hops",
     # bucket-grid range join (the no-shared-key interval containment)
     "interval_overlap_counts",
+    # lexical + hybrid retrieval, distributed prefix-sum sampling, and
+    # the weighted iterative-graph path
+    "bm25_doc_ranking",
+    "rrf_hybrid_search",
+    "pps_systematic_sample",
+    "graph_sssp_bounded",
 ]
 # NOT benchmarked: dedup_prefix_filter / graph_triangle_census — on this
 # synthetic corpus (5000 near-identical docs; a 91%-dense co-purchase

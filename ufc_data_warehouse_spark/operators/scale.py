@@ -512,3 +512,50 @@ def salted_replicate_join(
         F.explode(F.array(*[F.lit(i) for i in range(n_salts)])),
     )
     return salted_fact.join(salted_dim, [on, "_salt"], how).drop("_salt")
+
+
+class RollupRouter:
+    """Aggregate-aware materialized-view routing: serve a query whose
+    grouping dims are a SUBSET of a registered rollup's dims from the
+    (tiny) rollup instead of the fact table — the aggregate-navigator
+    every serving layer (Druid, BigQuery MVs, Snowflake query rewrite)
+    applies, done explicitly since Spark has no transparent MV rewrite.
+
+    Register rollups with ADDITIVE measures only (sum/count — re-
+    aggregating partial sums is exact; avg must be stored as sum+count
+    and divided at serve time; min/max are fine too but not under
+    deletes). ``route`` picks the registered rollup with the FEWEST
+    dims that still covers the query (cheapest valid source) and
+    re-aggregates it; if none covers, it falls back to the supplied
+    fact-path builder — the caller always gets a correct frame, routing
+    only changes the scan size (rollup rows ≪ fact rows at 100 TB)."""
+
+    def __init__(self) -> None:
+        self._rollups: list[tuple[list[str], dict[str, str], DataFrame]] = []
+
+    def register(
+        self, df: DataFrame, dims: list[str], measures: dict[str, str]
+    ) -> None:
+        """``measures`` maps column → merge fn ('sum' | 'min' | 'max')."""
+        for fn in measures.values():
+            if fn not in ("sum", "min", "max"):
+                raise ValueError(f"non-mergeable measure fn: {fn}")
+        self._rollups.append((list(dims), dict(measures), df))
+
+    def route(
+        self,
+        query_dims: list[str],
+        measures: list[str],
+        fact_path: "Callable[[], DataFrame]",
+    ) -> DataFrame:
+        candidates = [
+            (dims, mfns, df)
+            for dims, mfns, df in self._rollups
+            if set(query_dims) <= set(dims)
+            and set(measures) <= set(mfns)
+        ]
+        if not candidates:
+            return fact_path()
+        dims, mfns, df = min(candidates, key=lambda c: len(c[0]))
+        aggs = [getattr(F, mfns[m])(m).alias(m) for m in measures]
+        return df.groupBy(*query_dims).agg(*aggs)
