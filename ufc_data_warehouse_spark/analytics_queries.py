@@ -5620,3 +5620,115 @@ SELECT month,
   sum(CASE WHEN curr_rev IS NULL THEN coalesce(prev_rev, 0) ELSE 0 END)::BIGINT AS churned_rev
 FROM both_m GROUP BY month ORDER BY month
 """
+
+
+def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge LEARNING (3 unrolled iterations) — the
+    tokenizer-training core of a text pipeline, not just token counting:
+    char-split the corpus vocabulary, count space-adjacent symbol pairs
+    weighted by word frequency, merge the argmax pair everywhere, and
+    repeat. Returns (iter, pair, weighted_count) per learned merge.
+
+    Fully in-plan on BOTH engines: the winning pair feeds the next
+    iteration as a 1-row broadcast cross (never a driver collect), the
+    pair explode is arrays_zip over two slices (no shuffle beyond the
+    vocab agg), and each iteration's frames key on the same vocab hash.
+    Merge application is left-to-right non-overlapping string replace —
+    occurrences sharing a delimiter space defer to a later iteration
+    (convention pinned identically in the oracle). Ties break on
+    (count DESC, pair ASC): engine-exact."""
+    toks = (
+        _read(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.split(
+                    F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")),
+                    " ",
+                )
+            ).alias("w")
+        )
+        .where(F.col("w") != "")
+    )
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    cur = vocab.select(
+        F.concat_ws(" ", F.split(F.col("w"), "")).alias("s"), "n"
+    )
+    merges = None
+    for k in range(1, 4):
+        pairs = (
+            cur.select(F.split("s", " ").alias("arr"), "n")
+            .select(
+                F.explode(
+                    F.arrays_zip(
+                        F.expr("slice(arr, 1, size(arr)-1)"),
+                        F.expr("slice(arr, 2, size(arr)-1)"),
+                    )
+                ).alias("z"),
+                "n",
+            )
+            .select(
+                F.concat_ws(" ", F.col("z.0"), F.col("z.1")).alias("pair"),
+                "n",
+            )
+            .groupBy("pair")
+            .agg(F.sum("n").alias("cnt"))
+        )
+        top = (
+            pairs.orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .select("pair", "cnt")
+        )
+        row = top.select(
+            F.lit(k).alias("iter"), "pair", F.col("cnt").alias("weighted_count")
+        )
+        merges = row if merges is None else merges.unionByName(row)
+        cur = cur.crossJoin(F.broadcast(top)).select(
+            F.trim(
+                F.expr(
+                    "replace(' ' || s || ' ', ' ' || pair || ' ', "
+                    "' ' || replace(pair, ' ', '') || ' ')"
+                )
+            ).alias("s"),
+            "n",
+        )
+    return merges.orderBy("iter")
+
+
+ANALYTICS_QUERIES["bpe_learn_merges"] = q_bpe_learn_merges
+ANALYTICS_ORACLES["bpe_learn_merges"] = """
+WITH toks AS (
+  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+  FROM documents),
+vocab AS (SELECT w, count(*)::BIGINT AS n FROM toks WHERE w <> '' GROUP BY w),
+w1 AS (SELECT array_to_string(string_split(w, ''), ' ') AS s, n FROM vocab),
+p1 AS (
+  SELECT arr[g.i] || ' ' || arr[g.i + 1] AS pair, sum(n)::BIGINT AS cnt
+  FROM (SELECT string_split(s, ' ') AS arr, n FROM w1),
+       unnest(generate_series(1, len(arr) - 1)) AS g(i)
+  GROUP BY 1),
+t1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+w2 AS (
+  SELECT trim(replace(' ' || s || ' ', ' ' || t.pair || ' ',
+                      ' ' || replace(t.pair, ' ', '') || ' ')) AS s, n
+  FROM w1, t1 t),
+p2 AS (
+  SELECT arr[g.i] || ' ' || arr[g.i + 1] AS pair, sum(n)::BIGINT AS cnt
+  FROM (SELECT string_split(s, ' ') AS arr, n FROM w2),
+       unnest(generate_series(1, len(arr) - 1)) AS g(i)
+  GROUP BY 1),
+t2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+w3 AS (
+  SELECT trim(replace(' ' || s || ' ', ' ' || t.pair || ' ',
+                      ' ' || replace(t.pair, ' ', '') || ' ')) AS s, n
+  FROM w2, t2 t),
+p3 AS (
+  SELECT arr[g.i] || ' ' || arr[g.i + 1] AS pair, sum(n)::BIGINT AS cnt
+  FROM (SELECT string_split(s, ' ') AS arr, n FROM w3),
+       unnest(generate_series(1, len(arr) - 1)) AS g(i)
+  GROUP BY 1),
+t3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1)
+SELECT 1 AS iter, pair, cnt AS weighted_count FROM t1
+UNION ALL SELECT 2, pair, cnt FROM t2
+UNION ALL SELECT 3, pair, cnt FROM t3
+ORDER BY iter
+"""
