@@ -395,3 +395,42 @@ def test_salted_replicate_join_matches_plain(spark, fact_keys, dim_rows):
             for r in fact.join(dim, "k", how).collect()
         )
         assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-50, 50)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(1, 4),
+    st.integers(1, 5),
+)
+def test_two_phase_topk_matches_window_rank(spark, rows, k, salts):
+    """Salted two-phase top-k == window row_number top-k for arbitrary
+    groups, duplicate values (tie on id), and k larger than group size."""
+    from ufc_data_warehouse_spark.operators.scale import two_phase_topk
+
+    df = spark.createDataFrame(
+        [(g, i, v) for i, (g, v) in enumerate(rows)],
+        "g long, id long, v long",
+    )
+    got = {
+        (r["g"], r["id"], r["v"], r["rk"])
+        for r in two_phase_topk(
+            df, ["g"], "v", "id", k=k, salt_buckets=salts
+        ).collect()
+    }
+    want = set()
+    by_g: dict[int, list[tuple[int, int]]] = {}
+    for i, (g, v) in enumerate(rows):
+        by_g.setdefault(g, []).append((-v, i))
+    for g, items in by_g.items():
+        for pos, (nv, i) in enumerate(sorted(items)[:k]):
+            want.add((g, i, -nv, pos + 1))
+    assert got == want

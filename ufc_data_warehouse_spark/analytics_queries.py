@@ -5732,3 +5732,38 @@ UNION ALL SELECT 2, pair, cnt FROM t2
 UNION ALL SELECT 3, pair, cnt FROM t3
 ORDER BY iter
 """
+
+
+def q_topk_events_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 highest-cent events per event_type through
+    operators/scale.py::two_phase_topk — the hot-group-safe replacement
+    for a rank window (see the operator docstring: no task ever ranks a
+    full group; the second shuffle carries ≤ k·salts rows per group).
+    The oracle is the plain window rank — the rewrite must be
+    row-identical."""
+    from .operators.scale import two_phase_topk
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value").cast("decimal(12,4)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    return two_phase_topk(
+        ev, ["event_type"], "cents", "event_id", k=3, salt_buckets=8
+    ).orderBy("event_type", "rk")
+
+
+ANALYTICS_QUERIES["topk_events_two_phase"] = q_topk_events_two_phase
+ANALYTICS_ORACLES["topk_events_two_phase"] = """
+WITH ranked AS (
+  SELECT event_type, event_id,
+    floor(value::DECIMAL(12,4) * 100)::BIGINT AS cents,
+    row_number() OVER (PARTITION BY event_type
+      ORDER BY floor(value::DECIMAL(12,4) * 100)::BIGINT DESC, event_id)
+      AS rk
+  FROM events)
+SELECT event_type, event_id, cents, rk::BIGINT AS rk
+FROM ranked WHERE rk <= 3 ORDER BY event_type, rk
+"""

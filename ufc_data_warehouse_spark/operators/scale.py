@@ -559,3 +559,57 @@ class RollupRouter:
         dims, mfns, df = min(candidates, key=lambda c: len(c[0]))
         aggs = [getattr(F, mfns[m])(m).alias(m) for m in measures]
         return df.groupBy(*query_dims).agg(*aggs)
+
+
+def two_phase_topk(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    id_col: str,
+    k: int = 3,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Distributed top-k per group WITHOUT ranking every row through one
+    reducer per group: phase 1 takes a LOCAL top-k within each
+    (group, salt) — the salt spreads a hot group over ``salt_buckets``
+    reducers and, more importantly, caps what survives the first shuffle
+    at k·salt_buckets rows per group instead of the group's full row
+    count; phase 2 merges the salted survivors and takes the final
+    top-k. Rows ride as (order_col, id_col) structs so the array sort is
+    total; ties break on ascending id (pinned cross-engine).
+
+    This is the window-rank replacement for the pathological case —
+    rank() over a 10⁸-row hot group sorts 10⁸ rows in one task; here no
+    task ever sees more than its partition's share, and the merge input
+    is ≤ k·salt_buckets per group. Returns (key_cols…, id, val, rk)."""
+    pair = F.struct(
+        F.col(order_col).cast("long").alias("v"),
+        F.col(id_col).cast("long").alias("i"),
+    )
+    # descending by value, ascending by id == ascending by (-v, i)
+    neg = F.struct(
+        (-F.col(order_col).cast("long")).alias("nv"),
+        F.col(id_col).cast("long").alias("i"),
+    )
+    salted = df.withColumn(
+        "_salt", F.pmod(F.hash(F.col(id_col)), F.lit(salt_buckets))
+    )
+    local = salted.groupBy(*key_cols, "_salt").agg(
+        F.slice(F.sort_array(F.collect_list(neg)), 1, k).alias("top")
+    )
+    merged = (
+        local.select(*key_cols, F.explode("top").alias("p"))
+        .groupBy(*key_cols)
+        .agg(
+            F.slice(F.sort_array(F.collect_list("p")), 1, k).alias("top")
+        )
+    )
+    return merged.select(
+        *key_cols,
+        F.posexplode("top").alias("pos", "p"),
+    ).select(
+        *key_cols,
+        F.col("p.i").alias(id_col),
+        (-F.col("p.nv")).alias(order_col),
+        (F.col("pos") + 1).alias("rk"),
+    )
