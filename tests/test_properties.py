@@ -434,3 +434,31 @@ def test_two_phase_topk_matches_window_rank(spark, rows, k, salts):
         for pos, (nv, i) in enumerate(sorted(items)[:k]):
             want.add((g, i, -nv, pos + 1))
     assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(st.integers(-(10**9), 10**9), min_size=1, max_size=80),
+    st.integers(2, 8),
+    st.integers(1, 3),
+)
+def test_distributed_kth_smallest_matches_sort(spark, values, buckets, rounds):
+    """Bucket-narrowing selection == sorted()[k-1] for arbitrary values
+    (heavy duplicates, negatives, huge ranges), bucket counts, and
+    narrowing depths."""
+    from ufc_data_warehouse_spark.operators.scale import (
+        distributed_kth_smallest,
+    )
+
+    df = spark.createDataFrame([(v,) for v in values], "x long")
+    row = distributed_kth_smallest(
+        df, "x", n_buckets=buckets, rounds=rounds
+    ).collect()[0]
+    k = (len(values) + 1) // 2
+    assert row["n"] == len(values)
+    assert row["k"] == k
+    assert row["kth_value"] == sorted(values)[k - 1]

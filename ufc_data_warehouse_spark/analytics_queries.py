@@ -5767,3 +5767,31 @@ WITH ranked AS (
 SELECT event_type, event_id, cents, rk::BIGINT AS rk
 FROM ranked WHERE rk <= 3 ORDER BY event_type, rk
 """
+
+
+def q_global_median_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global lower-median of lineitem price cents via distributed
+    SELECTION (operators/scale.py::distributed_kth_smallest): two
+    bucket-count-and-narrow rounds + a per-value finish — hash aggs and
+    1-row broadcast state only, never a global sort. The oracle is the
+    literal k-th row of the sorted column."""
+    from .operators.scale import distributed_kth_smallest
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice").cast("decimal(18,4)") * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    return distributed_kth_smallest(li, "cents")
+
+
+ANALYTICS_QUERIES["global_median_selection"] = q_global_median_selection
+ANALYTICS_ORACLES["global_median_selection"] = """
+WITH t AS (
+  SELECT floor(l_extendedprice::DECIMAL(18,4) * 100)::BIGINT AS v
+  FROM lineitem),
+s AS (SELECT count(*)::BIGINT AS n, (count(*) + 1) // 2 AS k FROM t),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM t)
+SELECT s.n, s.k::BIGINT AS k, r.v AS kth_value
+FROM r, s WHERE r.rn = s.k
+"""

@@ -613,3 +613,111 @@ def two_phase_topk(
         (-F.col("p.nv")).alias(order_col),
         (F.col("pos") + 1).alias("rk"),
     )
+
+
+def distributed_kth_smallest(
+    df: DataFrame, value_col: str, n_buckets: int = 256, rounds: int = 2
+) -> DataFrame:
+    """Exact k-th smallest (k = ⌈n/2⌉, the lower median) by distributed
+    SELECTION — no global sort, no driver collect: the classic
+    bucket-count-and-narrow algorithm. Each round range-buckets the
+    current [lo, hi] candidate interval, counts per bucket (one hash
+    agg), cumulates over the ≤``n_buckets``-row count frame (a tiny
+    partition-less window — bounded by the bucket count, never the
+    data), picks the bucket holding the k-th element, and rebases
+    (k, lo, hi) — all as 1-row broadcast frames, so the whole selection
+    is a fixed-depth DataFrame plan. After ``rounds`` narrowings the
+    final interval holds ≤ range/n_buckets^rounds distinct values; the
+    finish is a per-VALUE count + cumulate over that bounded distinct
+    frame (exact under heavy duplicates, which a row-sampling
+    quickselect mishandles).
+
+    Contrast: ``sort().limit(k)`` ships k rows through one task and
+    ``percentile`` collects per-group arrays; this touches each row
+    ``rounds+1`` times with nothing but hash aggs — the right trade at
+    100 TB where the scan is cheap and the sort is not. Returns one row
+    (n, k, kth_value). Integer values only."""
+    t = df.select(F.col(value_col).cast("long").alias("v"))
+    stats = t.agg(
+        F.count("*").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    state = stats.select(
+        "n", F.expr("(n + 1) div 2").alias("k"), "lo", "hi"
+    )
+    wb = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    for _ in range(rounds):
+        b = (
+            t.crossJoin(F.broadcast(state))
+            .where((F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi")))
+            .withColumn(
+                "bkt",
+                F.expr(
+                    f"cast(least({n_buckets - 1}, "
+                    f"((v - lo) * {n_buckets}) div (hi - lo + 1)) as int)"
+                ),
+            )
+        )
+        cum = (
+            b.groupBy("bkt")
+            .agg(F.count("*").alias("c"))
+            .select(
+                "bkt",
+                F.sum("c").over(wb).alias("cum"),
+                (F.sum("c").over(wb) - F.col("c")).alias("cum_prev"),
+            )
+        )
+        chosen = (
+            cum.crossJoin(F.broadcast(state.select("k")))
+            .where(F.col("cum") >= F.col("k"))
+            .orderBy("bkt")
+            .limit(1)
+            .select("bkt", "cum_prev")
+        )
+        # bucket m holds v-lo in [⌈mW/B⌉, ⌈(m+1)W/B⌉ - 1] for W = hi-lo+1
+        state = (
+            state.crossJoin(F.broadcast(chosen))
+            .select(
+                "n",
+                (F.col("k") - F.col("cum_prev")).alias("k"),
+                (
+                    F.col("lo")
+                    + F.expr(
+                        f"(bkt * (hi - lo + 1) + {n_buckets - 1}) "
+                        f"div {n_buckets}"
+                    )
+                ).alias("new_lo"),
+                F.least(
+                    F.col("hi"),
+                    F.col("lo")
+                    + F.expr(
+                        f"((bkt + 1) * (hi - lo + 1) + {n_buckets - 1}) "
+                        f"div {n_buckets}"
+                    )
+                    - 1,
+                ).alias("new_hi"),
+            )
+            .withColumnRenamed("new_lo", "lo")
+            .withColumnRenamed("new_hi", "hi")
+        )
+    wv = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    final = (
+        t.crossJoin(F.broadcast(state))
+        .where((F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi")))
+        .groupBy("v", "n", "k")
+        .agg(F.count("*").alias("c"))
+        .select("v", "n", "k", F.sum("c").over(wv).alias("cum"))
+    )
+    return (
+        final.where(F.col("cum") >= F.col("k"))
+        .orderBy("v")
+        .limit(1)
+        .select(
+            "n",
+            F.expr("(n + 1) div 2").alias("k"),
+            F.col("v").alias("kth_value"),
+        )
+    )
