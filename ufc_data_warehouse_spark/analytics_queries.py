@@ -5795,3 +5795,56 @@ r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM t)
 SELECT s.n, s.k::BIGINT AS k, r.v AS kth_value
 FROM r, s WHERE r.rn = s.k
 """
+
+
+def q_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted PRIORITY sampling (Duffield-Lund-Thorup):
+    each order draws priority q = w / u with u a (0,1] uniform derived
+    from an md5 hash of its key; the top-20 by q form a weight-biased
+    sample whose Horvitz-Thompson estimates are unbiased for any
+    subset-sum. Engine-exact determinism: u's 60-bit hash integer is
+    identical on both engines (md5 prefix), and the sort key is ONE
+    double division w/(h+1) — same bits everywhere, ties broken by key.
+    Scale shape: a scan + TakeOrderedAndProject(20); nothing shuffles
+    but the top-k heap merge. The hash-u trick is what makes a sample
+    REPRODUCIBLE across retries/partitionings, where rand() is not."""
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice").cast("decimal(18,4)") * 100)
+        .cast("long")
+        .alias("w"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("wps:"), F.col("o_orderkey"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            + 1
+        ).alias("h1"),
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "w",
+            (F.col("w").cast("double") / F.col("h1").cast("double")).alias(
+                "priority"
+            ),
+        )
+        .orderBy(F.desc("priority"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+ANALYTICS_QUERIES["weighted_priority_sample"] = q_weighted_priority_sample
+ANALYTICS_ORACLES["weighted_priority_sample"] = """
+WITH o AS (
+  SELECT o_orderkey,
+    floor(o_totalprice::DECIMAL(18,4) * 100)::BIGINT AS w,
+    ('0x' || substr(md5('wps:' || o_orderkey::VARCHAR), 1, 15))::BIGINT + 1
+      AS h1
+  FROM orders)
+SELECT o_orderkey, w, w::DOUBLE / h1::DOUBLE AS priority
+FROM o ORDER BY priority DESC, o_orderkey LIMIT 20
+"""

@@ -295,3 +295,70 @@ def _sssp_oracle() -> str:
 
 GRAPH_QUERIES["graph_sssp_bounded"] = q_graph_sssp_bounded
 GRAPH_ORACLES["graph_sssp_bounded"] = _sssp_oracle()
+
+
+def q_graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest-arrival contact tracing over the customer–supplier
+    purchase graph: edges are (cust ↔ supplier, order day), a walk may
+    only continue on a SAME-OR-LATER day than it arrived
+    (operators/graph.py::temporal_earliest_arrival, 3 rounds). Seeds are
+    custkeys ≤ 3 (arrival −∞); output is each reached node's earliest
+    arrival day. Oracle replays the unrolled time-respecting
+    relaxations."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    half = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(_SUPP_OFFSET)).alias("dst"),
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("t"),
+        )
+        .distinct()
+    )
+    edges = half.unionByName(
+        half.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "t"
+        )
+    )
+    seeds = cust.where(F.col("c_custkey") <= _BFS_SEED_MAX).select("c_custkey")
+    return graph.temporal_earliest_arrival(
+        edges, seeds, rounds=_BFS_ROUNDS
+    ).orderBy("node")
+
+
+def _temporal_oracle() -> str:
+    start = -(1 << 62)
+    ctes = [
+        f"""h AS (
+  SELECT DISTINCT o_custkey AS u, l_suppkey + {_SUPP_OFFSET} AS v,
+    date_diff('day', DATE '1970-01-01', o_orderdate)::BIGINT AS t
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)""",
+        "e AS (SELECT u, v, t FROM h UNION SELECT v, u, t FROM h)",
+        f"""d0 AS (
+  SELECT c_custkey::BIGINT AS node, {start}::BIGINT AS arrive FROM customer
+  WHERE c_custkey <= {_BFS_SEED_MAX}
+)""",
+    ]
+    for i in range(1, _BFS_ROUNDS + 1):
+        ctes.append(
+            f"""d{i} AS (
+  SELECT node, min(arrive)::BIGINT AS arrive FROM (
+    SELECT node, arrive FROM d{i - 1}
+    UNION ALL
+    SELECT e.v AS node, e.t AS arrive
+    FROM d{i - 1} JOIN e ON d{i - 1}.node = e.u AND e.t >= d{i - 1}.arrive
+  ) GROUP BY node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, arrive FROM d{_BFS_ROUNDS} ORDER BY node"
+    )
+
+
+GRAPH_QUERIES["graph_temporal_reachability"] = q_graph_temporal_reachability
+GRAPH_ORACLES["graph_temporal_reachability"] = _temporal_oracle()

@@ -327,3 +327,52 @@ def sssp_bounded(
             .localCheckpoint(eager=True)
         )
     return dist
+
+
+def temporal_earliest_arrival(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    time_col: str = "t",
+    start_t: int = -(1 << 62),
+) -> DataFrame:
+    """Time-respecting reachability: earliest arrival time at every node
+    within ``rounds`` hops, where each edge may only be taken at or
+    after the walker's current arrival time (contact tracing, info
+    diffusion, settlement chains — paths that go BACK in time are not
+    paths). Same join+min-agg round shape as ``sssp_bounded``; the
+    temporal constraint is the join residual ``edge.t >= arrive``, which
+    Catalyst evaluates post-hash-probe — still an equi-join on the node
+    key. min() is order-free ⇒ partitioning-invariant and replayable as
+    unrolled CTEs. Integer times ⇒ exact."""
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"),
+            F.col(dst).cast("long").alias("v"),
+            F.col(time_col).cast("long").alias("t"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select(F.col(seeds.columns[0]).cast("long").alias("node"))
+        .distinct()
+        .select("node", F.lit(start_t).cast("long").alias("arrive"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        relaxed = (
+            e.join(dist.withColumnRenamed("node", "u"), "u")
+            .where(F.col("t") >= F.col("arrive"))
+            .select(F.col("v").alias("node"), F.col("t").alias("arrive"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("arrive").alias("arrive"))
+            .localCheckpoint(eager=True)
+        )
+    return dist
