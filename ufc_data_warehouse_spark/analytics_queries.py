@@ -5848,3 +5848,42 @@ WITH o AS (
 SELECT o_orderkey, w, w::DOUBLE / h1::DOUBLE AS priority
 FROM o ORDER BY priority DESC, o_orderkey LIMIT 20
 """
+
+
+def q_events_hour_dow_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational load heatmap: event counts + exact cent totals per
+    (ISO day-of-week, hour) cell — the capacity-planning rollup behind
+    every ops dashboard. Pure integer epoch math (day-of-week from the
+    epoch-day, hour from the epoch-second — no timezone/locale
+    functions, so both engines agree by construction); one hash agg over
+    ≤168 cells."""
+    ev = _read(spark, sf_dir, "events").select(
+        # 1970-01-01 was a Thursday: ISO dow = (epoch_day + 3) % 7 + 1
+        F.expr(
+            "(unix_micros(ts::timestamp) div 86400000000 + 3) % 7 + 1"
+        ).alias("iso_dow"),
+        F.expr(
+            "(unix_micros(ts::timestamp) div 1000000 % 86400) div 3600"
+        ).alias("hour"),
+        F.floor(F.col("value").cast("decimal(12,4)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    return (
+        ev.groupBy("iso_dow", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("cents"),
+        )
+        .orderBy("iso_dow", "hour")
+    )
+
+
+ANALYTICS_QUERIES["events_hour_dow_heatmap"] = q_events_hour_dow_heatmap
+ANALYTICS_ORACLES["events_hour_dow_heatmap"] = """
+SELECT (epoch_us(ts) // 86400000000 + 3) % 7 + 1 AS iso_dow,
+  (epoch_us(ts) // 1000000 % 86400) // 3600 AS hour,
+  count(*)::BIGINT AS n_events,
+  sum(floor(value::DECIMAL(12,4) * 100)::BIGINT)::BIGINT AS cents
+FROM events GROUP BY 1, 2 ORDER BY iso_dow, hour
+"""
