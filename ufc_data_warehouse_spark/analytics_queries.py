@@ -5887,3 +5887,117 @@ SELECT (epoch_us(ts) // 86400000000 + 3) % 7 + 1 AS iso_dow,
   sum(floor(value::DECIMAL(12,4) * 100)::BIGINT)::BIGINT AS cents
 FROM events GROUP BY 1, 2 ORDER BY iso_dow, hour
 """
+
+
+def q_asof_nearest_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-match as-of join (the sensor-alignment variant the
+    backward-only as-of can't express): each event pairs with the same
+    user's closest order in TIME — before or after — ties preferring the
+    backward match. Two carries (prefix-last backward, suffix-first
+    forward) ride ONE union-merge sort: same single shuffle as the
+    backward as-of in q_asof_orders_before_events, one extra window
+    projection, still no |event × order| blow-up. delta_sec is signed
+    (negative = order preceded the event); everything is integer epoch
+    seconds so the pick and the output hash exactly."""
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        _read(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    o_rows = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(1).alias("is_order"),
+        "o_orderkey",
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    e_rows = ev.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_order"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        "event_id",
+    )
+    order_spec = [F.asc("t"), F.desc("is_order"), F.asc("o_orderkey")]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order_spec)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order_spec)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = (
+        o_rows.unionByName(e_rows)
+        .select(
+            "event_id",
+            "user_id",
+            "is_order",
+            F.unix_timestamp("t").alias("tsec"),
+            F.last("o_orderkey", ignorenulls=True).over(wb).alias("bk"),
+            F.last(
+                F.when(F.col("is_order") == 1, F.unix_timestamp("t")),
+                ignorenulls=True,
+            ).over(wb).alias("bt"),
+            F.first("o_orderkey", ignorenulls=True).over(wf).alias("fk"),
+            F.first(
+                F.when(F.col("is_order") == 1, F.unix_timestamp("t")),
+                ignorenulls=True,
+            ).over(wf).alias("ft"),
+        )
+        .filter(F.col("is_order") == 0)
+    )
+    use_back = F.col("bk").isNotNull() & (
+        F.col("fk").isNull()
+        | ((F.col("tsec") - F.col("bt")) <= (F.col("ft") - F.col("tsec")))
+    )
+    return merged.select(
+        "event_id",
+        "user_id",
+        F.when(use_back, F.col("bk")).otherwise(F.col("fk")).alias(
+            "nearest_orderkey"
+        ),
+        F.when(use_back, F.col("bt") - F.col("tsec"))
+        .otherwise(F.col("ft") - F.col("tsec"))
+        .alias("delta_sec"),
+    ).orderBy("event_id")
+
+
+ANALYTICS_QUERIES["asof_nearest_order_events"] = q_asof_nearest_order_events
+ANALYTICS_ORACLES["asof_nearest_order_events"] = """
+WITH o_rows AS (
+  SELECT o_custkey AS user_id, o_orderdate AS t, 1 AS is_order,
+    o_orderkey, NULL::BIGINT AS event_id
+  FROM orders WHERE o_orderdate IS NOT NULL),
+e_rows AS (
+  SELECT user_id, ts AS t, 0 AS is_order,
+    NULL::BIGINT AS o_orderkey, event_id
+  FROM events),
+merged AS (
+  SELECT event_id, user_id, is_order,
+    epoch_us(t) // 1000000 AS tsec,
+    last_value(o_orderkey IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY t, is_order DESC, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bk,
+    last_value(CASE WHEN is_order = 1 THEN epoch_us(t) // 1000000 END
+               IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY t, is_order DESC, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bt,
+    first_value(o_orderkey IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY t, is_order DESC, o_orderkey
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fk,
+    first_value(CASE WHEN is_order = 1 THEN epoch_us(t) // 1000000 END
+                IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY t, is_order DESC, o_orderkey
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ft
+  FROM (SELECT * FROM o_rows UNION ALL SELECT * FROM e_rows))
+SELECT event_id, user_id,
+  CASE WHEN bk IS NOT NULL AND (fk IS NULL OR (tsec - bt) <= (ft - tsec))
+       THEN bk ELSE fk END AS nearest_orderkey,
+  CASE WHEN bk IS NOT NULL AND (fk IS NULL OR (tsec - bt) <= (ft - tsec))
+       THEN bt - tsec ELSE ft - tsec END AS delta_sec
+FROM merged WHERE is_order = 0 ORDER BY event_id
+"""
