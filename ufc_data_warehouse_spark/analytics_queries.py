@@ -6001,3 +6001,29 @@ SELECT event_id, user_id,
        THEN bt - tsec ELSE ft - tsec END AS delta_sec
 FROM merged WHERE is_order = 0 ORDER BY event_id
 """
+
+
+def q_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio token budgeting (the third modality of the multimodal
+    plumbing, next to video frame sampling and image patch grids):
+    binary corpus → operators/multimodal.py::audio_window_plan — 25 ms
+    windows at 10 ms hop over a 16 kHz/16-bit stub, all integer math on
+    the payload byte length, no decode."""
+    from .operators import multimodal
+
+    docs = _read(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(docs)
+    return multimodal.audio_window_plan(media).orderBy("media_id")
+
+
+ANALYTICS_QUERIES["multimodal_audio_frames"] = q_multimodal_audio_frames
+ANALYTICS_ORACLES["multimodal_audio_frames"] = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+    octet_length(encode(text))::BIGINT AS n_bytes
+  FROM documents WHERE doc_id % 3 = 1)
+SELECT media_id, n_bytes, n_bytes // 2 AS n_samples,
+  400 AS win_samples, 160 AS hop_samples,
+  greatest(0, 1 + (n_bytes // 2 - 400) // 160)::BIGINT AS n_frames
+FROM media ORDER BY media_id
+"""

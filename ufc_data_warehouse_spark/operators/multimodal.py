@@ -228,3 +228,33 @@ def patchify_plan(
         (n_py * p - F.col("height")).alias("pad_y"),
         (n_px * n_py + (1 if cls_token else 0)).alias("n_tokens"),
     )
+
+
+def audio_window_plan(
+    media: DataFrame,
+    sample_rate: int = 16000,
+    win_ms: int = 25,
+    hop_ms: int = 10,
+) -> DataFrame:
+    """STFT/feature frame planning for audio rows: sample count, frame
+    window/hop in samples, and the resulting frame count
+    n_frames = 1 + (n_samples − win) div hop (0 when the clip is
+    shorter than one window) — the token budget an audio encoder
+    batcher packs on, computed WITHOUT decoding (sample count derives
+    from the payload byte length; the stub models 16-bit mono, 2
+    bytes/sample). Pure integer Column math, same contract as
+    ``patchify_plan`` for images."""
+    win = sample_rate * win_ms // 1000
+    hop = sample_rate * hop_ms // 1000
+    n_samples = F.expr("n_bytes div 2")
+    return media.filter(F.col("kind") == "audio").select(
+        "media_id",
+        "n_bytes",
+        n_samples.alias("n_samples"),
+        F.lit(win).alias("win_samples"),
+        F.lit(hop).alias("hop_samples"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.expr(f"1 + (n_bytes div 2 - {win}) div {hop}"),
+        ).alias("n_frames"),
+    )
