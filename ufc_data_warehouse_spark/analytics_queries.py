@@ -6027,3 +6027,91 @@ SELECT media_id, n_bytes, n_bytes // 2 AS n_samples,
   greatest(0, 1 + (n_bytes // 2 - 400) // 160)::BIGINT AS n_frames
 FROM media ORDER BY media_id
 """
+
+
+def q_order_header_detail_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-detail reconciliation — the invoice-audit DQ query: each
+    order's header total vs the sum of its line gross charges
+    (price·(1−disc)·(1+tax), exact DECIMAL cents), classified into
+    match / within-1% / under / over buckets with integer-bps deltas.
+    One co-partitioned join on orderkey (header and detail both hash
+    there), one 4-row rollup."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.floor(
+            (
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (
+                    F.lit(1).cast("decimal(18,4)")
+                    - F.col("l_discount").cast("decimal(18,4)")
+                ).cast("decimal(18,8)")
+                * (
+                    F.lit(1).cast("decimal(18,4)")
+                    + F.col("l_tax").cast("decimal(18,4)")
+                ).cast("decimal(18,8)")
+            ).cast("decimal(38,12)") * 100
+        )
+        .cast("long")
+        .alias("line_cents"),
+    )
+    detail = li.groupBy("l_orderkey").agg(
+        F.sum("line_cents").alias("detail_cents")
+    )
+    hdr = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.floor(F.col("o_totalprice").cast("decimal(18,4)") * 100)
+        .cast("long")
+        .alias("header_cents"),
+    )
+    j = hdr.join(detail, "l_orderkey").select(
+        "header_cents",
+        "detail_cents",
+        (F.col("detail_cents") - F.col("header_cents")).alias("delta"),
+    )
+    bucket = (
+        F.when(F.col("delta") == 0, "exact")
+        .when(
+            F.abs(F.col("delta")) * 100 <= F.col("header_cents"),
+            "within_1pct",
+        )
+        .when(F.col("delta") < 0, "under")
+        .otherwise("over")
+    )
+    return (
+        j.select(bucket.alias("bucket"), "delta")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("delta").alias("total_delta_cents"),
+            F.min("delta").alias("min_delta"),
+            F.max("delta").alias("max_delta"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ANALYTICS_QUERIES["order_header_detail_recon"] = q_order_header_detail_recon
+ANALYTICS_ORACLES["order_header_detail_recon"] = """
+WITH detail AS (
+  SELECT l_orderkey,
+    sum(floor((l_extendedprice::DECIMAL(18,4)
+         * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))::DECIMAL(18,8)
+         * (1::DECIMAL(18,4) + l_tax::DECIMAL(18,4))::DECIMAL(18,8)
+        )::DECIMAL(38,12) * 100)::BIGINT)::BIGINT AS detail_cents
+  FROM lineitem GROUP BY l_orderkey),
+j AS (
+  SELECT floor(o_totalprice::DECIMAL(18,4) * 100)::BIGINT AS header_cents,
+    detail_cents,
+    detail_cents - floor(o_totalprice::DECIMAL(18,4) * 100)::BIGINT AS delta
+  FROM orders JOIN detail ON o_orderkey = l_orderkey),
+b AS (
+  SELECT delta,
+    CASE WHEN delta = 0 THEN 'exact'
+         WHEN abs(delta) * 100 <= header_cents THEN 'within_1pct'
+         WHEN delta < 0 THEN 'under' ELSE 'over' END AS bucket
+  FROM j)
+SELECT bucket, count(*)::BIGINT AS n_orders,
+  sum(delta)::BIGINT AS total_delta_cents,
+  min(delta) AS min_delta, max(delta) AS max_delta
+FROM b GROUP BY bucket ORDER BY bucket
+"""
