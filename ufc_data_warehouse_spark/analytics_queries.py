@@ -6115,3 +6115,83 @@ SELECT bucket, count(*)::BIGINT AS n_orders,
   min(delta) AS min_delta, max(delta) AS max_delta
 FROM b GROUP BY bucket ORDER BY bucket
 """
+
+
+def q_source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive vocabulary per source — the corpus-composition audit
+    (which registry/crawl contributes which language): for every
+    (source, term), lift = term share within the source vs share in the
+    whole corpus, kept integer-exact as basis points via cross
+    multiplication (share_bps = n_st·10⁴ div n_s; lift_bps =
+    n_st·N·10⁴ div (n_s·n_t)); top-3 terms per source by
+    (lift_bps DESC, term). Terms below 50 corpus occurrences are
+    dropped first — the rare-term floor that keeps the lift ranking
+    from being hapax noise AND caps the (source×term) frame. One token
+    explode feeds three hash aggs; the per-source rank window rides
+    |sources| partitions."""
+    toks = (
+        _read(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(
+                F.split(
+                    F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")),
+                    " ",
+                )
+            ).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+    st = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n_st"))
+    s = st.groupBy("source").agg(F.sum("n_st").alias("n_s"))
+    t = st.groupBy("term").agg(F.sum("n_st").alias("n_t"))
+    tot = t.agg(F.sum("n_t").alias("n_total"))
+    ranked = (
+        st.join(F.broadcast(s), "source")
+        .join(t.filter(F.col("n_t") >= 50), "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "term",
+            "n_st",
+            F.expr("n_st * 10000L div n_s").alias("share_bps"),
+            F.expr("n_st * n_total * 10000L div (n_s * n_t)").alias(
+                "lift_bps"
+            ),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.desc("lift_bps"), F.asc("term")
+                )
+            ),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+    return ranked.orderBy("source", "rk")
+
+
+ANALYTICS_QUERIES["source_distinctive_terms"] = q_source_distinctive_terms
+ANALYTICS_ORACLES["source_distinctive_terms"] = """
+WITH toks AS (
+  SELECT source,
+    unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents),
+st AS (
+  SELECT source, term, count(*)::BIGINT AS n_st FROM toks
+  WHERE term <> '' GROUP BY source, term),
+s AS (SELECT source, sum(n_st)::BIGINT AS n_s FROM st GROUP BY source),
+t AS (SELECT term, sum(n_st)::BIGINT AS n_t FROM st GROUP BY term),
+tot AS (SELECT sum(n_t)::BIGINT AS n_total FROM t),
+ranked AS (
+  SELECT st.source, st.term, n_st,
+    n_st * 10000 // n_s AS share_bps,
+    n_st * n_total * 10000 // (n_s * n_t) AS lift_bps,
+    row_number() OVER (PARTITION BY st.source
+      ORDER BY n_st * n_total * 10000 // (n_s * n_t) DESC, st.term) AS rk
+  FROM st JOIN s USING (source)
+  JOIN (SELECT * FROM t WHERE n_t >= 50) t USING (term), tot)
+SELECT source, term, n_st, share_bps, lift_bps, rk::BIGINT AS rk
+FROM ranked WHERE rk <= 3 ORDER BY source, rk
+"""
