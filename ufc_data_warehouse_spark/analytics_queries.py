@@ -6195,3 +6195,99 @@ ranked AS (
 SELECT source, term, n_st, share_bps, lift_bps, rk::BIGINT AS rk
 FROM ranked WHERE rk <= 3 ORDER BY source, rk
 """
+
+
+def q_lsh_design_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH parameter audit: the measured band-collision rate per
+    true-Jaccard decile vs the textbook S-curve 1−(1−s^r)^b for the
+    deployed b=4, r=4 banding — the chart you read before changing
+    banding (is the knee where the dedup threshold needs it?). Ground
+    truth is the exhaustive pair Jaccard over a doc_id<200 slice (the
+    audit is quadratic BY DESIGN and pinned to a fixed slice so its
+    cost is constant at any corpus scale); candidates come from the
+    SAME production operators (word_shingles → minhash_signatures →
+    lsh_candidate_pairs). Buckets, shares: integer; the theoretical
+    curve is one fixed-shape double expression per ≤10-row bucket, so
+    both engines emit identical bits."""
+    from .operators import dedup
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sh = dedup.word_shingles(docs).distinct()
+    sigs = dedup.minhash_signatures(sh)
+    cands = dedup.lsh_candidate_pairs(sigs).select(
+        "id_a", "id_b", F.lit(1).alias("is_cand")
+    )
+    jac = dedup.jaccard_pairs(sh, min_jaccard=0.0)
+    bucketed = (
+        jac.join(cands, ["id_a", "id_b"], "left")
+        .select(
+            F.least(
+                F.lit(9), F.expr("(10 * shared) div union_size")
+            ).alias("bucket"),
+            F.coalesce("is_cand", F.lit(0)).alias("is_cand"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("is_cand").alias("n_candidates"),
+        )
+    )
+    s = (F.col("bucket") + F.lit(0.5)) / F.lit(10.0)
+    s4 = s * s * s * s
+    q = F.lit(1.0) - s4
+    q4 = q * q * q * q
+    p = F.lit(1.0) - q4
+    return bucketed.select(
+        "bucket",
+        "n_pairs",
+        "n_candidates",
+        F.expr("n_candidates * 10000L div n_pairs").alias("measured_bps"),
+        F.floor(p * F.lit(10000.0)).cast("long").alias("theoretical_bps"),
+    ).orderBy("bucket")
+
+
+ANALYTICS_QUERIES["lsh_design_curve"] = q_lsh_design_curve
+
+
+def _lsh_design_oracle() -> str:
+    from .extra_queries import (
+        _BANDS_SQL,
+        _JACCARD_CORE_SQL,
+        _MINHASH_SQL,
+        _SHINGLES_SQL,
+    )
+
+    shingles = _SHINGLES_SQL.strip().lstrip(",").replace(
+        "FROM documents", "FROM documents WHERE doc_id < 200"
+    )
+    return f"""
+WITH {shingles},
+sigs AS ({_MINHASH_SQL}),
+buckets AS ({_BANDS_SQL}),
+cands AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM buckets l JOIN buckets r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+),
+{_JACCARD_CORE_SQL.strip().lstrip(',')},
+bucketed AS (
+  SELECT least(9, (10 * j.shared) // j.union_size) AS bucket,
+    CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS is_cand
+  FROM jac j LEFT JOIN cands c ON j.id_a = c.id_a AND j.id_b = c.id_b),
+agg AS (
+  SELECT bucket, count(*)::BIGINT AS n_pairs,
+    sum(is_cand)::BIGINT AS n_candidates
+  FROM bucketed GROUP BY bucket),
+curve AS (
+  SELECT bucket, n_pairs, n_candidates,
+    n_candidates * 10000 // n_pairs AS measured_bps,
+    (bucket + 0.5) / 10.0 AS s
+  FROM agg)
+SELECT bucket, n_pairs, n_candidates, measured_bps,
+  floor((1.0 - (1.0 - s*s*s*s) * (1.0 - s*s*s*s) * (1.0 - s*s*s*s)
+         * (1.0 - s*s*s*s)) * 10000.0)::BIGINT AS theoretical_bps
+FROM curve ORDER BY bucket
+"""
+
+
+ANALYTICS_ORACLES["lsh_design_curve"] = _lsh_design_oracle()
