@@ -6250,7 +6250,7 @@ ANALYTICS_QUERIES["lsh_design_curve"] = q_lsh_design_curve
 
 
 def _lsh_design_oracle() -> str:
-    from .extra_queries import (
+    from .sqlfrag import (
         _BANDS_SQL,
         _JACCARD_CORE_SQL,
         _MINHASH_SQL,
