@@ -3025,3 +3025,17 @@ FROM shared s JOIN sizes z ON s.id_a = z.id
 WHERE 100 * s.shared >= 90 * z.n
 ORDER BY id_a, id_b
 """
+
+# Training-pipeline batch 2 (late-interaction MaxSim, ANN recall audit,
+# bigram-LM quality, curriculum phases, deterministic bootstrap CI) lives
+# in pipeline_queries.py. Its two composed oracles reference oracle SQL
+# defined above, so they resolve AFTER this dict is populated.
+from .pipeline_queries import (  # noqa: E402
+    PIPELINE_ORACLES,
+    PIPELINE_QUERIES,
+    build_late_oracles as _pipeline_late_oracles,
+)
+
+EXTRA_QUERIES.update(PIPELINE_QUERIES)
+EXTRA_ORACLES.update(PIPELINE_ORACLES)
+EXTRA_ORACLES.update(_pipeline_late_oracles())

@@ -1,0 +1,419 @@
+"""Training-pipeline batch 2: late-interaction retrieval, ANN recall
+audit, corpus LM quality filtering, curriculum bucketing, and a
+deterministic bootstrap CI.
+
+No reference analog (reshefsharvit/ufc-data-warehouse has no curation or
+retrieval surface — SURVEY.md §2.9/§2.10); these extend the training-data
+operator families the same way curation_queries.py does. Every output is
+integer/string only, so the DuckDB cross-engine hash compare is exact.
+
+Scale notes are per-query docstrings; the common posture: quantize to
+int8 BEFORE the pairwise stage (4× less shuffle), keep scoring inside JVM
+higher-order functions (no Python in the hot path), and make every
+"random" choice a pure integer hash so reruns and engines agree.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import simsearch, text
+
+Query = Callable[[SparkSession, str], DataFrame]
+
+PIPELINE_QUERIES: dict[str, Query] = {}
+PIPELINE_ORACLES: dict[str, str] = {}
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from .extra_queries import _read as read
+
+    return read(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# late-interaction (ColBERT-style) MaxSim over int8-quantized subvectors
+# ---------------------------------------------------------------------------
+
+_SUBVECS = 8
+_SUBDIM = 8
+
+
+def q_ann_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval: each 64-d embedding is treated as 8
+    token-vectors of 8 dims; score(q, d) = Σ_i max_j <q_i, d_j> (ColBERT
+    MaxSim). Vectors are int8-quantized FIRST, so every dot product is
+    exact integer arithmetic — engine-reproducible and 4× cheaper to
+    shuffle than float32.
+
+    Scale: the corpus side stays partitioned; only the (small) query set
+    is broadcast. Scoring is one JVM higher-order expression per pair —
+    no Python, no explode — so the 100 TB plan is scan + broadcast-join +
+    per-row codegen + top-k window over query_id (bounded state).
+    """
+    emb = _read(spark, sf_dir, "embeddings")
+    codes = simsearch.quantize_int8(emb).select("vec_id", "codes")
+    qcodes = codes.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("codes").alias("qc")
+    )
+    pairs = codes.crossJoin(F.broadcast(qcodes)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    score = F.expr(
+        f"""
+        aggregate(sequence(0, {_SUBVECS - 1}), 0L, (acc, i) -> acc +
+          array_max(transform(sequence(0, {_SUBVECS - 1}), j ->
+            aggregate(sequence(1, {_SUBDIM}), 0L, (a, k) ->
+              a + CAST(element_at(qc, i * {_SUBDIM} + k) AS BIGINT)
+                * CAST(element_at(codes, j * {_SUBDIM} + k) AS BIGINT)))))
+        """
+    )
+    scored = pairs.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), score.alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", "score")
+        .orderBy("query_id", "rank")
+    )
+
+
+PIPELINE_QUERIES["ann_maxsim_multivector"] = q_ann_maxsim_multivector
+PIPELINE_ORACLES["ann_maxsim_multivector"] = f"""
+WITH stats AS (
+  SELECT min(u.x)::DOUBLE AS qmin, max(u.x)::DOUBLE AS qmax
+  FROM embeddings, unnest(embedding) AS u(x)
+),
+codes AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> least(255, greatest(0,
+      floor((x::DOUBLE - qmin) / (qmax - qmin) * 255.0)::INT))) AS codes
+  FROM embeddings, stats
+),
+scored AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+    list_sum(list_transform(range(0, {_SUBVECS}), i ->
+      list_max(list_transform(range(0, {_SUBVECS}), j ->
+        list_dot_product(
+          q.codes[i * {_SUBDIM} + 1 : i * {_SUBDIM} + {_SUBDIM}]::BIGINT[],
+          d.codes[j * {_SUBDIM} + 1 : j * {_SUBDIM} + {_SUBDIM}]::BIGINT[])
+      ))))::BIGINT AS score
+  FROM codes d JOIN codes q ON q.vec_id % 100 = 0 AND d.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, rank::INT AS rank, score FROM (
+  SELECT query_id, neighbor_id, score,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANN recall audit: IVF(n_probe=2) against the exact brute-force top-10
+# ---------------------------------------------------------------------------
+
+
+def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure, don't guess: per-query recall@10 of the IVF index path
+    against the exact brute-force ranking (integer hit counts, bps).
+    This is the acceptance gate an ANN index needs before it replaces
+    exact search at scale — run on a sampled query set, alert when the
+    bps drops. Both sides reuse the production operators, so the audit
+    measures the REAL index, not a reimplementation.
+    """
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = simsearch.cosine_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = simsearch.ivf_topk(emb, queries, k=10, n_probe=2).select(
+        "query_id", F.col("neighbor_id").alias("ivf_neighbor")
+    )
+    hits = exact.join(
+        ivf,
+        (exact["query_id"] == ivf["query_id"])
+        & (exact["neighbor_id"] == ivf["ivf_neighbor"]),
+        "left",
+    ).select(
+        exact["query_id"].alias("qid"),
+        F.when(F.col("ivf_neighbor").isNotNull(), 1).otherwise(0).alias("hit"),
+    )
+    return (
+        hits.groupBy("qid")
+        .agg(
+            F.sum("hit").cast("long").alias("hits"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+        )
+        .select(
+            F.col("qid").alias("query_id"),
+            "hits",
+            F.expr("hits * 10000 div k").alias("recall_bps"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _recall_oracle() -> str:
+    from .extra_queries import EXTRA_ORACLES
+
+    exact = EXTRA_ORACLES["ann_cosine_topk"].strip()
+    ivf = EXTRA_ORACLES["ann_ivf_topk"].strip()
+    return f"""
+WITH exact_t AS ({exact}),
+ivf_t AS ({ivf}),
+hits AS (
+  SELECT e.query_id AS qid,
+    CASE WHEN i.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+  FROM exact_t e LEFT JOIN ivf_t i
+    ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+)
+SELECT qid AS query_id, sum(hit)::BIGINT AS hits,
+  (sum(hit) * 10000 // count(*))::BIGINT AS recall_bps
+FROM hits GROUP BY qid ORDER BY query_id
+"""
+
+
+PIPELINE_QUERIES["ann_recall_audit"] = q_ann_recall_audit
+
+
+# ---------------------------------------------------------------------------
+# corpus bigram-LM quality signal (perplexity-proxy filter, all-integer)
+# ---------------------------------------------------------------------------
+
+
+def q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality filter: score each document by how common
+    its bigrams are in the WHOLE corpus (the cheap stand-in for an
+    external LM — docs whose word pairs the corpus has never seen are the
+    ones a KenLM filter would flag). All arithmetic is integer (corpus
+    counts and floor-division averages) so the oracle matches exactly.
+
+    Scale: bigrams come from ONE pass of a JVM transform (no posexplode
+    self-join); the doc↔corpus-count join is on (w1, w2) — a key whose
+    cardinality is bounded by vocab², far smaller than the corpus — and
+    the per-doc re-aggregation happens before the per-source rollup, so
+    the big shuffle moves (doc_id, w1, w2, n) partial counts, never raw
+    token streams.
+    """
+    docs = _read(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    d = docs.select(
+        "doc_id", "source", F.split(norm, " ").alias("toks")
+    ).filter(F.size("toks") >= 2)
+    bg = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, size(toks) - 1),"
+                " (x, i) -> struct(x AS w1, toks[i + 1] AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "source", F.col("bg.w1"), F.col("bg.w2"))
+    doc_bg = bg.groupBy("doc_id", "source", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    corpus = doc_bg.groupBy("w1", "w2").agg(F.sum("n").alias("cnt"))
+    per_doc = (
+        doc_bg.join(corpus, ["w1", "w2"])
+        .groupBy("doc_id", "source")
+        .agg(F.expr("sum(n * cnt) div sum(n)").alias("avg_bigram_freq"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("avg_bigram_freq").alias("min_freq"),
+            F.max("avg_bigram_freq").alias("max_freq"),
+            F.expr("sum(avg_bigram_freq) div count(1)").alias("mean_freq"),
+        )
+        .orderBy("source")
+    )
+
+
+PIPELINE_QUERIES["bigram_lm_quality"] = q_bigram_lm_quality
+PIPELINE_ORACLES["bigram_lm_quality"] = """
+WITH d AS (
+  SELECT doc_id, source,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+      AS toks
+  FROM documents
+  WHERE len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) >= 2
+),
+bg AS (
+  SELECT doc_id, source, toks[u.i] AS w1, toks[u.i + 1] AS w2
+  FROM d, unnest(range(1, len(toks))) AS u(i)
+),
+doc_bg AS (
+  SELECT doc_id, source, w1, w2, count(*)::BIGINT AS n
+  FROM bg GROUP BY ALL
+),
+corpus AS (SELECT w1, w2, sum(n)::BIGINT AS cnt FROM doc_bg GROUP BY w1, w2),
+per_doc AS (
+  SELECT doc_id, source,
+    (sum(b.n * c.cnt) // sum(b.n))::BIGINT AS avg_bigram_freq
+  FROM doc_bg b JOIN corpus c ON b.w1 = c.w1 AND b.w2 = c.w2
+  GROUP BY doc_id, source
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+  min(avg_bigram_freq) AS min_freq, max(avg_bigram_freq) AS max_freq,
+  (sum(avg_bigram_freq) // count(*))::BIGINT AS mean_freq
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# curriculum bucketing: ntile phases over the quality score, per language
+# ---------------------------------------------------------------------------
+
+
+def q_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning phase assignment: within each language, order
+    documents by the quality score (best first, doc_id tie-break → total
+    order, so ntile is deterministic) and split into 4 equal phases.
+    Phase 1 is the high-quality warm-up slice, phase 4 the tail.
+
+    Scale: one window per language partition — the same shuffle the
+    quality aggregation already needs; no global sort.
+    """
+    q = text.quality_score(_read(spark, sf_dir, "documents"))
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "lang", "n_chars"
+    )
+    scored = q.join(docs, "id")
+    w = Window.partitionBy("lang").orderBy(F.desc("quality"), F.asc("id"))
+    return (
+        scored.withColumn("phase", F.ntile(4).over(w))
+        .groupBy("lang", "phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("quality").cast("long").alias("sum_quality"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("lang", "phase")
+    )
+
+
+def _curriculum_oracle() -> str:
+    from .extra_queries import EXTRA_ORACLES
+
+    quality = EXTRA_ORACLES["text_quality_score"].strip()
+    return f"""
+WITH qual AS ({quality}),
+scored AS (
+  SELECT q.id, q.quality, d.lang, d.n_chars,
+    ntile(4) OVER (PARTITION BY d.lang ORDER BY q.quality DESC, q.id) AS phase
+  FROM qual q JOIN documents d ON q.id = d.doc_id
+)
+SELECT lang, phase::INT AS phase, count(*)::BIGINT AS n_docs,
+  sum(quality)::BIGINT AS sum_quality, sum(n_chars)::BIGINT AS sum_chars
+FROM scored GROUP BY lang, phase ORDER BY lang, phase
+"""
+
+
+PIPELINE_QUERIES["curriculum_phases"] = q_curriculum_phases
+
+
+# ---------------------------------------------------------------------------
+# deterministic half-sample bootstrap CI for mean order value
+# ---------------------------------------------------------------------------
+
+_B_REPS = 32
+_B_MULT = 2654435761  # Knuth multiplicative hash constant (public)
+_B_STEP = 40503
+
+
+def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-sample bootstrap for the mean order value: 32 deterministic
+    pseudo-random half-samples (pure integer hash of (o_orderkey,
+    replicate) — no RNG, so reruns and engines agree), each yielding a
+    mean in exact integer cents; report the 2nd-lowest / 2nd-highest
+    replicate mean as a ~94% CI plus the full-sample point estimate.
+
+    Scale: the replicate fan-out is a 32× map-side explode of a
+    (orderkey, cents) projection — no extra scan — and each replicate
+    reduces immediately to one partial sum per partition, so the shuffle
+    carries 32 rows per partition, not 32× the data.
+    """
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    reps = orders.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_B_REPS - 1))).alias("r"),
+    ).filter(
+        (F.col("o_orderkey") * _B_MULT + F.col("r") * _B_STEP) % 97 < 48
+    )
+    means = reps.groupBy("r").agg(
+        F.expr("sum(cents) div count(1)").alias("mean_cents")
+    )
+    full = orders.agg(
+        F.expr("sum(cents) div count(1)").alias("full_mean_cents")
+    )
+    w = Window.orderBy(F.asc("mean_cents"), F.asc("r"))
+    ranked = means.withColumn("rk", F.row_number().over(w))
+    lo = ranked.filter(F.col("rk") == 2).select(
+        F.col("mean_cents").alias("lo_mean_cents")
+    )
+    hi = ranked.filter(F.col("rk") == _B_REPS - 1).select(
+        F.col("mean_cents").alias("hi_mean_cents")
+    )
+    return (
+        lo.crossJoin(hi)
+        .crossJoin(full)
+        .select(
+            F.lit(_B_REPS).cast("long").alias("n_replicates"),
+            "lo_mean_cents",
+            "hi_mean_cents",
+            "full_mean_cents",
+        )
+    )
+
+
+PIPELINE_QUERIES["bootstrap_mean_ci"] = q_bootstrap_mean_ci
+PIPELINE_ORACLES["bootstrap_mean_ci"] = f"""
+WITH o AS (
+  SELECT o_orderkey, floor(o_totalprice * 100)::BIGINT AS cents FROM orders
+),
+reps AS (
+  SELECT r.r, cents FROM o, unnest(range(0, {_B_REPS})) AS r(r)
+  WHERE (o_orderkey * {_B_MULT} + r.r * {_B_STEP}) % 97 < 48
+),
+means AS (
+  SELECT r, (sum(cents) // count(*))::BIGINT AS mean_cents
+  FROM reps GROUP BY r
+),
+ranked AS (
+  SELECT mean_cents,
+    row_number() OVER (ORDER BY mean_cents, r) AS rk
+  FROM means
+),
+full_m AS (
+  SELECT (sum(cents) // count(*))::BIGINT AS full_mean_cents FROM o
+)
+SELECT {_B_REPS}::BIGINT AS n_replicates,
+  (SELECT mean_cents FROM ranked WHERE rk = 2) AS lo_mean_cents,
+  (SELECT mean_cents FROM ranked WHERE rk = {_B_REPS - 1}) AS hi_mean_cents,
+  full_mean_cents
+FROM full_m
+"""
+
+
+def build_late_oracles() -> dict[str, str]:
+    """Oracles that compose other modules' oracle SQL — resolved lazily
+    by extra_queries AFTER its own oracle dict is fully populated (the
+    same import-order trap sqlfrag.py exists to avoid)."""
+    return {
+        "ann_recall_audit": _recall_oracle(),
+        "curriculum_phases": _curriculum_oracle(),
+    }
