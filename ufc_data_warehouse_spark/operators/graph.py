@@ -31,7 +31,7 @@ global scalar per iteration). Documented so the oracle replays it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -376,3 +376,53 @@ def temporal_earliest_arrival(
             .localCheckpoint(eager=True)
         )
     return dist
+
+
+def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """Deterministic label-propagation communities → ``(node, label)``.
+
+    Synchronous LPA with a total-order tie rule: each round every node
+    adopts the most frequent label among its neighbours, ties broken by
+    the smallest label — so the fixpoint is independent of partitioning
+    and visit order (classic async LPA is not), and an external SQL
+    engine can replay the rounds as unrolled CTEs.
+
+    Each round is one hash join (labels ⋈ undirected edges) + one count
+    agg + one per-node top-1 window — all order-free. ``localCheckpoint``
+    per round truncates lineage exactly like :func:`sssp_bounded`. Fixed
+    round count keeps the plan finite; communities stabilize in a few
+    rounds on short-diameter graphs, and a real deployment loops until
+    the label-change count hits zero (one extra count per round).
+    """
+    e0 = edges.select(
+        F.col(edges.columns[0]).cast("long").alias("src"),
+        F.col(edges.columns[1]).cast("long").alias("dst"),
+    )
+    und = (
+        e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("n"), F.asc("label"))
+    for _ in range(rounds):
+        nbr = und.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        labels = (
+            nbr.groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -18,7 +18,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -257,4 +257,45 @@ def audio_window_plan(
             F.lit(0).cast("long"),
             F.expr(f"1 + (n_bytes div 2 - {win}) div {hop}"),
         ).alias("n_frames"),
+    )
+
+
+def scene_cut_stats(decoded: DataFrame, threshold: int = 1 << 19) -> DataFrame:
+    """Shot-boundary detection plan for video rows → ``(media_id,
+    n_frames, n_cuts)``: a cut wherever consecutive frame signatures
+    differ by more than ``threshold``.
+
+    The frame signature is the deterministic md5 stand-in for a real
+    per-frame perceptual hash (the codec libs aren't in this container —
+    the decode itself stays stubbed in :func:`decode_media`); everything
+    downstream of the signature — frame explosion, the per-video lag
+    window, the cut threshold, the rollup — is the REAL production
+    plumbing and is pure JVM Column logic. Per-video windows partition by
+    media_id, so the shuffle key matches the natural parallelism: one
+    video never straddles executors, and no global sort exists.
+    """
+    frames = decoded.filter(F.col("kind") == "video").select(
+        "media_id",
+        "n_frames",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1)
+        ).alias("frame_idx"),
+    )
+    sig = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("media_id"), F.col("frame_idx"))), 1, 5
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    cuts = frames.withColumn("sig", sig).withColumn(
+        "cut",
+        F.when(
+            F.abs(F.col("sig") - F.lag("sig").over(w)) > threshold, 1
+        ).otherwise(0),
+    )
+    return cuts.groupBy("media_id").agg(
+        F.max("n_frames").alias("n_frames"),
+        F.sum("cut").cast("long").alias("n_cuts"),
     )
