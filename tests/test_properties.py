@@ -462,3 +462,123 @@ def test_distributed_kth_smallest_matches_sort(spark, values, buckets, rounds):
     assert row["n"] == len(values)
     assert row["k"] == k
     assert row["kth_value"] == sorted(values)[k - 1]
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10), st.integers(0, 10)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(1, 3),
+)
+def test_label_propagation_matches_bruteforce(spark, edge_list, rounds):
+    """Synchronous min-tie LPA == a literal Python replay of the same
+    rounds on arbitrary small graphs (dups, self-loops, reversed edges)."""
+    from collections import Counter
+
+    from ufc_data_warehouse_spark.operators import graph
+
+    und: set[tuple[int, int]] = set()
+    for a, b in edge_list:
+        if a != b:
+            und.add((a, b))
+            und.add((b, a))
+    if not und:
+        return
+    nodes = sorted({x for e in und for x in e})
+    labels = {n: n for n in nodes}
+    for _ in range(rounds):
+        new = {}
+        for n in nodes:
+            counts = Counter(labels[m] for (s, m) in und if s == n)
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        labels = new
+    df = spark.createDataFrame(sorted(edge_list), "src long, dst long")
+    got = {
+        r["node"]: r["label"]
+        for r in graph.label_propagation(df, rounds=rounds).collect()
+    }
+    assert got == labels
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-1, 1, allow_nan=False, width=32), min_size=8, max_size=8
+        ),
+        min_size=3,
+        max_size=12,
+        unique_by=lambda v: tuple(v),
+    )
+)
+def test_kcenter_coreset_matches_greedy(spark, vecs):
+    """Distributed Gonzalez k-center == driver-side greedy replay on the
+    same int8 codes (exact integer distances ⇒ identical selection)."""
+    from ufc_data_warehouse_spark.operators import simsearch
+
+    k = min(3, len(vecs))
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    got = [
+        (r["rank"], r["vec_id"], r["d2"])
+        for r in simsearch.kcenter_coreset(df, k=k).orderBy("rank").collect()
+    ]
+
+    # replay: same quantization, same maximin greedy
+    flat = [x for v in vecs for x in v]
+    # match Spark float32 semantics: values already float32-representable
+    qmin, qmax = min(flat), max(flat)
+    scale = qmax - qmin
+
+    def code(x: float) -> int:
+        import math
+
+        return max(0, min(255, math.floor((x - qmin) / scale * 255.0)))
+
+    codes = {i: [code(x) for x in v] for i, v in enumerate(vecs)}
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(codes[a], codes[b]))
+
+    chosen = [(1, 0, 0)]
+    mind = {i: d2(i, 0) for i in codes}
+    for rank in range(2, k + 1):
+        nxt = max(mind, key=lambda i: (mind[i], -i))
+        chosen.append((rank, nxt, mind[nxt]))
+        for i in codes:
+            mind[i] = min(mind[i], d2(i, nxt))
+    assert got == chosen
+
+
+def test_ks_statistic_bounds(spark):
+    """0 ≤ D_scaled ≤ n_a·n_b and d_bps ≤ 10000 on the fixture data."""
+    from ufc_data_warehouse_spark.pipeline_queries import q_ks_two_sample_drift
+
+    from tests.conftest import SF_DIR
+
+    row = q_ks_two_sample_drift(spark, SF_DIR).collect()[0]
+    assert 0 <= row["d_scaled"] <= row["n_a"] * row["n_b"]
+    assert 0 <= row["d_bps"] <= 10000
+
+
+def test_scene_cuts_bounded_by_frames(spark):
+    """Per video: 0 ≤ n_cuts < n_frames (a cut needs a predecessor)."""
+    from ufc_data_warehouse_spark.pipeline_queries import q_multimodal_scene_cuts
+
+    from tests.conftest import SF_DIR
+
+    for r in q_multimodal_scene_cuts(spark, SF_DIR).collect():
+        assert 0 <= r["n_cuts"] < r["n_frames"]

@@ -531,3 +531,83 @@ def incremental_topk_update(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def _int_dot(a: F.Column, b: F.Column) -> F.Column:
+    """Exact BIGINT dot product of two int-code arrays (JVM fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def kcenter_coreset(embeddings: DataFrame, k: int = 4) -> DataFrame:
+    """Greedy k-center (Gonzalez maximin) coreset selection over
+    int8-quantized vectors → ``(rank, vec_id, d2)``: the k points that
+    best cover the corpus under squared-L2, each row recording the
+    maximin distance that got it picked (the coverage radius before it
+    joined).
+
+    Training-data selection at scale: every round is one broadcast of the
+    single newly-chosen center (a 1-row frame — never the corpus), one
+    map-side distance update using d² = |p|² + |c|² − 2⟨p,c⟩ (self-norms
+    precomputed once), and one TakeOrdered(1) for the argmax — no global
+    sort, no driver-side vector math. Distances are exact BIGINT (int8
+    codes), so selection order is total (tie → min vec_id) and the whole
+    greedy trace replays as unrolled SQL CTEs in any engine.
+    """
+    codes = quantize_int8(embeddings).select("vec_id", "codes")
+    pts = codes.withColumn("sq", _int_dot(F.col("codes"), F.col("codes")))
+    center = (
+        pts.filter(F.col("vec_id") == 0)
+        .select(
+            F.col("vec_id").alias("c_id"),
+            F.col("codes").alias("c_codes"),
+            F.col("sq").alias("c_sq"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    chosen = [(1, center, F.lit(0).cast("long"))]
+    d2_to_center = (
+        F.col("sq")
+        + F.col("c_sq")
+        - F.lit(2) * _int_dot(F.col("codes"), F.col("c_codes"))
+    )
+    state = (
+        pts.crossJoin(F.broadcast(center))
+        .select("vec_id", "codes", "sq", d2_to_center.alias("mind"))
+        .localCheckpoint(eager=True)
+    )
+    for rank in range(2, k + 1):
+        center = (
+            state.orderBy(F.desc("mind"), F.asc("vec_id"))
+            .limit(1)
+            .select(
+                F.col("vec_id").alias("c_id"),
+                F.col("codes").alias("c_codes"),
+                F.col("sq").alias("c_sq"),
+                F.col("mind").alias("c_mind"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        chosen.append((rank, center, F.col("c_mind")))
+        state = (
+            state.crossJoin(F.broadcast(center.drop("c_mind")))
+            .select(
+                "vec_id",
+                "codes",
+                "sq",
+                F.least(F.col("mind"), d2_to_center).alias("mind"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = None
+    for rank, center, d2 in chosen:
+        row = center.select(
+            F.lit(rank).cast("int").alias("rank"),
+            F.col("c_id").alias("vec_id"),
+            d2.alias("d2"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -674,3 +674,142 @@ l2 AS (
 SELECT label, count(*)::BIGINT AS community_size
 FROM l2 GROUP BY label ORDER BY label
 """
+
+
+# ---------------------------------------------------------------------------
+# greedy k-center coreset selection (training-data selection)
+# ---------------------------------------------------------------------------
+
+
+def q_coreset_kcenter_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gonzalez greedy k-center over the embedding corpus (k=4, seeded at
+    vec_id 0): the selection trace (rank, vec_id, maximin d²). See
+    operators/simsearch.py::kcenter_coreset for the per-round plan."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return simsearch.kcenter_coreset(emb, k=4).orderBy("rank")
+
+
+PIPELINE_QUERIES["coreset_kcenter_selection"] = q_coreset_kcenter_selection
+PIPELINE_ORACLES["coreset_kcenter_selection"] = """
+WITH stats AS (
+  SELECT min(u.x)::DOUBLE AS qmin, max(u.x)::DOUBLE AS qmax
+  FROM embeddings, unnest(embedding) AS u(x)
+),
+codes AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> least(255, greatest(0,
+      floor((x::DOUBLE - qmin) / (qmax - qmin) * 255.0)::INT))) AS codes
+  FROM embeddings, stats
+),
+pts AS (
+  SELECT vec_id, codes,
+    list_dot_product(codes::BIGINT[], codes::BIGINT[])::BIGINT AS sq
+  FROM codes
+),
+c0 AS (SELECT vec_id, codes, sq FROM pts WHERE vec_id = 0),
+m0 AS (
+  SELECT p.vec_id, p.codes, p.sq,
+    (p.sq + c.sq
+     - 2 * list_dot_product(p.codes::BIGINT[], c.codes::BIGINT[]))::BIGINT
+      AS mind
+  FROM pts p, c0 c
+),
+c1 AS (SELECT * FROM m0 ORDER BY mind DESC, vec_id LIMIT 1),
+m1 AS (
+  SELECT p.vec_id, p.codes, p.sq,
+    least(p.mind, (p.sq + c.sq
+      - 2 * list_dot_product(p.codes::BIGINT[], c.codes::BIGINT[]))::BIGINT)
+      AS mind
+  FROM m0 p, c1 c
+),
+c2 AS (SELECT * FROM m1 ORDER BY mind DESC, vec_id LIMIT 1),
+m2 AS (
+  SELECT p.vec_id, p.codes, p.sq,
+    least(p.mind, (p.sq + c.sq
+      - 2 * list_dot_product(p.codes::BIGINT[], c.codes::BIGINT[]))::BIGINT)
+      AS mind
+  FROM m1 p, c2 c
+),
+c3 AS (SELECT * FROM m2 ORDER BY mind DESC, vec_id LIMIT 1)
+SELECT 1::INT AS rank, vec_id, 0::BIGINT AS d2 FROM c0
+UNION ALL SELECT 2::INT, vec_id, mind FROM c1
+UNION ALL SELECT 3::INT, vec_id, mind FROM c2
+UNION ALL SELECT 4::INT, vec_id, mind FROM c3
+ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa: language-ID heuristic vs stored label (binary en/non-en)
+# ---------------------------------------------------------------------------
+
+
+def q_annotator_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected agreement (Cohen's κ) between the stopword-ratio
+    language heuristic and the stored lang label, binarized to en/non-en —
+    the one-number upgrade of langid_confusion_matrix (92% raw agreement
+    means little when 80% of docs are 'en' anyway). κ is kept exact by
+    integer cross-multiplication: κ = (N·Σdiag − Σrow·col) /
+    (N² − Σrow·col), emitted as numerator/denominator plus a
+    truncated-toward-zero bps (CASE'd in the oracle because κ can be
+    negative and SQL floor- vs truncate-division differ there).
+
+    Scale: two map-side flags, one 4-cell agg — a single reduce of
+    4 rows regardless of corpus size.
+    """
+    from .operators.text import lang_guess_expr
+
+    docs = _read(spark, sf_dir, "documents")
+    flags = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("a"),
+        F.when(lang_guess_expr(F.col("text")) == "en", 1).otherwise(0).alias("p"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CASE WHEN a = p THEN 1 ELSE 0 END")).alias("agree"),
+        F.sum("a").alias("a1"),
+        F.sum("p").alias("p1"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("agree").cast("long").alias("n_agree"),
+        F.expr("n * agree - (a1 * p1 + (n - a1) * (n - p1))").alias("kappa_num"),
+        F.expr("n * n - (a1 * p1 + (n - a1) * (n - p1))").alias("kappa_den"),
+        F.expr(
+            "(n * agree - (a1 * p1 + (n - a1) * (n - p1))) * 10000"
+            " div (n * n - (a1 * p1 + (n - a1) * (n - p1)))"
+        ).alias("kappa_bps"),
+    )
+
+
+def _kappa_oracle() -> str:
+    from .sqlfrag import _TOKS_SQL
+    from .operators.text import EN_STOPWORDS
+
+    stoplist = "[" + ", ".join(f"'{s}'" for s in EN_STOPWORDS) + "]"
+    return f"""
+WITH sig AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
+    CASE WHEN len(list_filter({_TOKS_SQL}, t -> list_contains({stoplist}, t)))
+              * 20 >= len({_TOKS_SQL}) THEN 1 ELSE 0 END AS p
+  FROM documents),
+agg AS (
+  SELECT count(*)::BIGINT AS n,
+    sum(CASE WHEN a = p THEN 1 ELSE 0 END)::BIGINT AS agree,
+    sum(a)::BIGINT AS a1, sum(p)::BIGINT AS p1
+  FROM sig)
+SELECT n AS n_docs, agree AS n_agree,
+  (n * agree - (a1 * p1 + (n - a1) * (n - p1)))::BIGINT AS kappa_num,
+  (n * n - (a1 * p1 + (n - a1) * (n - p1)))::BIGINT AS kappa_den,
+  (CASE WHEN n * agree >= a1 * p1 + (n - a1) * (n - p1)
+    THEN (n * agree - (a1 * p1 + (n - a1) * (n - p1))) * 10000
+         // (n * n - (a1 * p1 + (n - a1) * (n - p1)))
+    ELSE -(((a1 * p1 + (n - a1) * (n - p1)) - n * agree) * 10000
+           // (n * n - (a1 * p1 + (n - a1) * (n - p1))))
+  END)::BIGINT AS kappa_bps
+FROM agg
+"""
+
+
+PIPELINE_QUERIES["annotator_agreement_kappa"] = q_annotator_agreement_kappa
+PIPELINE_ORACLES["annotator_agreement_kappa"] = _kappa_oracle()
