@@ -130,3 +130,27 @@ def test_bm25_rank_window_rides_the_limited_frame(spark):
     # means the top-k rewrite regressed
     plan = _plan(EXTRA_QUERIES["bm25_doc_ranking"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_maxsim_broadcasts_query_side_no_python(spark):
+    # the late-interaction scorer must stay a broadcast nested-loop over
+    # the int8 codes with JVM HOF scoring — a SortMergeJoin or any
+    # Python/Arrow eval node means the hot path regressed off the JVM
+    plan = _plan(EXTRA_QUERIES["ann_maxsim_multivector"](spark, SF_DIR))
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+    assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_scene_cuts_filter_cuts_nonvideo_before_explode(spark):
+    # the kind filter must run BEFORE the frame explode (300× fan-out);
+    # Generate appearing under an unfiltered scan would blow up the row
+    # count 3× for rows that are then discarded
+    df = EXTRA_QUERIES["multimodal_scene_cuts"](spark, SF_DIR)
+    plan = _plan(df)
+    gen_pos = plan.find("Generate")
+    filt_pos = plan.find("kind")
+    assert gen_pos != -1 and filt_pos != -1
+    # executed plans print top-down: the Generate node must sit ABOVE the
+    # kind filter (i.e., applied after it in dataflow order)
+    assert gen_pos < filt_pos

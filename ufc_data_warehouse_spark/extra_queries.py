@@ -2755,6 +2755,12 @@ BENCH_EXTRA = [
     "rrf_hybrid_search",
     "pps_systematic_sample",
     "graph_sssp_bounded",
+    # late-interaction retrieval (Arrow einsum path), greedy coreset
+    # selection, video scene cuts, and iterative LPA communities
+    "ann_maxsim_arrow",
+    "coreset_kcenter_selection",
+    "multimodal_scene_cuts",
+    "graph_label_propagation",
 ]
 # NOT benchmarked: dedup_prefix_filter / graph_triangle_census — on this
 # synthetic corpus (5000 near-identical docs; a 91%-dense co-purchase

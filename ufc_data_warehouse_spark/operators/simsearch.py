@@ -611,3 +611,66 @@ def kcenter_coreset(embeddings: DataFrame, k: int = 4) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def maxsim_scores_arrow(
+    codes_df: DataFrame,
+    query_codes: list[tuple[int, list[int]]],
+    subvecs: int = 8,
+    subdim: int = 8,
+) -> DataFrame:
+    """Vectorized late-interaction MaxSim over int8 codes via
+    ``mapInArrow`` → ``(query_id, neighbor_id, score)``: each corpus
+    batch is reshaped to (rows × subvecs × subdim) int64 and scored
+    against ALL queries with one einsum — Σᵢ maxⱼ ⟨qᵢ, dⱼ⟩ per
+    (query, doc) pair, exact integer arithmetic, bit-identical to the
+    JVM HOF scorer and the SQL oracle.
+
+    This is the throughput path the HOF version trades away: higher-order
+    lambdas run interpreted (outside whole-stage codegen), so per-pair
+    scoring costs ~512 boxed ops; one numpy einsum amortizes that across
+    the whole Arrow batch. Map-only — queries ride the closure (KBs), the
+    corpus never shuffles; the only exchange left is the final top-k
+    window upstream.
+    """
+    import numpy as np
+
+    dim = subvecs * subdim
+    qids = np.asarray([q[0] for q in query_codes], dtype=np.int64)
+    qmat = np.asarray([q[1] for q in query_codes], dtype=np.int64).reshape(
+        len(query_codes), subvecs, subdim
+    )
+
+    def score(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+            mat = (
+                b.column("codes")
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                .reshape(b.num_rows, subvecs, subdim)
+            )
+            # (q, n, i, j) integer dots, max over doc subvecs, sum over
+            # query subvecs — all int64, no float ever
+            dots = np.einsum("qik,njk->qnij", qmat, mat)
+            scores = dots.max(axis=3).sum(axis=2)
+            qq, nn = np.meshgrid(np.arange(len(qids)), np.arange(b.num_rows),
+                                 indexing="ij")
+            yield pa.record_batch(
+                [
+                    pa.array(qids[qq.ravel()], type=pa.int64()),
+                    pa.array(ids[nn.ravel()], type=pa.int64()),
+                    pa.array(scores.ravel(), type=pa.int64()),
+                ],
+                names=["query_id", "neighbor_id", "score"],
+            )
+
+    assert all(len(q[1]) == dim for q in query_codes)
+    return codes_df.select("vec_id", "codes").mapInArrow(
+        score, schema="query_id long, neighbor_id long, score long"
+    )

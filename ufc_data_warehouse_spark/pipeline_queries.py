@@ -416,6 +416,7 @@ def build_late_oracles() -> dict[str, str]:
     return {
         "ann_recall_audit": _recall_oracle(),
         "curriculum_phases": _curriculum_oracle(),
+        "hard_negative_mining": _hard_negative_oracle(),
     }
 
 
@@ -813,3 +814,264 @@ FROM agg
 
 PIPELINE_QUERIES["annotator_agreement_kappa"] = q_annotator_agreement_kappa
 PIPELINE_ORACLES["annotator_agreement_kappa"] = _kappa_oracle()
+
+
+def q_ann_maxsim_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy throughput path for late-interaction MaxSim — same
+    integer scores as ann_maxsim_multivector (and the same oracle), one
+    einsum per corpus batch instead of interpreted per-pair HOF lambdas.
+    The query codes are a bounded driver-side collect (the query set,
+    never the corpus), exactly like the probe fetch in
+    ann_cosine_scores_arrow."""
+    emb = _read(spark, sf_dir, "embeddings")
+    codes = simsearch.quantize_int8(emb).select("vec_id", "codes")
+    qrows = (
+        codes.filter(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .collect()
+    )
+    scored = simsearch.maxsim_scores_arrow(
+        codes, [(r["vec_id"], list(r["codes"])) for r in qrows]
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", "score")
+        .orderBy("query_id", "rank")
+    )
+
+
+PIPELINE_QUERIES["ann_maxsim_arrow"] = q_ann_maxsim_arrow
+PIPELINE_ORACLES["ann_maxsim_arrow"] = PIPELINE_ORACLES["ann_maxsim_multivector"]
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining (contrastive training data from the exact index)
+# ---------------------------------------------------------------------------
+
+
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard negatives for contrastive training: among each query's exact
+    top-10 cosine neighbors, keep the ones with a DIFFERENT label — the
+    near-misses a contrastive loss learns most from. Pure composition of
+    the production retriever (cosine_topk) with a label join, so mining
+    quality tracks the real index; swap in the IVF/LSH retriever at scale
+    and ann_recall_audit bounds what the approximation costs you.
+    """
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    topk = simsearch.cosine_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    labels = emb.select("vec_id", "label")
+    qlab = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    nlab = labels.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    return (
+        topk.join(F.broadcast(qlab), "query_id")
+        .join(nlab, "neighbor_id")
+        .filter(F.col("q_label") != F.col("n_label"))
+        .select("query_id", "neighbor_id", "rank", "n_label")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _hard_negative_oracle() -> str:
+    from .extra_queries import EXTRA_ORACLES
+
+    exact = EXTRA_ORACLES["ann_cosine_topk"].strip()
+    return f"""
+WITH topk AS ({exact})
+SELECT t.query_id, t.neighbor_id, t.rank, n.label AS n_label
+FROM topk t
+JOIN embeddings q ON t.query_id = q.vec_id
+JOIN embeddings n ON t.neighbor_id = n.vec_id
+WHERE q.label <> n.label
+ORDER BY t.query_id, t.rank
+"""
+
+
+PIPELINE_QUERIES["hard_negative_mining"] = q_hard_negative_mining
+
+
+# ---------------------------------------------------------------------------
+# deterministic contrastive negative sampling
+# ---------------------------------------------------------------------------
+
+_NEG_K = 4
+_NEG_MULT = 2654435761
+_NEG_STEP = 40503
+_NEG_MOD = 1_000_003
+
+
+def q_contrastive_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random (but reproducible) negatives: for each anchor, the 4
+    different-label candidates with the smallest integer hash of
+    (anchor_id, candidate_id) — a pure-arithmetic stand-in for rand()
+    that survives retries, repartitioning, and engine swaps, which
+    per-row rand() does not. Per-anchor top-k window over the hash, so
+    the scale plan is the same two-phase top-k every retriever uses.
+    """
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "label")
+    anchors = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("anchor_id"), F.col("label").alias("a_label")
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("neg_id"), F.col("label").alias("n_label")
+    )
+    h = (
+        F.col("anchor_id") * _NEG_MULT + F.col("neg_id") * _NEG_STEP
+    ) % _NEG_MOD
+    w = Window.partitionBy("anchor_id").orderBy(F.asc("h"), F.asc("neg_id"))
+    return (
+        cand.crossJoin(F.broadcast(anchors))
+        .filter(F.col("n_label") != F.col("a_label"))
+        .withColumn("h", h)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _NEG_K)
+        .select(
+            "anchor_id",
+            "neg_id",
+            F.col("rk").cast("int").alias("rk"),
+            "n_label",
+        )
+        .orderBy("anchor_id", "rk")
+    )
+
+
+PIPELINE_QUERIES["contrastive_negative_sampling"] = (
+    q_contrastive_negative_sampling
+)
+PIPELINE_ORACLES["contrastive_negative_sampling"] = f"""
+WITH anchors AS (
+  SELECT vec_id AS anchor_id, label AS a_label FROM embeddings
+  WHERE vec_id % 25 = 0
+),
+scored AS (
+  SELECT a.anchor_id, e.vec_id AS neg_id, e.label AS n_label,
+    (a.anchor_id * {_NEG_MULT} + e.vec_id * {_NEG_STEP}) % {_NEG_MOD} AS h
+  FROM anchors a JOIN embeddings e ON e.label <> a.a_label
+)
+SELECT anchor_id, neg_id, rk::INT AS rk, n_label FROM (
+  SELECT anchor_id, neg_id, n_label,
+    row_number() OVER (PARTITION BY anchor_id ORDER BY h, neg_id) AS rk
+  FROM scored
+) WHERE rk <= {_NEG_K} ORDER BY anchor_id, rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# class-scatter separability audit (exact integer Fisher raw material)
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_class_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-class scatter per label over int8 codes, kept EXACT by the
+    algebraic identity Σₓ|n·x − S|² = n²·Σₓ|x|² − n·|S|² (S = per-dim
+    class sum): no float centroid ever exists, so the separability audit
+    is engine-reproducible. Low scatter_num/n³ ⇒ tight class — the raw
+    material for Fisher-ratio feature checks before training.
+
+    Scale: one pass for per-row |x|² (JVM fold), one 64×-fan-out
+    (label, dim) agg for S — both plain hash aggs; nothing quadratic.
+    """
+    emb = _read(spark, sf_dir, "embeddings")
+    codes = simsearch.quantize_int8(emb).select("vec_id", "label", "codes")
+    t2 = codes.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(simsearch._int_dot(F.col("codes"), F.col("codes"))).alias("t2"),
+    )
+    dims = codes.select(
+        "label", F.posexplode("codes").alias("d", "v")
+    ).groupBy("label", "d").agg(F.sum("v").cast("long").alias("s_d"))
+    s2 = dims.groupBy("label").agg(
+        F.sum(F.col("s_d") * F.col("s_d")).alias("s_dot_s")
+    )
+    return (
+        t2.join(s2, "label")
+        .select(
+            "label",
+            F.col("n").cast("long").alias("n"),
+            "t2",
+            "s_dot_s",
+            F.expr("n * n * t2 - n * s_dot_s").alias("scatter_num"),
+        )
+        .orderBy("label")
+    )
+
+
+PIPELINE_QUERIES["embedding_class_scatter"] = q_embedding_class_scatter
+PIPELINE_ORACLES["embedding_class_scatter"] = """
+WITH stats AS (
+  SELECT min(u.x)::DOUBLE AS qmin, max(u.x)::DOUBLE AS qmax
+  FROM embeddings, unnest(embedding) AS u(x)
+),
+codes AS (
+  SELECT vec_id, label,
+    list_transform(embedding, x -> least(255, greatest(0,
+      floor((x::DOUBLE - qmin) / (qmax - qmin) * 255.0)::INT))) AS codes
+  FROM embeddings, stats
+),
+t2 AS (
+  SELECT label, count(*)::BIGINT AS n,
+    sum(list_dot_product(codes::BIGINT[], codes::BIGINT[]))::BIGINT AS t2
+  FROM codes GROUP BY label
+),
+dims AS (
+  SELECT label, d.d, sum(codes[d.d])::BIGINT AS s_d
+  FROM codes, unnest(range(1, 65)) AS d(d)
+  GROUP BY label, d.d
+),
+s2 AS (SELECT label, sum(s_d * s_d)::BIGINT AS s_dot_s FROM dims GROUP BY label)
+SELECT t2.label, n, t2.t2, s_dot_s,
+  (n * n * t2.t2 - n * s_dot_s)::BIGINT AS scatter_num
+FROM t2 JOIN s2 ON t2.label = s2.label
+ORDER BY t2.label
+"""
+
+
+# ---------------------------------------------------------------------------
+# fairness: outcome-rate parity gap across user cohorts
+# ---------------------------------------------------------------------------
+
+
+def q_fairness_parity_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demographic-parity audit: purchase rate (bps) per user cohort and
+    the max−min gap — the one-line fairness gate a model-serving pipeline
+    alerts on. Two hash aggs; the final gap agg reduces ≤|cohorts| rows.
+    """
+    ev = _read(spark, sf_dir, "events").select(
+        (F.col("user_id") % 5).alias("cohort"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    rates = ev.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pos").alias("n_pos"),
+    ).select("cohort", F.expr("n_pos * 10000 div n").alias("rate_bps"))
+    return rates.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cohorts"),
+        F.min("rate_bps").alias("min_rate_bps"),
+        F.max("rate_bps").alias("max_rate_bps"),
+        (F.max("rate_bps") - F.min("rate_bps")).alias("gap_bps"),
+    )
+
+
+PIPELINE_QUERIES["fairness_parity_gap"] = q_fairness_parity_gap
+PIPELINE_ORACLES["fairness_parity_gap"] = """
+WITH rates AS (
+  SELECT user_id % 5 AS cohort,
+    (sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 10000
+     // count(*))::BIGINT AS rate_bps
+  FROM events GROUP BY user_id % 5
+)
+SELECT count(*)::BIGINT AS n_cohorts,
+  min(rate_bps) AS min_rate_bps, max(rate_bps) AS max_rate_bps,
+  (max(rate_bps) - min(rate_bps))::BIGINT AS gap_bps
+FROM rates
+"""
