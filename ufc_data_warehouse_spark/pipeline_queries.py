@@ -417,6 +417,7 @@ def build_late_oracles() -> dict[str, str]:
         "ann_recall_audit": _recall_oracle(),
         "curriculum_phases": _curriculum_oracle(),
         "hard_negative_mining": _hard_negative_oracle(),
+        "preference_pair_construction": _preference_oracle(),
     }
 
 
@@ -1074,4 +1075,369 @@ SELECT count(*)::BIGINT AS n_cohorts,
   min(rate_bps) AS min_rate_bps, max(rate_bps) AS max_rate_bps,
   (max(rate_bps) - min(rate_bps))::BIGINT AS gap_bps
 FROM rates
+"""
+
+
+# ---------------------------------------------------------------------------
+# padding-waste audit for length-bucketed batching
+# ---------------------------------------------------------------------------
+
+_PAD_BUCKETS = [32, 64, 128, 256, 512, 1024, 2048, 4096, 8192]
+
+
+def _bucket_case_spark() -> F.Column:
+    expr = F.lit(16384)
+    for b in reversed(_PAD_BUCKETS):
+        expr = F.when(F.col("n_tokens") <= b, b).otherwise(expr)
+    return expr
+
+
+def _bucket_case_sql() -> str:
+    clauses = " ".join(
+        f"WHEN n_tokens <= {b} THEN {b}" for b in _PAD_BUCKETS
+    )
+    return f"CASE {clauses} ELSE 16384 END"
+
+
+def q_padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-batching efficiency audit: docs land in power-of-2 length
+    buckets (the CASE ladder sidesteps float log2 — engine-exact), and
+    per bucket the padded-token waste is reported in integer bps. High
+    waste in a bucket says the batcher needs a finer bucket grid there —
+    the token-throughput lever for encoder training at scale. One scan,
+    one hash agg.
+    """
+    docs = _read(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    toks = docs.select(F.size(F.split(norm, " ")).alias("n_tokens"))
+    binned = toks.withColumn("bucket", _bucket_case_spark())
+    return (
+        binned.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.sum(F.col("bucket") - F.col("n_tokens"))
+            .cast("long")
+            .alias("sum_waste"),
+        )
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            "n_docs",
+            "sum_tokens",
+            "sum_waste",
+            F.expr("sum_waste * 10000 div (n_docs * bucket)").alias(
+                "waste_bps"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+PIPELINE_QUERIES["padding_waste_audit"] = q_padding_waste_audit
+PIPELINE_ORACLES["padding_waste_audit"] = f"""
+WITH toks AS (
+  SELECT len(string_split(
+    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS n_tokens
+  FROM documents
+),
+binned AS (SELECT n_tokens, {_bucket_case_sql()} AS bucket FROM toks)
+SELECT bucket::INT AS bucket, count(*)::BIGINT AS n_docs,
+  sum(n_tokens)::BIGINT AS sum_tokens,
+  sum(bucket - n_tokens)::BIGINT AS sum_waste,
+  (sum(bucket - n_tokens) * 10000 // (count(*) * bucket))::BIGINT AS waste_bps
+FROM binned GROUP BY bucket ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# audio VAD segments (gaps-and-islands over deterministic frame energy)
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation plan: STFT frame grid from
+    audio_window_plan, a deterministic md5 'energy' per frame standing in
+    for the real energy detector (decode stays stubbed), then
+    gaps-and-islands merges voiced frames into segments — per clip:
+    frames, voiced frames, segment count, longest segment. The
+    islands window partitions by media_id, so state never crosses clips.
+    """
+    from .operators import multimodal
+
+    docs = _read(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(docs)
+    plan = multimodal.audio_window_plan(media).filter(F.col("n_frames") > 0)
+    frames = plan.select(
+        "media_id",
+        "n_frames",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1)
+        ).alias("frame_idx"),
+    )
+    energy = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("#", F.col("media_id"), F.col("frame_idx"))), 1, 5
+        ),
+        16,
+        10,
+    ).cast("long")
+    voiced = frames.withColumn("energy", energy).filter(
+        F.col("energy") % 100 < 55
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    islands = voiced.withColumn(
+        "island", F.col("frame_idx") - F.row_number().over(w)
+    )
+    seg = islands.groupBy("media_id", "island").agg(
+        F.count(F.lit(1)).alias("seg_len")
+    )
+    per_media = seg.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum("seg_len").cast("long").alias("n_voiced"),
+        F.max("seg_len").cast("long").alias("longest_segment"),
+    )
+    return (
+        plan.select("media_id", "n_frames")
+        .join(per_media, "media_id", "left")
+        .fillna(0, subset=["n_segments", "n_voiced", "longest_segment"])
+        .orderBy("media_id")
+    )
+
+
+PIPELINE_QUERIES["multimodal_audio_vad_segments"] = (
+    q_multimodal_audio_vad_segments
+)
+PIPELINE_ORACLES["multimodal_audio_vad_segments"] = """
+WITH plan AS (
+  SELECT doc_id AS media_id,
+    greatest(0, 1 + (octet_length(encode(text)) // 2 - 400) // 160) AS n_frames
+  FROM documents WHERE doc_id % 3 = 1
+),
+frames AS (
+  SELECT media_id, n_frames, f.frame_idx
+  FROM plan, unnest(generate_series(0, n_frames - 1)) AS f(frame_idx)
+  WHERE n_frames > 0
+),
+voiced AS (
+  SELECT media_id, n_frames, frame_idx
+  FROM frames
+  WHERE ('0x' || substr(md5(media_id::VARCHAR || '#' || frame_idx::VARCHAR),
+                        1, 5))::BIGINT % 100 < 55
+),
+islands AS (
+  SELECT media_id, frame_idx
+    - row_number() OVER (PARTITION BY media_id ORDER BY frame_idx) AS island
+  FROM voiced
+),
+seg AS (
+  SELECT media_id, island, count(*)::BIGINT AS seg_len
+  FROM islands GROUP BY media_id, island
+),
+per_media AS (
+  SELECT media_id, count(*)::BIGINT AS n_segments,
+    sum(seg_len)::BIGINT AS n_voiced, max(seg_len)::BIGINT AS longest_segment
+  FROM seg GROUP BY media_id
+)
+SELECT p.media_id, p.n_frames::BIGINT AS n_frames,
+  coalesce(m.n_segments, 0) AS n_segments,
+  coalesce(m.n_voiced, 0) AS n_voiced,
+  coalesce(m.longest_segment, 0) AS longest_segment
+FROM plan p LEFT JOIN per_media m ON p.media_id = m.media_id
+WHERE p.n_frames > 0
+ORDER BY p.media_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe grouped k-fold assignment
+# ---------------------------------------------------------------------------
+
+
+def q_groupwise_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped 5-fold CV assignment: the fold is a pure integer hash of
+    user_id, so ALL of a user's events land in one fold by construction —
+    the leakage-safe split sklearn's GroupKFold provides, expressed as a
+    map-side column (reproducible across engines/retries). Per fold:
+    users, events, and event share in bps.
+    """
+    ev = _read(spark, sf_dir, "events").select(
+        ((F.col("user_id") * 2654435761) % 5).alias("fold"), "user_id"
+    )
+    per_fold = ev.groupBy("fold").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    total = ev.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        per_fold.crossJoin(F.broadcast(total))
+        .select(
+            "fold",
+            "n_users",
+            "n_events",
+            F.expr("n_events * 10000 div n_total").alias("share_bps"),
+        )
+        .orderBy("fold")
+    )
+
+
+PIPELINE_QUERIES["groupwise_kfold_assignment"] = q_groupwise_kfold_assignment
+PIPELINE_ORACLES["groupwise_kfold_assignment"] = """
+WITH ev AS (
+  SELECT (user_id * 2654435761) % 5 AS fold, user_id FROM events
+),
+tot AS (SELECT count(*)::BIGINT AS n_total FROM ev)
+SELECT fold, count(DISTINCT user_id)::BIGINT AS n_users,
+  count(*)::BIGINT AS n_events,
+  (count(*) * 10000 // n_total)::BIGINT AS share_bps
+FROM ev, tot GROUP BY fold, n_total ORDER BY fold
+"""
+
+
+# ---------------------------------------------------------------------------
+# preference-pair construction (best-vs-worst per source)
+# ---------------------------------------------------------------------------
+
+
+def q_preference_pair_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference pairs for reward-model training: per source, the
+    highest-quality document (chosen) against the lowest (rejected),
+    with deterministic tie-breaks (quality, doc_id) making the pairing a
+    total order. Two per-source top-1 windows — the same bounded-state
+    shape at any corpus size.
+    """
+    q = text.quality_score(_read(spark, sf_dir, "documents"))
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "source"
+    )
+    scored = q.select("id", "quality").join(docs, "id")
+    w_hi = Window.partitionBy("source").orderBy(
+        F.desc("quality"), F.asc("id")
+    )
+    w_lo = Window.partitionBy("source").orderBy(
+        F.asc("quality"), F.asc("id")
+    )
+    hi = (
+        scored.withColumn("rn", F.row_number().over(w_hi))
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("id").alias("chosen_id"),
+            F.col("quality").alias("chosen_quality"),
+        )
+    )
+    lo = (
+        scored.withColumn("rn", F.row_number().over(w_lo))
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("id").alias("rejected_id"),
+            F.col("quality").alias("rejected_quality"),
+        )
+    )
+    return (
+        hi.join(lo, "source")
+        .select(
+            "source",
+            "chosen_id",
+            "rejected_id",
+            "chosen_quality",
+            "rejected_quality",
+            (F.col("chosen_quality") - F.col("rejected_quality")).alias(
+                "margin"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _preference_oracle() -> str:
+    from .extra_queries import EXTRA_ORACLES
+
+    quality = EXTRA_ORACLES["text_quality_score"].strip()
+    return f"""
+WITH qual AS ({quality}),
+scored AS (
+  SELECT q.id, q.quality, d.source
+  FROM qual q JOIN documents d ON q.id = d.doc_id
+),
+hi AS (
+  SELECT source, id AS chosen_id, quality AS chosen_quality FROM (
+    SELECT *, row_number() OVER (PARTITION BY source
+      ORDER BY quality DESC, id) AS rn FROM scored) WHERE rn = 1
+),
+lo AS (
+  SELECT source, id AS rejected_id, quality AS rejected_quality FROM (
+    SELECT *, row_number() OVER (PARTITION BY source
+      ORDER BY quality, id) AS rn FROM scored) WHERE rn = 1
+)
+SELECT hi.source, chosen_id, rejected_id, chosen_quality, rejected_quality,
+  (chosen_quality - rejected_quality) AS margin
+FROM hi JOIN lo ON hi.source = lo.source
+ORDER BY hi.source
+"""
+
+
+PIPELINE_QUERIES["preference_pair_construction"] = (
+    q_preference_pair_construction
+)
+
+
+# ---------------------------------------------------------------------------
+# tokenizer fertility by language
+# ---------------------------------------------------------------------------
+
+
+def q_tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (estimated BPE tokens per whitespace word, in
+    bps) per language — the tokenizer-evaluation number that decides
+    whether a vocab under-serves a language (fertility ≫ 10000 = more
+    subword splits per word). Reuses the corpus BPE estimator; one scan,
+    one hash agg per language.
+    """
+    docs = _read(spark, sf_dir, "documents")
+    est = text.bpe_token_estimate(docs).select("id", "est_tokens")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    ws = docs.select(
+        F.col("doc_id").alias("id"),
+        "lang",
+        F.size(F.split(norm, " ")).cast("long").alias("ws_tokens"),
+    )
+    return (
+        est.join(ws, "id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("est_tokens").cast("long").alias("sum_bpe"),
+            F.sum("ws_tokens").cast("long").alias("sum_ws"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "sum_bpe",
+            "sum_ws",
+            F.expr("sum_bpe * 10000 div sum_ws").alias("fertility_bps"),
+        )
+        .orderBy("lang")
+    )
+
+
+PIPELINE_QUERIES["tokenizer_fertility_by_lang"] = q_tokenizer_fertility_by_lang
+PIPELINE_ORACLES["tokenizer_fertility_by_lang"] = """
+WITH base AS (
+  SELECT doc_id AS id, lang,
+    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+est AS (
+  SELECT id, lang,
+    (coalesce(list_sum(list_transform(regexp_extract_all(norm, '[a-z0-9]+'),
+        w -> (length(w) + 3) // 4)), 0)
+     + len(regexp_extract_all(norm, '[^a-z0-9 ]')))::BIGINT AS est_tokens,
+    len(string_split(norm, ' '))::BIGINT AS ws_tokens
+  FROM base
+)
+SELECT lang, count(*)::BIGINT AS n_docs, sum(est_tokens)::BIGINT AS sum_bpe,
+  sum(ws_tokens)::BIGINT AS sum_ws,
+  (sum(est_tokens) * 10000 // sum(ws_tokens))::BIGINT AS fertility_bps
+FROM est GROUP BY lang ORDER BY lang
 """
