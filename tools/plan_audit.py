@@ -47,6 +47,16 @@ EXPECTED_NLJ = {
     "join_cardinality_estimate",  # 1-row estimated-total broadcast cross
     "bpe_learn_merges",  # 1-row argmax-pair broadcast cross per iteration
     "global_median_selection",  # 1-row (k, lo, hi) selection state crosses
+    "ann_maxsim_multivector",  # quantize stats cross + broadcast query-set cross
+    "ann_maxsim_arrow",  # 1-row quantize [min,max] stats broadcast cross
+    "ann_recall_audit",  # composes cosine_topk + ivf_topk (their crosses)
+    "hard_negative_mining",  # composes cosine_topk broadcast query-batch cross
+    "embedding_class_scatter",  # 1-row quantize [min,max] stats broadcast cross
+    "contrastive_negative_sampling",  # broadcast anchor-set cross (bounded)
+    "bootstrap_mean_ci",  # 1-row lo/hi/full replicate-stat crosses
+    "ks_two_sample_drift",  # 1-row (n_a, n_b) totals broadcast cross
+    "groupwise_kfold_assignment",  # 1-row grand-total broadcast cross
+    "source_distinctive_terms",  # 1-row corpus-token-total broadcast cross
 }
 
 

@@ -137,8 +137,10 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = simsearch.ivf_topk(emb, queries, k=10, n_probe=2).select(
         "query_id", F.col("neighbor_id").alias("ivf_neighbor")
     )
+    # the IVF result is bounded at |queries|·k rows — broadcast it so the
+    # audit never sort-merges (plan-audit guard: no SMJ here)
     hits = exact.join(
-        ivf,
+        F.broadcast(ivf),
         (exact["query_id"] == ivf["query_id"])
         & (exact["neighbor_id"] == ivf["ivf_neighbor"]),
         "left",
@@ -1335,7 +1337,8 @@ def q_preference_pair_construction(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     return (
-        hi.join(lo, "source")
+        # one row per source on each side — broadcast, never sort-merge
+        hi.join(F.broadcast(lo), "source")
         .select(
             "source",
             "chosen_id",
