@@ -1444,3 +1444,174 @@ SELECT lang, count(*)::BIGINT AS n_docs, sum(est_tokens)::BIGINT AS sum_bpe,
   (sum(est_tokens) * 10000 // sum(ws_tokens))::BIGINT AS fertility_bps
 FROM est GROUP BY lang ORDER BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# T5-style span-corruption planning (deterministic mask schedule)
+# ---------------------------------------------------------------------------
+
+_SPAN_LEN = 3
+_SPAN_NOISE_PCT = 15
+
+
+def q_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption (T5 denoising) mask schedule: tokens are grouped
+    into length-3 spans and a span is masked iff an integer hash of
+    (doc_id, span_idx) lands under the 15% noise rate — reproducible
+    across engines/retries/epochs, unlike rand(). Reports per source the
+    masked-token and sentinel budgets the seq2seq batcher needs.
+
+    Scale: the explode is per SPAN (3× fewer rows than per-token) and
+    tokens are never materialized — span sizes come from arithmetic on
+    the token count. One scan, one span-level agg, one source rollup.
+    """
+    docs = _read(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(norm, " ")).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    spans = base.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.expr(f"(n_tokens + {_SPAN_LEN - 1}) div {_SPAN_LEN} - 1"),
+            )
+        ).alias("g"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("doc_id"), F.col("g"))), 1, 5
+        ),
+        16,
+        10,
+    ).cast("long")
+    masked = spans.withColumn("is_masked", (h % 100 < _SPAN_NOISE_PCT)).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.when(
+            F.col("is_masked"),
+            F.least(
+                F.lit(_SPAN_LEN).cast("long"),
+                F.col("n_tokens") - F.col("g") * _SPAN_LEN,
+            ),
+        )
+        .otherwise(0)
+        .alias("masked_tokens"),
+        F.when(F.col("is_masked"), 1).otherwise(0).alias("sentinel"),
+    )
+    per_doc = masked.groupBy("doc_id", "source", "n_tokens").agg(
+        F.sum("masked_tokens").alias("n_masked"),
+        F.sum("sentinel").alias("n_sentinels"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.sum("n_masked").cast("long").alias("sum_masked"),
+            F.sum("n_sentinels").cast("long").alias("sum_sentinels"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "sum_tokens",
+            "sum_masked",
+            "sum_sentinels",
+            F.expr("sum_masked * 10000 div sum_tokens").alias(
+                "corruption_bps"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+PIPELINE_QUERIES["span_corruption_plan"] = q_span_corruption_plan
+PIPELINE_ORACLES["span_corruption_plan"] = f"""
+WITH base AS (
+  SELECT doc_id, source,
+    len(string_split(
+      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))::BIGINT
+      AS n_tokens
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, source, n_tokens, g.g
+  FROM base,
+    unnest(generate_series(0,
+      (n_tokens + {_SPAN_LEN - 1}) // {_SPAN_LEN} - 1)) AS g(g)
+  WHERE n_tokens > 0
+),
+masked AS (
+  SELECT doc_id, source, n_tokens,
+    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || '|' || g::VARCHAR),
+                              1, 5))::BIGINT % 100 < {_SPAN_NOISE_PCT}
+      THEN least({_SPAN_LEN}, n_tokens - g * {_SPAN_LEN}) ELSE 0 END
+      AS masked_tokens,
+    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || '|' || g::VARCHAR),
+                              1, 5))::BIGINT % 100 < {_SPAN_NOISE_PCT}
+      THEN 1 ELSE 0 END AS sentinel
+  FROM spans
+),
+per_doc AS (
+  SELECT doc_id, source, n_tokens,
+    sum(masked_tokens)::BIGINT AS n_masked,
+    sum(sentinel)::BIGINT AS n_sentinels
+  FROM masked GROUP BY doc_id, source, n_tokens
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+  sum(n_tokens)::BIGINT AS sum_tokens,
+  sum(n_masked)::BIGINT AS sum_masked,
+  sum(n_sentinels)::BIGINT AS sum_sentinels,
+  (sum(n_masked) * 10000 // sum(n_tokens))::BIGINT AS corruption_bps
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# tail-language upsampling factors (data balancing)
+# ---------------------------------------------------------------------------
+
+
+def q_lang_upsampling_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-balancing schedule: each language's integer upsampling factor
+    = clamp(max_lang_count div lang_count, 1, 4) — the bounded repeat
+    count a mixture loader applies so tail languages aren't drowned out
+    (the integer cousin of temperature sampling, exact in any engine).
+    One hash agg + a 1-row max broadcast.
+    """
+    docs = _read(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    mx = counts.agg(F.max("n_docs").alias("max_n"))
+    return (
+        counts.crossJoin(F.broadcast(mx))
+        .select(
+            "lang",
+            "n_docs",
+            F.expr("least(4L, greatest(1L, max_n div n_docs))").alias(
+                "factor"
+            ),
+            F.expr(
+                "n_docs * least(4L, greatest(1L, max_n div n_docs))"
+            ).alias("upsampled_n"),
+        )
+        .orderBy("lang")
+    )
+
+
+PIPELINE_QUERIES["lang_upsampling_factors"] = q_lang_upsampling_factors
+PIPELINE_ORACLES["lang_upsampling_factors"] = """
+WITH counts AS (
+  SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang
+),
+mx AS (SELECT max(n_docs)::BIGINT AS max_n FROM counts)
+SELECT lang, n_docs,
+  least(4, greatest(1, max_n // n_docs))::BIGINT AS factor,
+  (n_docs * least(4, greatest(1, max_n // n_docs)))::BIGINT AS upsampled_n
+FROM counts, mx ORDER BY lang
+"""
