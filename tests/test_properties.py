@@ -582,3 +582,79 @@ def test_scene_cuts_bounded_by_frames(spark):
 
     for r in q_multimodal_scene_cuts(spark, SF_DIR).collect():
         assert 0 <= r["n_cuts"] < r["n_frames"]
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(st.integers(0, 50), min_size=1, max_size=40),
+    st.lists(st.integers(0, 50), min_size=1, max_size=40),
+)
+def test_ks_cross_multiplied_matches_bruteforce(spark, xs, ys):
+    """The integer cross-multiplied KS distance == the literal
+    max|F_a − F_b| over the pooled value grid, computed in Python."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(v, 1) for v in xs] + [(v, 0) for v in ys]
+    ev = spark.createDataFrame(rows, "v long, is_a int")
+    per_v = ev.groupBy("v").agg(
+        F.sum("is_a").alias("ca"), F.sum(1 - F.col("is_a")).alias("cb")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        F.sum("ca").over(w).alias("cum_a"), F.sum("cb").over(w).alias("cum_b")
+    )
+    got = cum.agg(
+        F.max(
+            F.abs(F.col("cum_a") * len(ys) - F.col("cum_b") * len(xs))
+        ).alias("d")
+    ).collect()[0]["d"]
+
+    grid = sorted(set(xs) | set(ys))
+    expected = max(
+        abs(
+            sum(1 for x in xs if x <= v) * len(ys)
+            - sum(1 for y in ys if y <= v) * len(xs)
+        )
+        for v in grid
+    )
+    assert got == expected
+
+
+def test_maxsim_arrow_matches_hof_scorer(spark):
+    """The Arrow einsum MaxSim path must be bit-identical to the JVM HOF
+    scorer on the fixture corpus (same quantization, same integer dots)."""
+    from ufc_data_warehouse_spark.pipeline_queries import (
+        q_ann_maxsim_arrow,
+        q_ann_maxsim_multivector,
+    )
+
+    from tests.conftest import SF_DIR
+
+    a = sorted(
+        tuple(r) for r in q_ann_maxsim_arrow(spark, SF_DIR).collect()
+    )
+    b = sorted(
+        tuple(r) for r in q_ann_maxsim_multivector(spark, SF_DIR).collect()
+    )
+    assert a == b
+
+
+def test_span_corruption_budgets_are_consistent(spark):
+    """Masked tokens never exceed total tokens; sentinel count bounds
+    masked tokens by span length on both sides."""
+    from ufc_data_warehouse_spark.pipeline_queries import (
+        _SPAN_LEN,
+        q_span_corruption_plan,
+    )
+
+    from tests.conftest import SF_DIR
+
+    for r in q_span_corruption_plan(spark, SF_DIR).collect():
+        assert 0 <= r["sum_masked"] <= r["sum_tokens"]
+        assert r["sum_masked"] <= r["sum_sentinels"] * _SPAN_LEN
+        assert r["sum_sentinels"] <= r["sum_masked"]

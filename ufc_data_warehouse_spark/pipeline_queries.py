@@ -1615,3 +1615,74 @@ SELECT lang, n_docs,
   (n_docs * least(4, greatest(1, max_n // n_docs)))::BIGINT AS upsampled_n
 FROM counts, mx ORDER BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# image near-duplicate pairs (exact integer feature distance)
+# ---------------------------------------------------------------------------
+
+_IMG_D2_MAX = 30000  # ~0.46 in unit-feature space, scaled by 128²
+
+
+def q_multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image detection over the fake-decode feature
+    vectors: the 8 md5-derived features are EXACTLY (h−128)/128 (a
+    power-of-2 divisor, so float32-exact), so multiplying by 128 recovers
+    integers and the pairwise squared distance is exact BIGINT — the
+    threshold has no float boundary. The stubbed codec stands in for a
+    real perceptual embedding; the pair stage, threshold semantics, and
+    output contract are the production ones.
+
+    Scale: all-pairs here (the oracle's ground-truth shape); production
+    restricts candidates via the LSH bucketer (`ann_lsh_buckets`) first,
+    same as dedup_embedding_cosine documents.
+    """
+    from .operators import multimodal
+
+    docs = _read(spark, sf_dir, "documents")
+    decoded = multimodal.decode_media(
+        multimodal.synthesize_media(docs), fake=True
+    )
+    feats = decoded.filter(F.col("kind") == "image").select(
+        "media_id",
+        F.transform(
+            "features", lambda x: F.round(x * 128).cast("long")
+        ).alias("fi"),
+    )
+    a = feats.select(
+        F.col("media_id").alias("id_a"), F.col("fi").alias("fa")
+    )
+    b = feats.select(
+        F.col("media_id").alias("id_b"), F.col("fi").alias("fb")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("fa"), F.col("fb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("d2", d2)
+        .filter(F.col("d2") <= _IMG_D2_MAX)
+        .select("id_a", "id_b", "d2")
+        .orderBy("id_a", "id_b")
+    )
+
+
+PIPELINE_QUERIES["multimodal_image_neardup"] = q_multimodal_image_neardup
+PIPELINE_ORACLES["multimodal_image_neardup"] = f"""
+WITH feats AS (
+  SELECT doc_id AS media_id,
+    list_transform(range(0, 8), i ->
+      ('0x' || substr(md5(text), i * 2 + 1, 2))::BIGINT - 128) AS fi
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+  list_sum(list_transform(range(1, 9),
+    k -> (a.fi[k] - b.fi[k]) * (a.fi[k] - b.fi[k])))::BIGINT AS d2
+FROM feats a JOIN feats b ON a.media_id < b.media_id
+WHERE list_sum(list_transform(range(1, 9),
+    k -> (a.fi[k] - b.fi[k]) * (a.fi[k] - b.fi[k]))) <= {_IMG_D2_MAX}
+ORDER BY id_a, id_b
+"""
