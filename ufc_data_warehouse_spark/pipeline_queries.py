@@ -420,6 +420,8 @@ def build_late_oracles() -> dict[str, str]:
         "curriculum_phases": _curriculum_oracle(),
         "hard_negative_mining": _hard_negative_oracle(),
         "preference_pair_construction": _preference_oracle(),
+        "dedup_cluster_size_histogram": _cluster_histogram_oracle(),
+        "ann_mrr_audit": _mrr_oracle(),
     }
 
 
@@ -1686,3 +1688,206 @@ WHERE list_sum(list_transform(range(1, 9),
     k -> (a.fi[k] - b.fi[k]) * (a.fi[k] - b.fi[k]))) <= {_IMG_D2_MAX}
 ORDER BY id_a, id_b
 """
+
+
+# ---------------------------------------------------------------------------
+# video keyframe selection (per-bucket argmax of motion signal)
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe selection for video sampling: within each 30-frame bucket
+    pick the frame with the LARGEST signature delta vs its predecessor
+    (the highest-motion frame — what a trainer samples instead of blind
+    every-Nth), tie → earliest frame. Same deterministic signature as
+    scene cuts; per-video windows keep state inside one clip.
+    """
+    from .operators import multimodal
+
+    docs = _read(spark, sf_dir, "documents")
+    decoded = multimodal.decode_media(
+        multimodal.synthesize_media(docs), fake=True
+    )
+    frames = decoded.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1)
+        ).alias("frame_idx"),
+    )
+    sig = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("media_id"), F.col("frame_idx"))), 1, 5
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    deltas = (
+        frames.withColumn("sig", sig)
+        .withColumn(
+            "delta",
+            F.coalesce(
+                F.abs(F.col("sig") - F.lag("sig").over(w)),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn("bucket", F.expr("frame_idx div 30"))
+    )
+    wk = Window.partitionBy("media_id", "bucket").orderBy(
+        F.desc("delta"), F.asc("frame_idx")
+    )
+    return (
+        deltas.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") == 1)
+        .select(
+            "media_id",
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("frame_idx").alias("keyframe_idx"),
+            "delta",
+        )
+        .orderBy("media_id", "bucket")
+    )
+
+
+PIPELINE_QUERIES["multimodal_video_keyframes"] = q_multimodal_video_keyframes
+PIPELINE_ORACLES["multimodal_video_keyframes"] = """
+WITH decoded AS (
+  SELECT doc_id AS media_id,
+    (1 + ('0x' || substr(md5(text), 1, 8))::BIGINT % 300)::INT AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+),
+frames AS (
+  SELECT media_id, f.frame_idx,
+    ('0x' || substr(md5(media_id::VARCHAR || ':' || frame_idx::VARCHAR),
+                    1, 5))::BIGINT AS sig
+  FROM decoded, unnest(generate_series(0, n_frames - 1)) AS f(frame_idx)
+),
+deltas AS (
+  SELECT media_id, frame_idx,
+    coalesce(abs(sig - lag(sig) OVER (PARTITION BY media_id
+                                      ORDER BY frame_idx)), 0) AS delta,
+    frame_idx // 30 AS bucket
+  FROM frames
+)
+SELECT media_id, bucket::BIGINT AS bucket, frame_idx AS keyframe_idx, delta
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY media_id, bucket
+                               ORDER BY delta DESC, frame_idx) AS rn
+  FROM deltas
+) WHERE rn = 1 ORDER BY media_id, bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup cluster-size histogram (dedup yield audit)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup yield audit: histogram of connected-component sizes from the
+    production MinHash-LSH clustering — (cluster_size → n_clusters) plus
+    removable-doc count per size. THE number a dedup run reports: rows
+    removed = Σ (size−1)·n_clusters. Composes the clusters query, so the
+    audit tracks the real pipeline output.
+    """
+    from .extra_queries import EXTRA_QUERIES
+
+    clusters = EXTRA_QUERIES["dedup_clusters"](spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias(
+                "removable_docs"
+            ),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def _cluster_histogram_oracle() -> str:
+    from .extra_queries import EXTRA_ORACLES
+
+    clusters = EXTRA_ORACLES["dedup_clusters"].strip()
+    return f"""
+WITH clusters_t AS (SELECT * FROM ({clusters}) raw),
+sizes AS (
+  SELECT cluster_id, count(*)::BIGINT AS cluster_size
+  FROM clusters_t GROUP BY cluster_id
+)
+SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+  ((cluster_size - 1) * count(*))::BIGINT AS removable_docs
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
+PIPELINE_QUERIES["dedup_cluster_size_histogram"] = (
+    q_dedup_cluster_size_histogram
+)
+
+
+# ---------------------------------------------------------------------------
+# ANN MRR audit (rank-sensitive companion to recall)
+# ---------------------------------------------------------------------------
+
+
+def q_ann_mrr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-sensitive index quality: for each query, where does the IVF
+    path rank the TRUE top-1 neighbor (exact brute force)? Reciprocal
+    rank is reported as 10000 div rank (integer-truncated — the metric is
+    DEFINED that way here so every engine agrees), 0 when the true top-1
+    is missing from the IVF top-10 entirely. Complements ann_recall_audit:
+    recall says "found", MRR says "found EARLY".
+    """
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact1 = (
+        simsearch.cosine_topk(emb, queries, k=10)
+        .filter(F.col("rank") == 1)
+        .select("query_id", F.col("neighbor_id").alias("true_top1"))
+    )
+    ivf = simsearch.ivf_topk(emb, queries, k=10, n_probe=2).select(
+        "query_id",
+        F.col("neighbor_id").alias("ivf_neighbor"),
+        F.col("rank").alias("ivf_rank"),
+    )
+    joined = exact1.join(
+        F.broadcast(ivf),
+        (exact1["query_id"] == ivf["query_id"])
+        & (exact1["true_top1"] == ivf["ivf_neighbor"]),
+        "left",
+    ).select(
+        exact1["query_id"].alias("query_id"),
+        "true_top1",
+        F.coalesce(
+            F.expr("10000 div ivf_rank"), F.lit(0).cast("long")
+        ).alias("rr_scaled"),
+    )
+    return joined.orderBy("query_id")
+
+
+def _mrr_oracle() -> str:
+    from .extra_queries import EXTRA_ORACLES
+
+    exact = EXTRA_ORACLES["ann_cosine_topk"].strip()
+    ivf = EXTRA_ORACLES["ann_ivf_topk"].strip()
+    return f"""
+WITH exact_t AS ({exact}),
+ivf_t AS ({ivf}),
+exact1 AS (
+  SELECT query_id, neighbor_id AS true_top1 FROM exact_t WHERE rank = 1
+)
+SELECT e.query_id, e.true_top1,
+  coalesce(10000 // i.rank, 0)::BIGINT AS rr_scaled
+FROM exact1 e LEFT JOIN ivf_t i
+  ON e.query_id = i.query_id AND e.true_top1 = i.neighbor_id
+ORDER BY e.query_id
+"""
+
+
+PIPELINE_QUERIES["ann_mrr_audit"] = q_ann_mrr_audit
