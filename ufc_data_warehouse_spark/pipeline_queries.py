@@ -1891,3 +1891,232 @@ ORDER BY e.query_id
 
 
 PIPELINE_QUERIES["ann_mrr_audit"] = q_ann_mrr_audit
+
+
+# ---------------------------------------------------------------------------
+# two-stage retrieval cascade: int8 MaxSim prefilter → exact cosine rerank
+# ---------------------------------------------------------------------------
+
+_CASCADE_STAGE1_K = 50
+_CASCADE_K = 5
+
+
+def q_ann_cascade_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production retrieval cascade: a cheap int8 MaxSim stage keeps
+    the top-50 candidates per query (4× smaller vectors, integer math),
+    then exact float cosine re-ranks ONLY those 50 — the expensive scorer
+    never touches the rest of the corpus. At 100 TB stage 1 is where the
+    scan lives (quantized, broadcast queries); stage 2 is a candidate
+    join bounded at |queries|·50 rows.
+    """
+    emb = _read(spark, sf_dir, "embeddings")
+    codes = simsearch.quantize_int8(emb).select("vec_id", "codes")
+    qcodes = codes.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("codes").alias("qc")
+    )
+    pairs = codes.crossJoin(F.broadcast(qcodes)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    score = F.expr(
+        f"""
+        aggregate(sequence(0, {_SUBVECS - 1}), 0L, (acc, i) -> acc +
+          array_max(transform(sequence(0, {_SUBVECS - 1}), j ->
+            aggregate(sequence(1, {_SUBDIM}), 0L, (a, k) ->
+              a + CAST(element_at(qc, i * {_SUBDIM} + k) AS BIGINT)
+                * CAST(element_at(codes, j * {_SUBDIM} + k) AS BIGINT)))))
+        """
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("s1"), F.asc("neighbor_id")
+    )
+    cand = (
+        pairs.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), score.alias("s1")
+        )
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= _CASCADE_STAGE1_K)
+        .select("query_id", "neighbor_id")
+    )
+    nvec = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("nv"),
+    )
+    qvec = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("nv"), F.col("qv"), lambda x, y: x.cast("double") * y
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    rer = (
+        cand.join(nvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot / (norm(F.col("nv")) * norm(F.col("qv")))).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= _CASCADE_K)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+        .orderBy("query_id", "rank")
+    )
+
+
+PIPELINE_QUERIES["ann_cascade_rerank"] = q_ann_cascade_rerank
+PIPELINE_ORACLES["ann_cascade_rerank"] = f"""
+WITH stats AS (
+  SELECT min(u.x)::DOUBLE AS qmin, max(u.x)::DOUBLE AS qmax
+  FROM embeddings, unnest(embedding) AS u(x)
+),
+codes AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> least(255, greatest(0,
+      floor((x::DOUBLE - qmin) / (qmax - qmin) * 255.0)::INT))) AS codes
+  FROM embeddings, stats
+),
+s1 AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+    list_sum(list_transform(range(0, {_SUBVECS}), i ->
+      list_max(list_transform(range(0, {_SUBVECS}), j ->
+        list_dot_product(
+          q.codes[i * {_SUBDIM} + 1 : i * {_SUBDIM} + {_SUBDIM}]::BIGINT[],
+          d.codes[j * {_SUBDIM} + 1 : j * {_SUBDIM} + {_SUBDIM}]::BIGINT[])
+      ))))::BIGINT AS s1
+  FROM codes d JOIN codes q ON q.vec_id % 100 = 0 AND d.vec_id <> q.vec_id
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY s1 DESC, neighbor_id) AS r1
+    FROM s1
+  ) WHERE r1 <= {_CASCADE_STAGE1_K}
+),
+rer AS (
+  SELECT c.query_id, c.neighbor_id,
+    list_dot_product(n.embedding::DOUBLE[], q.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(n.embedding::DOUBLE[], n.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])))
+      AS cosine
+  FROM cand c
+  JOIN embeddings n ON c.neighbor_id = n.vec_id
+  JOIN embeddings q ON c.query_id = q.vec_id
+)
+SELECT query_id, neighbor_id, rank::INT AS rank FROM (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM rer
+) WHERE rank <= {_CASCADE_K} ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimate-accuracy calibration (signature agreement vs exact J)
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch calibration: for every LSH candidate pair, how well does
+    the 16-hash MinHash agreement fraction track the EXACT Jaccard?
+    Bucketed by matched-signature count: pair count + mean exact Jaccard
+    in integer bps. This is the audit that justifies the sketch size —
+    widening buckets (high variance) says 16 hashes is too few for the
+    threshold in use. Exact Jaccard is candidate-restricted (the
+    production path), never the n² pair space.
+    """
+    from .extra_queries import _lsh_candidates, _shingles
+    from .operators import dedup
+
+    sh = _shingles(spark, sf_dir)
+    cand = _lsh_candidates(spark, sf_dir)
+    sigs = dedup.minhash_signatures(sh, num_hashes=16)
+    sa = sigs.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"sig_{i}").alias(f"a_{i}") for i in range(16)],
+    )
+    sb = sigs.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"sig_{i}").alias(f"b_{i}") for i in range(16)],
+    )
+    matched = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(16)
+    )
+    exact = dedup.jaccard_pairs(sh, min_jaccard=0.0, candidates=cand).select(
+        "id_a", "id_b", "shared", "union_size"
+    )
+    pairs = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", matched.alias("matched_sigs"))
+        .join(exact, ["id_a", "id_b"])
+        .select(
+            "matched_sigs",
+            F.expr("shared * 10000 div union_size").alias("exact_bps"),
+        )
+    )
+    return (
+        pairs.groupBy("matched_sigs")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.expr("sum(exact_bps) div count(1)").alias("mean_exact_bps"),
+        )
+        .orderBy("matched_sigs")
+    )
+
+
+def _minhash_accuracy_oracle() -> str:
+    from .sqlfrag import (
+        _BANDS_SQL,
+        _JACCARD_CORE_SQL,
+        _MINHASH_SQL,
+        _SHINGLES_SQL,
+    )
+
+    matched = " + ".join(
+        f"CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END"
+        for i in range(16)
+    )
+    return f"""
+WITH {_SHINGLES_SQL.strip().lstrip(',')},
+sigs AS ({_MINHASH_SQL}),
+buckets AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM buckets l JOIN buckets r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+),
+{_JACCARD_CORE_SQL.strip().lstrip(',')},
+pairs AS (
+  SELECT ({matched}) AS matched_sigs,
+    j.shared * 10000 // j.union_size AS exact_bps
+  FROM cand c
+  JOIN sigs a ON c.id_a = a.id
+  JOIN sigs b ON c.id_b = b.id
+  JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+)
+SELECT matched_sigs::BIGINT AS matched_sigs, count(*)::BIGINT AS n_pairs,
+  (sum(exact_bps) // count(*))::BIGINT AS mean_exact_bps
+FROM pairs GROUP BY matched_sigs ORDER BY matched_sigs
+"""
+
+
+PIPELINE_QUERIES["minhash_estimate_accuracy"] = q_minhash_estimate_accuracy
+PIPELINE_ORACLES["minhash_estimate_accuracy"] = _minhash_accuracy_oracle()
