@@ -2120,3 +2120,142 @@ FROM pairs GROUP BY matched_sigs ORDER BY matched_sigs
 
 PIPELINE_QUERIES["minhash_estimate_accuracy"] = q_minhash_estimate_accuracy
 PIPELINE_ORACLES["minhash_estimate_accuracy"] = _minhash_accuracy_oracle()
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit (completes the k-anonymity / l-diversity privacy triad)
+# ---------------------------------------------------------------------------
+
+_TCLOSE_ALERT_BPS = 3000
+
+
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness over the SAME quasi-identifier classes as
+    k_anonymity_audit (nation × balance band, sensitive = market
+    segment): per class, the total-variation distance between the class's
+    sensitive-value distribution and the global one, kept exact by cross-
+    multiplication — t_scaled = Σ_s |n_cs·N − N_s·n_c| over 2·n_c·N, in
+    integer bps. A class can be k-anonymous and l-diverse yet still leak
+    via a skewed sensitive distribution; this is the gate for that.
+
+    Scale: everything after the first map-combinable agg is
+    dimension-sized (classes × |segments|); the global distribution is a
+    |segments|-row broadcast.
+    """
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.expr("cast(c_acctbal * 100 as bigint) div 100000").alias("bal_band"),
+        "c_mktsegment",
+    )
+    cls_seg = cust.groupBy("c_nationkey", "bal_band", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cs")
+    )
+    cls = cls_seg.groupBy("c_nationkey", "bal_band").agg(
+        F.sum("n_cs").alias("n_c")
+    )
+    seg = cust.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_s"))
+    total = cust.agg(F.count(F.lit(1)).alias("n_tot"))
+    grid = (
+        cls.crossJoin(F.broadcast(seg))
+        .join(cls_seg, ["c_nationkey", "bal_band", "c_mktsegment"], "left")
+        .fillna(0, subset=["n_cs"])
+        .crossJoin(F.broadcast(total))
+    )
+    per_class = grid.groupBy("c_nationkey", "bal_band", "n_c", "n_tot").agg(
+        F.sum(
+            F.abs(F.col("n_cs") * F.col("n_tot") - F.col("n_s") * F.col("n_c"))
+        ).alias("t_scaled")
+    ).select(
+        "c_nationkey",
+        "bal_band",
+        F.expr("t_scaled * 10000 div (2 * n_c * n_tot)").alias("t_bps"),
+    )
+    return per_class.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.max("t_bps").alias("max_t_bps"),
+        F.count(F.when(F.col("t_bps") > _TCLOSE_ALERT_BPS, 1))
+        .cast("long")
+        .alias("n_classes_over_t"),
+    )
+
+
+PIPELINE_QUERIES["t_closeness_audit"] = q_t_closeness_audit
+PIPELINE_ORACLES["t_closeness_audit"] = f"""
+WITH cust AS (
+  SELECT c_nationkey,
+    (c_acctbal * 100)::BIGINT // 100000 AS bal_band, c_mktsegment
+  FROM customer
+),
+cls_seg AS (
+  SELECT c_nationkey, bal_band, c_mktsegment, count(*)::BIGINT AS n_cs
+  FROM cust GROUP BY ALL
+),
+cls AS (
+  SELECT c_nationkey, bal_band, sum(n_cs)::BIGINT AS n_c
+  FROM cls_seg GROUP BY c_nationkey, bal_band
+),
+seg AS (SELECT c_mktsegment, count(*)::BIGINT AS n_s FROM cust GROUP BY 1),
+tot AS (SELECT count(*)::BIGINT AS n_tot FROM cust),
+grid AS (
+  SELECT c.c_nationkey, c.bal_band, c.n_c, s.c_mktsegment, s.n_s,
+    coalesce(cs.n_cs, 0) AS n_cs, t.n_tot
+  FROM cls c CROSS JOIN seg s CROSS JOIN tot t
+  LEFT JOIN cls_seg cs ON c.c_nationkey = cs.c_nationkey
+    AND c.bal_band = cs.bal_band AND s.c_mktsegment = cs.c_mktsegment
+),
+per_class AS (
+  SELECT c_nationkey, bal_band,
+    (sum(abs(n_cs * n_tot - n_s * n_c)) * 10000
+     // (2 * n_c * n_tot))::BIGINT AS t_bps
+  FROM grid GROUP BY c_nationkey, bal_band, n_c, n_tot
+)
+SELECT count(*)::BIGINT AS n_classes, max(t_bps) AS max_t_bps,
+  count(CASE WHEN t_bps > {_TCLOSE_ALERT_BPS} THEN 1 END)::BIGINT
+    AS n_classes_over_t
+FROM per_class
+"""
+
+
+# ---------------------------------------------------------------------------
+# degree-distribution audit of the purchase graph
+# ---------------------------------------------------------------------------
+
+
+def q_graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the undirected customer–supplier purchase
+    graph — the first thing to look at before running ANY iterative graph
+    algorithm (max degree bounds join fan-out; a power-law tail says
+    salt the hot keys). One distinct + two hash aggs.
+    """
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(10_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("degree")
+    )
+
+
+PIPELINE_QUERIES["graph_degree_distribution"] = q_graph_degree_distribution
+PIPELINE_ORACLES["graph_degree_distribution"] = """
+WITH e0 AS (
+  SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+und AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+deg AS (SELECT src, count(*)::BIGINT AS degree FROM und GROUP BY src)
+SELECT degree, count(*)::BIGINT AS n_nodes
+FROM deg GROUP BY degree ORDER BY degree
+"""
