@@ -2259,3 +2259,119 @@ deg AS (SELECT src, count(*)::BIGINT AS degree FROM und GROUP BY src)
 SELECT degree, count(*)::BIGINT AS n_nodes
 FROM deg GROUP BY degree ORDER BY degree
 """
+
+
+# ---------------------------------------------------------------------------
+# event-rate spike audit (exact integer Poisson-style bound)
+# ---------------------------------------------------------------------------
+
+
+def q_event_rate_spike_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-anomaly gate: hourly event counts flagged when the squared
+    deviation from the global mean exceeds 16× the Poisson variance —
+    cross-multiplied so no float mean/sqrt exists: spike iff
+    (c·H − N)² > 16·N·H (c = hour count, N = total, H = hours). The
+    ingestion-monitoring alarm, exact in any engine; one keyed agg plus a
+    1-row totals broadcast.
+    """
+    ev = _read(spark, sf_dir, "events").select(
+        F.expr("unix_millis(CAST(ts AS TIMESTAMP)) div 3600000").alias("hour")
+    )
+    hourly = ev.groupBy("hour").agg(F.count(F.lit(1)).alias("c"))
+    totals = hourly.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("n_hours")
+    )
+    flagged = hourly.crossJoin(F.broadcast(totals)).select(
+        "hour",
+        "c",
+        (
+            (F.col("c") * F.col("n_hours") - F.col("n_total"))
+            * (F.col("c") * F.col("n_hours") - F.col("n_total"))
+            > F.lit(16) * F.col("n_total") * F.col("n_hours")
+        ).alias("is_spike"),
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum(F.when(F.col("is_spike"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_spike_hours"),
+        F.max(F.when(F.col("is_spike"), F.col("c"))).alias("max_spike_count"),
+    )
+
+
+PIPELINE_QUERIES["event_rate_spike_audit"] = q_event_rate_spike_audit
+PIPELINE_ORACLES["event_rate_spike_audit"] = """
+WITH hourly AS (
+  SELECT epoch(ts)::BIGINT // 3600 AS hour, count(*)::BIGINT AS c
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT sum(c)::BIGINT AS n_total, count(*)::BIGINT AS n_hours FROM hourly
+),
+flagged AS (
+  SELECT hour, c,
+    (c * n_hours - n_total) * (c * n_hours - n_total)
+      > 16 * n_total * n_hours AS is_spike
+  FROM hourly, tot
+)
+SELECT count(*)::BIGINT AS n_hours,
+  sum(CASE WHEN is_spike THEN 1 ELSE 0 END)::BIGINT AS n_spike_hours,
+  max(CASE WHEN is_spike THEN c END) AS max_spike_count
+FROM flagged
+"""
+
+
+# ---------------------------------------------------------------------------
+# order backlog aging buckets
+# ---------------------------------------------------------------------------
+
+
+def q_order_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging: non-finished orders bucketed by age in
+    days against the dataset's as-of date (its max order date — data-
+    derived, so the query is reproducible forever), with exact-cent value
+    at risk per bucket. The receivables/ops dashboard staple; one scan,
+    1-row as-of broadcast, one hash agg.
+    """
+    orders = _read(spark, sf_dir, "orders")
+    asof = orders.agg(F.max("o_orderdate").alias("asof"))
+    aged = (
+        orders.filter(F.col("o_orderstatus") != "F")
+        .crossJoin(F.broadcast(asof))
+        .select(
+            F.expr("datediff(asof, o_orderdate)").alias("age_days"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 30, "0-30")
+        .when(F.col("age_days") <= 60, "31-60")
+        .when(F.col("age_days") <= 90, "61-90")
+        .otherwise("90+")
+    )
+    return (
+        aged.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("value_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+PIPELINE_QUERIES["order_backlog_aging"] = q_order_backlog_aging
+PIPELINE_ORACLES["order_backlog_aging"] = """
+WITH asof_t AS (SELECT max(o_orderdate) AS asof_d FROM orders),
+aged AS (
+  SELECT datediff('day', o_orderdate, asof_d)::BIGINT AS age_days,
+    floor(o_totalprice * 100)::BIGINT AS cents
+  FROM orders, asof_t WHERE o_orderstatus <> 'F'
+)
+SELECT CASE WHEN age_days <= 30 THEN '0-30'
+            WHEN age_days <= 60 THEN '31-60'
+            WHEN age_days <= 90 THEN '61-90'
+            ELSE '90+' END AS bucket,
+  count(*)::BIGINT AS n_orders, sum(cents)::BIGINT AS value_cents
+FROM aged GROUP BY 1 ORDER BY bucket
+"""
