@@ -422,6 +422,7 @@ def build_late_oracles() -> dict[str, str]:
         "preference_pair_construction": _preference_oracle(),
         "dedup_cluster_size_histogram": _cluster_histogram_oracle(),
         "ann_mrr_audit": _mrr_oracle(),
+        "positive_pair_mining": _positive_pair_oracle(),
     }
 
 
@@ -2375,3 +2376,141 @@ SELECT CASE WHEN age_days <= 30 THEN '0-30'
   count(*)::BIGINT AS n_orders, sum(cents)::BIGINT AS value_cents
 FROM aged GROUP BY 1 ORDER BY bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# bigram successor table (the corpus LM itself, top-k per context)
+# ---------------------------------------------------------------------------
+
+
+def q_bigram_successor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The n-gram LM table: for the 20 most frequent context words, the
+    top-3 successors by corpus count (ties → lexicographic) with the
+    conditional probability in integer bps. bigram_lm_quality SCORES
+    documents against corpus statistics; this materializes the model
+    itself — the artifact a generation-side smoke test reads.
+
+    Scale: successor counts shuffle on (w1, w2) — vocab²-bounded; both
+    top-k windows partition on w1, never global.
+    """
+    docs = _read(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    d = docs.select(F.split(norm, " ").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bg = d.select(
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, size(toks) - 1),"
+                " (x, i) -> struct(x AS w1, toks[i + 1] AS w2))"
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1"), F.col("bg.w2"))
+    succ = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    ctx = succ.groupBy("w1").agg(F.sum("n").alias("n_ctx"))
+    top_ctx = (
+        ctx.orderBy(F.desc("n_ctx"), F.asc("w1")).limit(20)
+    )
+    w = Window.partitionBy("w1").orderBy(F.desc("n"), F.asc("w2"))
+    return (
+        succ.join(F.broadcast(top_ctx), "w1")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "w1",
+            F.col("rk").cast("int").alias("rk"),
+            "w2",
+            "n",
+            F.expr("n * 10000 div n_ctx").alias("p_bps"),
+        )
+        .orderBy("w1", "rk")
+    )
+
+
+PIPELINE_QUERIES["bigram_successor_topk"] = q_bigram_successor_topk
+PIPELINE_ORACLES["bigram_successor_topk"] = """
+WITH d AS (
+  SELECT string_split(
+    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+  WHERE len(string_split(
+    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) >= 2
+),
+bg AS (
+  SELECT toks[u.i] AS w1, toks[u.i + 1] AS w2
+  FROM d, unnest(range(1, len(toks))) AS u(i)
+),
+succ AS (SELECT w1, w2, count(*)::BIGINT AS n FROM bg GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(n)::BIGINT AS n_ctx FROM succ GROUP BY w1),
+top_ctx AS (SELECT w1, n_ctx FROM ctx ORDER BY n_ctx DESC, w1 LIMIT 20)
+SELECT s.w1, rk::INT AS rk, w2, n, (n * 10000 // n_ctx)::BIGINT AS p_bps
+FROM (
+  SELECT s.w1, s.w2, s.n, t.n_ctx,
+    row_number() OVER (PARTITION BY s.w1 ORDER BY s.n DESC, s.w2) AS rk
+  FROM succ s JOIN top_ctx t ON s.w1 = t.w1
+) s(w1, w2, n, n_ctx, rk)
+WHERE rk <= 3 ORDER BY w1, rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# positive-pair mining (same-label nearest neighbor)
+# ---------------------------------------------------------------------------
+
+
+def q_positive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The positive side of contrastive pair construction: each query's
+    highest-ranked SAME-label neighbor from the exact retriever — the
+    (anchor, positive) training pair; hard_negative_mining supplies the
+    other side. Pure composition, so pairs track the production index.
+    """
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    topk = simsearch.cosine_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    labels = emb.select("vec_id", "label")
+    qlab = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    nlab = labels.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    same = (
+        topk.join(F.broadcast(qlab), "query_id")
+        .join(nlab, "neighbor_id")
+        .filter(F.col("q_label") == F.col("n_label"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("rank"))
+    return (
+        same.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("positive_id"),
+            F.col("rank").alias("retriever_rank"),
+            F.col("q_label").alias("label"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _positive_pair_oracle() -> str:
+    from .extra_queries import EXTRA_ORACLES
+
+    exact = EXTRA_ORACLES["ann_cosine_topk"].strip()
+    return f"""
+WITH topk AS ({exact})
+SELECT query_id, positive_id, retriever_rank, label FROM (
+  SELECT t.query_id, t.neighbor_id AS positive_id,
+    t.rank AS retriever_rank, q.label,
+    row_number() OVER (PARTITION BY t.query_id ORDER BY t.rank) AS rn
+  FROM topk t
+  JOIN embeddings q ON t.query_id = q.vec_id
+  JOIN embeddings n ON t.neighbor_id = n.vec_id
+  WHERE q.label = n.label
+) WHERE rn = 1 ORDER BY query_id
+"""
+
+
+PIPELINE_QUERIES["positive_pair_mining"] = q_positive_pair_mining
