@@ -423,6 +423,7 @@ def build_late_oracles() -> dict[str, str]:
         "dedup_cluster_size_histogram": _cluster_histogram_oracle(),
         "ann_mrr_audit": _mrr_oracle(),
         "positive_pair_mining": _positive_pair_oracle(),
+        "ann_probe_sweep": _probe_sweep_oracle(),
     }
 
 
@@ -2514,3 +2515,125 @@ SELECT query_id, positive_id, retriever_rank, label FROM (
 
 
 PIPELINE_QUERIES["positive_pair_mining"] = q_positive_pair_mining
+
+
+# ---------------------------------------------------------------------------
+# embedding dimension variance audit (dead-feature detection)
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_dim_variance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead/near-constant dimension detection over int8 codes: per
+    dimension the exact integer variance numerator n·Σx² − S² (no float
+    mean), flagged when it falls under 1% of the corpus-wide median-ish
+    reference (the max dim's numerator). Dims a projection layer should
+    drop; 64 output rows regardless of corpus size.
+    """
+    emb = _read(spark, sf_dir, "embeddings")
+    codes = simsearch.quantize_int8(emb).select("codes")
+    dims = codes.select(F.posexplode("codes").alias("d", "x"))
+    per_dim = dims.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x").cast("long") * F.col("x")).alias("s2"),
+    ).select(
+        "d", F.expr("n * s2 - s * s").alias("var_num")
+    )
+    mx = per_dim.agg(F.max("var_num").alias("max_var"))
+    return (
+        per_dim.crossJoin(F.broadcast(mx))
+        .select(
+            "d",
+            "var_num",
+            (F.col("var_num") * 100 < F.col("max_var")).alias("is_dead"),
+        )
+        .orderBy("d")
+    )
+
+
+PIPELINE_QUERIES["embedding_dim_variance_audit"] = (
+    q_embedding_dim_variance_audit
+)
+PIPELINE_ORACLES["embedding_dim_variance_audit"] = """
+WITH stats AS (
+  SELECT min(u.x)::DOUBLE AS qmin, max(u.x)::DOUBLE AS qmax
+  FROM embeddings, unnest(embedding) AS u(x)
+),
+codes AS (
+  SELECT list_transform(embedding, x -> least(255, greatest(0,
+      floor((x::DOUBLE - qmin) / (qmax - qmin) * 255.0)::INT))) AS codes
+  FROM embeddings, stats
+),
+dims AS (
+  SELECT d.d - 1 AS d, codes[d.d]::BIGINT AS x
+  FROM codes, unnest(range(1, 65)) AS d(d)
+),
+per_dim AS (
+  SELECT d, (count(*) * sum(x * x) - sum(x) * sum(x))::BIGINT AS var_num
+  FROM dims GROUP BY d
+),
+mx AS (SELECT max(var_num)::BIGINT AS max_var FROM per_dim)
+SELECT d::INT AS d, var_num, var_num * 100 < max_var AS is_dead
+FROM per_dim, mx ORDER BY d
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF probe sweep (the recall-vs-cost knob, measured)
+# ---------------------------------------------------------------------------
+
+
+def q_ann_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure, don't guess, part 3: mean recall@10 (integer bps) of the
+    IVF index at n_probe ∈ {1, 2, 3} against exact brute force — the
+    table that picks the operating point on the recall/cost curve before
+    a 100 TB rollout. Each arm is bounded at |queries|·k rows.
+    """
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = simsearch.cosine_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    out = None
+    for p in (1, 2, 3):
+        ivf = simsearch.ivf_topk(emb, queries, k=10, n_probe=p).select(
+            "query_id", F.col("neighbor_id").alias("ivf_neighbor")
+        )
+        hits = exact.join(
+            F.broadcast(ivf),
+            (exact["query_id"] == ivf["query_id"])
+            & (exact["neighbor_id"] == ivf["ivf_neighbor"]),
+            "left",
+        ).select(
+            F.when(F.col("ivf_neighbor").isNotNull(), 1).otherwise(0).alias("hit")
+        )
+        arm = hits.agg(
+            F.lit(p).cast("int").alias("n_probe"),
+            F.expr("sum(hit) * 10000 div count(1)").alias("mean_recall_bps"),
+        ).select("n_probe", "mean_recall_bps")
+        out = arm if out is None else out.unionByName(arm)
+    return out.orderBy("n_probe")
+
+
+def _probe_sweep_oracle() -> str:
+    from .extra_queries import EXTRA_ORACLES
+
+    exact = EXTRA_ORACLES["ann_cosine_topk"].strip()
+    ivf2 = EXTRA_ORACLES["ann_ivf_topk"].strip()
+    arms = []
+    for p in (1, 2, 3):
+        ivf_p = ivf2.replace("WHERE pr <= 2", f"WHERE pr <= {p}")
+        arms.append(f"""
+SELECT {p}::INT AS n_probe,
+  (sum(CASE WHEN i.neighbor_id IS NULL THEN 0 ELSE 1 END) * 10000
+   // count(*))::BIGINT AS mean_recall_bps
+FROM exact_t e LEFT JOIN ({ivf_p}) i
+  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id""")
+    union = " UNION ALL ".join(arms)
+    return f"""
+WITH exact_t AS ({exact})
+SELECT * FROM ({union}) ORDER BY n_probe
+"""
+
+
+PIPELINE_QUERIES["ann_probe_sweep"] = q_ann_probe_sweep
