@@ -154,3 +154,17 @@ def test_scene_cuts_filter_cuts_nonvideo_before_explode(spark):
     # executed plans print top-down: the Generate node must sit ABOVE the
     # kind filter (i.e., applied after it in dataflow order)
     assert gen_pos < filt_pos
+
+
+def test_ivf_partitioned_probe_prunes_partitions(spark):
+    # the probed read must show PartitionFilters on the label partition
+    # column — a post-scan Filter over all partitions means the layout
+    # win regressed to a full index scan
+    df = EXTRA_QUERIES["ann_ivf_partition_pruned"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # at least one scan carries a label IN (...) partition filter
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*label[^\]]*IN?\b", plan, re.I)
+    assert m, f"no label partition filter in plan:\n{plan[:2000]}"

@@ -424,6 +424,7 @@ def build_late_oracles() -> dict[str, str]:
         "ann_mrr_audit": _mrr_oracle(),
         "positive_pair_mining": _positive_pair_oracle(),
         "ann_probe_sweep": _probe_sweep_oracle(),
+        "ann_ivf_partition_pruned": _ivf_pruned_oracle(),
     }
 
 
@@ -2637,3 +2638,38 @@ SELECT * FROM ({union}) ORDER BY n_probe
 
 
 PIPELINE_QUERIES["ann_probe_sweep"] = q_ann_probe_sweep
+
+
+# ---------------------------------------------------------------------------
+# IVF over a partition-pruned parquet index
+# ---------------------------------------------------------------------------
+
+
+def q_ann_ivf_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The storage-side ANN path: the IVF lists live as label-partitioned
+    parquet (write once), and the probe reads ONLY the probed partitions
+    — catalog-enforced pruning, not a post-scan filter (plan-asserted in
+    tests/test_plans.py). Same rows as ann_ivf_topk; the oracle is the
+    same SQL, which is the point: layout changed, semantics didn't.
+    """
+    import tempfile
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    path = f"{tempfile.gettempdir()}/ivf_index_{sf_dir.strip('/').replace('/', '_')}"
+    import os as _os
+
+    if not _os.path.exists(f"{path}/_SUCCESS"):
+        simsearch.write_ivf_partitioned(emb, path)
+    return simsearch.ivf_topk_from_partitioned(
+        spark, path, queries, k=10, n_probe=2
+    ).orderBy("query_id", "rank")
+
+
+def _ivf_pruned_oracle() -> str:
+    from .extra_queries import EXTRA_ORACLES
+
+    return EXTRA_ORACLES["ann_ivf_topk"]
+
+
+PIPELINE_QUERIES["ann_ivf_partition_pruned"] = q_ann_ivf_partition_pruned
