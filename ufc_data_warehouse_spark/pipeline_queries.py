@@ -425,6 +425,7 @@ def build_late_oracles() -> dict[str, str]:
         "positive_pair_mining": _positive_pair_oracle(),
         "ann_probe_sweep": _probe_sweep_oracle(),
         "ann_ivf_partition_pruned": _ivf_pruned_oracle(),
+        "dedup_method_agreement": _method_agreement_oracle(),
     }
 
 
@@ -2673,3 +2674,99 @@ def _ivf_pruned_oracle() -> str:
 
 
 PIPELINE_QUERIES["ann_ivf_partition_pruned"] = q_ann_ivf_partition_pruned
+
+
+# ---------------------------------------------------------------------------
+# cross-method dedup agreement (MinHash-Jaccard vs SimHash consensus)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble dedup audit: how much do the two production near-dup
+    detectors agree? Pairs found by MinHash-LSH (Jaccard ≥ 0.2) vs
+    SimHash (Hamming ≤ 6): counts of both/minhash-only/simhash-only.
+    Low agreement means the two 'near-duplicate' definitions have drifted
+    apart and the removal policy needs a decision, not a default. Pure
+    composition of both production paths + one full-outer join on pair
+    keys.
+    """
+    from .extra_queries import EXTRA_QUERIES
+
+    mh = EXTRA_QUERIES["dedup_minhash_lsh"](spark, sf_dir).select(
+        "id_a", "id_b", F.lit(1).alias("in_mh")
+    )
+    sh = EXTRA_QUERIES["dedup_simhash_pairs"](spark, sf_dir).select(
+        "id_a", "id_b", F.lit(1).alias("in_sh")
+    )
+    both = mh.join(sh, ["id_a", "id_b"], "full_outer").select(
+        F.coalesce("in_mh", F.lit(0)).alias("in_mh"),
+        F.coalesce("in_sh", F.lit(0)).alias("in_sh"),
+    )
+    return both.agg(
+        F.sum(F.expr("in_mh * in_sh")).cast("long").alias("n_both"),
+        F.sum(F.expr("in_mh * (1 - in_sh)")).cast("long").alias("n_minhash_only"),
+        F.sum(F.expr("(1 - in_mh) * in_sh")).cast("long").alias("n_simhash_only"),
+    )
+
+
+def _method_agreement_oracle() -> str:
+    from .extra_queries import EXTRA_ORACLES
+
+    mh = EXTRA_ORACLES["dedup_minhash_lsh"].strip()
+    sh = EXTRA_ORACLES["dedup_simhash_pairs"].strip()
+    return f"""
+WITH mh_t AS (SELECT id_a, id_b FROM ({mh})),
+sh_t AS (SELECT id_a, id_b FROM ({sh})),
+j AS (
+  SELECT CASE WHEN m.id_a IS NULL THEN 0 ELSE 1 END AS in_mh,
+         CASE WHEN s.id_a IS NULL THEN 0 ELSE 1 END AS in_sh
+  FROM mh_t m FULL OUTER JOIN sh_t s
+    ON m.id_a = s.id_a AND m.id_b = s.id_b
+)
+SELECT sum(in_mh * in_sh)::BIGINT AS n_both,
+  sum(in_mh * (1 - in_sh))::BIGINT AS n_minhash_only,
+  sum((1 - in_mh) * in_sh)::BIGINT AS n_simhash_only
+FROM j
+"""
+
+
+PIPELINE_QUERIES["dedup_method_agreement"] = q_dedup_method_agreement
+
+
+# ---------------------------------------------------------------------------
+# quantization error-bound gate (pinned invariant)
+# ---------------------------------------------------------------------------
+
+
+def q_quantization_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safety gate for the int8 ANN path: the max reconstruction error of
+    the quantizer must stay within one quantization cell
+    (scale/255 — floor mapping + midpoint dequant). Output pins the
+    boolean (like hll_accuracy_audit): the oracle expects literal TRUE,
+    so quantizer drift FAILS the hash gate rather than silently degrading
+    every downstream similarity query.
+    """
+    emb = _read(spark, sf_dir, "embeddings")
+    q = simsearch.quantize_int8(emb)
+    err = q.select(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                simsearch.dequantized(q),
+                lambda x, d: F.abs(x.cast("double") - d),
+            ),
+            F.lit(0.0),
+            lambda acc, v: F.greatest(acc, v),
+        ).alias("max_err"),
+        (F.col("q_scale") / F.lit(255.0)).alias("cell"),
+    )
+    return err.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.max(F.col("max_err") <= F.col("cell")).alias("within_bound"),
+    )
+
+
+PIPELINE_QUERIES["quantization_error_bound"] = q_quantization_error_bound
+PIPELINE_ORACLES["quantization_error_bound"] = """
+SELECT count(*)::BIGINT AS n_vectors, TRUE AS within_bound FROM embeddings
+"""
