@@ -57,6 +57,19 @@ EXPECTED_NLJ = {
     "ks_two_sample_drift",  # 1-row (n_a, n_b) totals broadcast cross
     "groupwise_kfold_assignment",  # 1-row grand-total broadcast cross
     "source_distinctive_terms",  # 1-row corpus-token-total broadcast cross
+    "ann_cascade_rerank",  # quantize stats cross + broadcast query-set stage-1 cross
+    "ann_ivf_partition_pruned",  # broadcast medoid-reps probe cross (tiny × tiny)
+    "ann_mrr_audit",  # composes cosine_topk + ivf_topk (their crosses)
+    "ann_probe_sweep",  # composes ivf_topk at 3 probe settings (their crosses)
+    "dedup_method_agreement",  # composes simhash all-pairs verify (LSH-banded at scale)
+    "embedding_dim_variance_audit",  # quantize stats + 1-row max-var crosses
+    "event_rate_spike_audit",  # 1-row (N, H) totals broadcast cross
+    "lang_upsampling_factors",  # 1-row max-count broadcast cross
+    "multimodal_image_neardup",  # exhaustive pair verify (LSH-restricted at scale)
+    "order_backlog_aging",  # 1-row data-derived as-of date broadcast cross
+    "positive_pair_mining",  # composes cosine_topk broadcast query-batch cross
+    "quantization_error_bound",  # 1-row quantize [min,max] stats broadcast cross
+    "t_closeness_audit",  # dimension-sized class×segment grid + 1-row total crosses
 }
 
 
