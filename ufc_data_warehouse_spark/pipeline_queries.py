@@ -2770,3 +2770,117 @@ PIPELINE_QUERIES["quantization_error_bound"] = q_quantization_error_bound
 PIPELINE_ORACLES["quantization_error_bound"] = """
 SELECT count(*)::BIGINT AS n_vectors, TRUE AS within_bound FROM embeddings
 """
+
+
+# ---------------------------------------------------------------------------
+# grouped exact quartiles (per-type box-plot table, rank-defined)
+# ---------------------------------------------------------------------------
+
+
+def q_grouped_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type exact quartiles in integer cents, DEFINED by rank
+    (value at row ⌈q·n⌉ of the (value, event_id)-sorted group — the
+    discrete quantile, so there is no interpolation float and both
+    engines pick the identical row). The box-plot table per category;
+    one window per group partition, no global sort.
+    """
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    picks = ranked.filter(
+        (F.col("rn") == F.expr("(n + 3) div 4"))
+        | (F.col("rn") == F.expr("(n + 1) div 2"))
+        | (F.col("rn") == F.expr("(3 * n + 3) div 4"))
+    )
+    return (
+        picks.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.min(
+                F.when(F.col("rn") == F.expr("(n + 3) div 4"), F.col("cents"))
+            ).alias("p25_cents"),
+            F.min(
+                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("cents"))
+            ).alias("p50_cents"),
+            F.min(
+                F.when(
+                    F.col("rn") == F.expr("(3 * n + 3) div 4"), F.col("cents")
+                )
+            ).alias("p75_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PIPELINE_QUERIES["grouped_quartiles"] = q_grouped_quartiles
+PIPELINE_ORACLES["grouped_quartiles"] = """
+WITH ev AS (
+  SELECT event_type, event_id, floor(value * 100)::BIGINT AS cents
+  FROM events
+),
+ranked AS (
+  SELECT event_type, cents,
+    row_number() OVER (PARTITION BY event_type
+                       ORDER BY cents, event_id) AS rn,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+)
+SELECT event_type, max(n)::BIGINT AS n,
+  min(CASE WHEN rn = (n + 3) // 4 THEN cents END) AS p25_cents,
+  min(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS p50_cents,
+  min(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END) AS p75_cents
+FROM ranked
+WHERE rn = (n + 3) // 4 OR rn = (n + 1) // 2 OR rn = (3 * n + 3) // 4
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# model lineage edges (the dbt-graph as data)
+# ---------------------------------------------------------------------------
+
+
+def q_model_lineage_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registry's dependency graph as a queryable table — what
+    `dbt ls`/`dbt docs` expose: one (model, dependency) edge per row.
+    The oracle is generated FROM the same registry at import time, so a
+    model wiring change shows up as a hash mismatch (lineage is part of
+    the contract, not just code).
+    """
+    from . import models  # noqa: F401 — ensure registrations
+    from .registry import REGISTRY
+
+    rows = sorted(
+        (name, dep)
+        for name, m in REGISTRY.models.items()
+        for dep in m.deps
+    )
+    return spark.createDataFrame(rows, "model string, dependency string").orderBy(
+        "model", "dependency"
+    )
+
+
+def _lineage_oracle() -> str:
+    from . import models  # noqa: F401
+    from .registry import REGISTRY
+
+    rows = sorted(
+        (name, dep)
+        for name, m in REGISTRY.models.items()
+        for dep in m.deps
+    )
+    values = ", ".join(f"('{m}', '{d}')" for m, d in rows)
+    return f"""
+SELECT * FROM (VALUES {values}) AS t(model, dependency)
+ORDER BY model, dependency
+"""
+
+
+PIPELINE_QUERIES["model_lineage_edges"] = q_model_lineage_edges
+PIPELINE_ORACLES["model_lineage_edges"] = _lineage_oracle()
