@@ -2884,3 +2884,84 @@ ORDER BY model, dependency
 
 PIPELINE_QUERIES["model_lineage_edges"] = q_model_lineage_edges
 PIPELINE_ORACLES["model_lineage_edges"] = _lineage_oracle()
+
+
+# ---------------------------------------------------------------------------
+# multi-format federation join (parquet ⋈ JSONL ⋈ ORC in one plan)
+# ---------------------------------------------------------------------------
+
+
+def q_federated_multiformat_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federation smoke: events round-tripped through the JSONL sink,
+    customers through ORC, joined against native parquet nation — three
+    formats in ONE plan, proving the source layer is transport, not
+    semantics (the oracle reads only the original parquet). Writes land
+    once per session in tmp; the join itself broadcasts the dims.
+    """
+    import os as _os
+    import tempfile
+
+    from .sources import ingest
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    ev_path = f"{tempfile.gettempdir()}/fed_events_{tag}"
+    cu_path = f"{tempfile.gettempdir()}/fed_customer_{tag}"
+    events = _read(spark, sf_dir, "events")
+    customer = _read(spark, sf_dir, "customer")
+    if not _os.path.exists(ev_path):
+        ingest.write_jsonl(
+            events.select(
+                "event_id",
+                "user_id",
+                "event_type",
+                F.floor(F.col("value") * 100).cast("long").alias("cents"),
+            ),
+            ev_path,
+        )
+        ingest.write_orc(
+            customer.select("c_custkey", "c_nationkey"), cu_path
+        )
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ev_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("cents", LongType()),
+        ]
+    )
+    ev_jsonl = ingest.read_jsonl(spark, ev_path, schema=ev_schema)
+    cu_orc = ingest.read_orc(spark, cu_path)
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        ev_jsonl.join(
+            F.broadcast(cu_orc), ev_jsonl["user_id"] == cu_orc["c_custkey"]
+        )
+        .join(
+            F.broadcast(nation),
+            cu_orc["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy("n_name", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("n_name", "event_type")
+    )
+
+
+PIPELINE_QUERIES["federated_multiformat_join"] = q_federated_multiformat_join
+PIPELINE_ORACLES["federated_multiformat_join"] = """
+SELECT n_name, event_type, count(*)::BIGINT AS n_events,
+  sum(floor(value * 100)::BIGINT)::BIGINT AS sum_cents
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n_name, event_type ORDER BY n_name, event_type
+"""
