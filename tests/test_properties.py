@@ -658,3 +658,65 @@ def test_span_corruption_budgets_are_consistent(spark):
         assert 0 <= r["sum_masked"] <= r["sum_tokens"]
         assert r["sum_masked"] <= r["sum_sentinels"] * _SPAN_LEN
         assert r["sum_sentinels"] <= r["sum_masked"]
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 100)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_grouped_quartiles_match_rank_definition(spark, rows):
+    """The windowed quartile picks == a literal Python replay of the
+    rank definition (value at row ceil(q*n) of the sorted group)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(g, i, v) for i, (g, v) in enumerate(rows)],
+        "event_type string, event_id long, cents long",
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    ranked = df.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    got = {
+        r["event_type"]: (r["p25"], r["p50"], r["p75"])
+        for r in ranked.groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("rn") == F.expr("(n + 3) div 4"), F.col("cents"))).alias("p25"),
+            F.min(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("cents"))).alias("p50"),
+            F.min(F.when(F.col("rn") == F.expr("(3 * n + 3) div 4"), F.col("cents"))).alias("p75"),
+        )
+        .collect()
+    }
+
+    by_group: dict[str, list[int]] = {}
+    for i, (g, v) in enumerate(rows):
+        by_group.setdefault(g, []).append((v, i))
+    for g, vals in by_group.items():
+        s = [v for v, _ in sorted(vals)]
+        n = len(s)
+        expected = (
+            s[(n + 3) // 4 - 1],
+            s[(n + 1) // 2 - 1],
+            s[(3 * n + 3) // 4 - 1],
+        )
+        assert got[g] == expected, (g, got[g], expected)
+
+
+def test_t_closeness_bounds(spark):
+    """0 ≤ t ≤ 10000 bps and the over-threshold count ≤ class count."""
+    from ufc_data_warehouse_spark.pipeline_queries import q_t_closeness_audit
+
+    from tests.conftest import SF_DIR
+
+    r = q_t_closeness_audit(spark, SF_DIR).collect()[0]
+    assert 0 <= r["max_t_bps"] <= 10000
+    assert 0 <= r["n_classes_over_t"] <= r["n_classes"]
