@@ -426,6 +426,7 @@ def build_late_oracles() -> dict[str, str]:
         "ann_probe_sweep": _probe_sweep_oracle(),
         "ann_ivf_partition_pruned": _ivf_pruned_oracle(),
         "dedup_method_agreement": _method_agreement_oracle(),
+        "ann_ivf_incremental_append": _ivf_incremental_oracle(),
     }
 
 
@@ -2965,3 +2966,48 @@ JOIN customer c ON e.user_id = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n_name, event_type ORDER BY n_name, event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# incremental append to the partitioned IVF index
+# ---------------------------------------------------------------------------
+
+
+def q_ann_ivf_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index maintenance without rebuild: the historical corpus
+    (vec_id % 5 != 0) is written list-partitioned, the new batch
+    (% 5 == 0) lands as an APPEND into the same partitions (new files,
+    untouched old ones), and the probe over the combined index returns
+    exactly what a full rebuild would — the oracle IS the full-corpus IVF
+    SQL. At 100 TB this is the difference between an hourly index refresh
+    and an hourly full rewrite.
+    """
+    import os as _os
+    import tempfile
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"{tempfile.gettempdir()}/ivf_incr_{tag}"
+    # guard on a marker written AFTER the append — _SUCCESS alone lands
+    # after the base write, which would cache a half-built index if the
+    # process died between the two writes
+    marker = f"{path}/_APPENDED"
+    if not _os.path.exists(marker):
+        old = emb.filter(F.col("vec_id") % 5 != 0)
+        new = emb.filter(F.col("vec_id") % 5 == 0)
+        simsearch.write_ivf_partitioned(old, path)
+        new.write.mode("append").partitionBy("label").parquet(path)
+        open(marker, "w").close()
+    return simsearch.ivf_topk_from_partitioned(
+        spark, path, queries, k=10, n_probe=2
+    ).orderBy("query_id", "rank")
+
+
+def _ivf_incremental_oracle() -> str:
+    from .extra_queries import EXTRA_ORACLES
+
+    return EXTRA_ORACLES["ann_ivf_topk"]
+
+
+PIPELINE_QUERIES["ann_ivf_incremental_append"] = q_ann_ivf_incremental_append
