@@ -3011,3 +3011,59 @@ def _ivf_incremental_oracle() -> str:
 
 
 PIPELINE_QUERIES["ann_ivf_incremental_append"] = q_ann_ivf_incremental_append
+
+
+# ---------------------------------------------------------------------------
+# SQL-defined UDF + Arrow-optimized Python UDF surface
+# ---------------------------------------------------------------------------
+
+
+def q_sql_udf_order_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last two UDF surfaces: a Spark 4 SQL scalar UDF (CREATE
+    FUNCTION … RETURN — body inlined by Catalyst, so it optimizes like a
+    plain expression and costs nothing vs a Column) and an Arrow-
+    optimized Python UDF (@udf(useArrow=True) — batch-serialized, the
+    fast lane when Python truly is required). Both compute order value
+    tiers; counts + exact cents per tier.
+    """
+    from pyspark.sql.functions import udf
+
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION order_cents(v DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(floor(v * 100) AS BIGINT)"
+    )
+
+    @udf(returnType="long", useArrow=True)
+    def tier(cents):
+        if cents is None:
+            return 0
+        if cents >= 20_000_000:
+            return 3
+        if cents >= 10_000_000:
+            return 2
+        return 1
+
+    orders = _read(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_orders_udf_v")
+    cents = spark.sql(
+        "SELECT order_cents(o_totalprice) AS cents FROM _orders_udf_v"
+    )
+    return (
+        cents.withColumn("tier", tier(F.col("cents")))
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("tier")
+    )
+
+
+PIPELINE_QUERIES["sql_udf_order_tiers"] = q_sql_udf_order_tiers
+PIPELINE_ORACLES["sql_udf_order_tiers"] = """
+WITH cents AS (SELECT floor(o_totalprice * 100)::BIGINT AS cents FROM orders)
+SELECT CASE WHEN cents >= 20000000 THEN 3
+            WHEN cents >= 10000000 THEN 2 ELSE 1 END::BIGINT AS tier,
+  count(*)::BIGINT AS n_orders, sum(cents)::BIGINT AS sum_cents
+FROM cents GROUP BY 1 ORDER BY tier
+"""
