@@ -127,3 +127,47 @@ def register_balance_udtf(spark) -> None:
                 yield self.user, self.n, self.bal, self.clamps
 
     spark.udtf.register("clamped_balance_udtf", ClampedBalanceUdtf)
+
+
+def register_polymorphic_udtf(spark) -> None:
+    """The remaining Spark 4 UDTF feature: a POLYMORPHIC table function —
+    output schema computed at PLAN time by a static ``analyze`` method
+    from the literal argument, not fixed in the decorator. Here
+    ``pick_stats_udtf(TABLE(...), 'min,max')`` emits one column per
+    requested stat, named after it — the SQL-surface analog of a macro
+    that expands to different projections.
+    """
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StructType
+    from pyspark.sql.udtf import AnalyzeResult
+
+    class PickStatsUdtf:
+        @staticmethod
+        def analyze(table_arg, stats_arg) -> AnalyzeResult:
+            wanted = [s.strip() for s in stats_arg.value.split(",")]
+            schema = StructType().add("user_id", LongType())
+            for s in wanted:
+                schema = schema.add(f"{s}_cents", LongType())
+            return AnalyzeResult(schema=schema)
+
+        def __init__(self) -> None:
+            self.user = None
+            self.vals: list[int] = []
+            self.wanted: list[str] | None = None
+
+        def eval(self, row, stats):
+            if self.wanted is None:
+                self.wanted = [s.strip() for s in stats.split(",")]
+            self.user = row["user_id"]
+            self.vals.append(row["cents"])
+
+        def terminate(self):
+            if self.user is None:
+                return
+            fns = {"min": min, "max": max, "sum": sum}
+            yield (
+                self.user,
+                *[fns[s](self.vals) for s in self.wanted or []],
+            )
+
+    spark.udtf.register("pick_stats_udtf", udtf(PickStatsUdtf))

@@ -3067,3 +3067,43 @@ SELECT CASE WHEN cents >= 20000000 THEN 3
   count(*)::BIGINT AS n_orders, sum(cents)::BIGINT AS sum_cents
 FROM cents GROUP BY 1 ORDER BY tier
 """
+
+
+# ---------------------------------------------------------------------------
+# polymorphic UDTF (plan-time schema via analyze)
+# ---------------------------------------------------------------------------
+
+
+def q_udtf_polymorphic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic table function: `pick_stats_udtf(TABLE(…) PARTITION BY
+    user_id, 'min,max,sum')` — the OUTPUT SCHEMA (one column per
+    requested stat) is computed at PLAN time by the UDTF's static
+    ``analyze`` from the literal argument. Completes the Spark 4 UDTF
+    surface next to the static-schema TABLE-argument UDTFs. Shuffles once
+    on the partition key, O(group) state.
+    """
+    from .operators.udtfs import register_polymorphic_udtf
+
+    register_polymorphic_udtf(spark)
+    ev = _read(spark, sf_dir, "events").selectExpr(
+        "user_id", "cast(floor(value * 100) as long) as cents"
+    )
+    ev.createOrReplaceTempView("_poly_udtf_events")
+    return spark.sql(
+        """
+        SELECT * FROM pick_stats_udtf(
+          TABLE(SELECT user_id, cents FROM _poly_udtf_events)
+            PARTITION BY user_id ORDER BY (cents),
+          'min,max,sum')
+        ORDER BY user_id
+        """
+    )
+
+
+PIPELINE_QUERIES["udtf_polymorphic_stats"] = q_udtf_polymorphic_stats
+PIPELINE_ORACLES["udtf_polymorphic_stats"] = """
+SELECT user_id, min(cents) AS min_cents, max(cents) AS max_cents,
+  sum(cents)::BIGINT AS sum_cents
+FROM (SELECT user_id, floor(value * 100)::BIGINT AS cents FROM events)
+GROUP BY user_id ORDER BY user_id
+"""
