@@ -3107,3 +3107,38 @@ SELECT user_id, min(cents) AS min_cents, max(cents) AS max_cents,
 FROM (SELECT user_id, floor(value * 100)::BIGINT AS cents FROM events)
 GROUP BY user_id ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# SQL pipe syntax (Spark 4 |> operators)
+# ---------------------------------------------------------------------------
+
+
+def q_sql_pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax: the open-order revenue rollup written as
+    a `|>` pipeline (FROM … |> WHERE … |> EXTEND … |> AGGREGATE … |>
+    ORDER BY) — same Catalyst plan as the classic form, but the query
+    reads in dataflow order. Included so a user migrating pipe-syntax SQL
+    has a checked example; the oracle is the classic-syntax equivalent.
+    """
+    orders = _read(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_pipe_orders_v")
+    return spark.sql(
+        """
+        FROM _pipe_orders_v
+        |> WHERE o_orderstatus <> 'F'
+        |> EXTEND cast(floor(o_totalprice * 100) as bigint) AS cents
+        |> AGGREGATE count(*) AS n_orders, sum(cents) AS sum_cents
+             GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
+    )
+
+
+PIPELINE_QUERIES["sql_pipe_syntax_revenue"] = q_sql_pipe_syntax_revenue
+PIPELINE_ORACLES["sql_pipe_syntax_revenue"] = """
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+  sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM orders WHERE o_orderstatus <> 'F'
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
