@@ -427,6 +427,7 @@ def build_late_oracles() -> dict[str, str]:
         "ann_ivf_partition_pruned": _ivf_pruned_oracle(),
         "dedup_method_agreement": _method_agreement_oracle(),
         "ann_ivf_incremental_append": _ivf_incremental_oracle(),
+        "dedup_canonical_by_quality": _canonical_quality_oracle(),
     }
 
 
@@ -3142,3 +3143,67 @@ SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
 FROM orders WHERE o_orderstatus <> 'F'
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# quality-aware canonical selection for dedup clusters
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention POLICY on top of clustering: within each near-dup
+    cluster keep the highest-quality document (quality desc, id asc —
+    total order), not the arbitrary min-id canonical. Output is one row
+    per cluster with the kept doc and the count removed — what the
+    dedup stage actually ships downstream. Pure composition of the
+    production clustering and quality scorer.
+    """
+    from .extra_queries import EXTRA_QUERIES
+
+    clusters = EXTRA_QUERIES["dedup_clusters"](spark, sf_dir).select(
+        "id", "cluster_id"
+    )
+    quality = text.quality_score(_read(spark, sf_dir, "documents")).select(
+        "id", "quality"
+    )
+    joined = clusters.join(quality, "id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("id")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("id"))).alias("kept_id"),
+            F.min(F.when(F.col("rn") == 1, F.col("quality"))).alias(
+                "kept_quality"
+            ),
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_removed"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _canonical_quality_oracle() -> str:
+    from .extra_queries import EXTRA_ORACLES
+
+    clusters = EXTRA_ORACLES["dedup_clusters"].strip()
+    quality = EXTRA_ORACLES["text_quality_score"].strip()
+    return f"""
+WITH clusters_t AS (SELECT id, cluster_id FROM ({clusters}) c),
+qual AS (SELECT id, quality FROM ({quality}) q),
+ranked AS (
+  SELECT c.cluster_id, c.id, q.quality,
+    row_number() OVER (PARTITION BY c.cluster_id
+                       ORDER BY q.quality DESC, c.id) AS rn
+  FROM clusters_t c JOIN qual q ON c.id = q.id
+)
+SELECT cluster_id,
+  min(CASE WHEN rn = 1 THEN id END) AS kept_id,
+  min(CASE WHEN rn = 1 THEN quality END) AS kept_quality,
+  (count(*) - 1)::BIGINT AS n_removed
+FROM ranked GROUP BY cluster_id ORDER BY cluster_id
+"""
+
+
+PIPELINE_QUERIES["dedup_canonical_by_quality"] = q_dedup_canonical_by_quality
