@@ -59,6 +59,7 @@ EXPECTED_NLJ = {
     "source_distinctive_terms",  # 1-row corpus-token-total broadcast cross
     "ann_cascade_rerank",  # quantize stats cross + broadcast query-set stage-1 cross
     "ann_ivf_partition_pruned",  # broadcast medoid-reps probe cross (tiny × tiny)
+    "ann_ivf_incremental_append",  # broadcast medoid-reps probe cross (tiny × tiny)
     "ann_mrr_audit",  # composes cosine_topk + ivf_topk (their crosses)
     "ann_probe_sweep",  # composes ivf_topk at 3 probe settings (their crosses)
     "dedup_method_agreement",  # composes simhash all-pairs verify (LSH-banded at scale)
