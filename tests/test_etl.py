@@ -237,3 +237,36 @@ def test_write_audit_publish_gates_bad_data(spark, tmp_path):
     assert v3 == 3
     assert etl.read_published(spark, table).count() == 2
     assert {r["id"] for r in etl.read_published(spark, table).collect()} == {3, 4}
+
+
+def test_prune_versions_keeps_latest_and_n(spark, tmp_path):
+    """Retention drops old snapshots but never the pointer target: after
+    5 publishes with keep=2, v4/v5 survive, v1-v3 are gone, and a pinned
+    pointer older than the cutoff is always retained."""
+    import os
+
+    from ufc_data_warehouse_spark import etl
+
+    d = str(tmp_path / "tbl")
+    for i in range(5):
+        df = spark.range(i + 1).selectExpr("id", f"{i + 1} as ver")
+        etl.versioned_publish(df, d)
+    pruned = etl.prune_versions(d, keep=2)
+    assert pruned == [1, 2, 3]
+    assert sorted(x for x in os.listdir(d) if x.startswith("v=")) == [
+        "v=4",
+        "v=5",
+    ]
+    assert etl.read_published(spark, d).count() == 5
+
+    # pin the pointer to an old version, then prune — the target survives
+    with open(f"{d}/_LATEST", "w") as f:
+        f.write("4")
+    etl.versioned_publish(spark.range(9), d)  # v=5 exists → writes v=6
+    with open(f"{d}/_LATEST", "w") as f:
+        f.write("4")
+    pruned2 = etl.prune_versions(d, keep=1)
+    left = sorted(x for x in os.listdir(d) if x.startswith("v="))
+    assert "v=4" in left and "v=6" in left and "v=5" not in left
+    assert 5 in pruned2
+    assert etl.read_published(spark, d).count() == 4

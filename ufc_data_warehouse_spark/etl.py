@@ -153,6 +153,43 @@ def versioned_publish(df, table_dir: str) -> int:
     return version
 
 
+def prune_versions(table_dir: str, keep: int = 3) -> list[int]:
+    """Retention (VACUUM-lite) for :func:`versioned_publish` history: drop
+    all but the newest ``keep`` snapshot directories, NEVER the one
+    ``_LATEST`` points at (even if it is older than the cutoff — a reader
+    pinned to the pointer must always resolve). Returns the pruned
+    version numbers.
+
+    Deletion order is safety-first: the pointer is read BEFORE listing,
+    and candidate directories are removed oldest-first, so a crash mid-
+    prune leaves a longer history, never a dangling pointer. Run it from
+    the orchestrator after a publish — same single-writer assumption as
+    the publish itself.
+    """
+    import os
+    import shutil
+
+    try:
+        with open(f"{table_dir}/_LATEST") as f:
+            latest = int(f.read().strip())
+    except FileNotFoundError:
+        latest = None
+    versions = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(table_dir)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    )
+    keep_set = set(versions[-keep:]) if keep > 0 else set()
+    if latest is not None:
+        keep_set.add(latest)
+    pruned = []
+    for v in versions:
+        if v not in keep_set:
+            shutil.rmtree(f"{table_dir}/v={v}")
+            pruned.append(v)
+    return pruned
+
+
 def read_published(spark: SparkSession, table_dir: str, version: int | None = None):
     """Read a published snapshot: the ``_LATEST`` pointer by default, or a
     pinned historical ``version`` (reproducibility: a training run records
