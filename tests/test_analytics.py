@@ -337,3 +337,28 @@ def test_gap_audit_stitches_bucket_boundaries(spark):
     assert row["total_missing"] == 19994 == (20000 - 1 + 1) - 6
     assert row["n_gaps"] == 3
     assert row["max_gap_len"] == 14997
+
+
+def test_streaming_progress_listener_captures_batches(spark):
+    """The Python StreamingQueryListener observability hook: an
+    AvailableNow run reports its input rows and a clean termination
+    through the listener, and detaching stops further capture."""
+    import time
+
+    from tests.conftest import SF_DIR
+
+    from ufc_data_warehouse_spark.streaming import events as se
+
+    stream = se.read_events_stream(spark, SF_DIR)
+    with se.ProgressCapture(spark) as cap:
+        out = se.run_available_now(se.tumbling_counts(stream))
+        n_windows = out.count()
+        # listener events are delivered async — bounded wait
+        for _ in range(60):
+            if cap.terminated:
+                break
+            time.sleep(0.5)
+    assert n_windows > 0
+    assert sum(cap.rows_per_batch) > 0
+    assert cap.started and cap.terminated
+    assert all(clean for _, clean in cap.terminated)

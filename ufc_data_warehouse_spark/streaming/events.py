@@ -591,3 +591,53 @@ def windowed_distinct_users(stream: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_distinct_users"))
         .select(F.col("w.start").alias("window_start"), "n_distinct_users")
     )
+
+
+class ProgressCapture:
+    """Python ``StreamingQueryListener`` capturing per-batch progress —
+    the observability hook a production stream exports to metrics: rows
+    per batch, batch ids, and terminal state land in driver-side lists.
+
+    Use as a context manager so the listener is ALWAYS detached (a leaked
+    listener keeps firing for every later stream in the session)::
+
+        with ProgressCapture(spark) as cap:
+            run_available_now(stream_df)
+        assert sum(cap.rows_per_batch) == expected_rows
+    """
+
+    def __init__(self, spark) -> None:
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        capture = self
+
+        class _Listener(StreamingQueryListener):
+            def onQueryStarted(self, event) -> None:
+                capture.started.append(event.id)
+
+            def onQueryProgress(self, event) -> None:
+                p = event.progress
+                capture.rows_per_batch.append(int(p.numInputRows))
+                capture.batch_ids.append(int(p.batchId))
+
+            def onQueryIdle(self, event) -> None:  # pragma: no cover
+                pass
+
+            def onQueryTerminated(self, event) -> None:
+                capture.terminated.append(
+                    (event.id, event.exception is None)
+                )
+
+        self._spark = spark
+        self._listener = _Listener()
+        self.started: list = []
+        self.rows_per_batch: list[int] = []
+        self.batch_ids: list[int] = []
+        self.terminated: list = []
+
+    def __enter__(self) -> "ProgressCapture":
+        self._spark.streams.addListener(self._listener)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._spark.streams.removeListener(self._listener)
