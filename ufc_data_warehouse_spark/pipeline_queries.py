@@ -3207,3 +3207,72 @@ FROM ranked GROUP BY cluster_id ORDER BY cluster_id
 
 
 PIPELINE_QUERIES["dedup_canonical_by_quality"] = q_dedup_canonical_by_quality
+
+
+# ---------------------------------------------------------------------------
+# lexicon-based content filter rate (safety-filter shape)
+# ---------------------------------------------------------------------------
+
+_DENY_TOKENS = ("slow", "error", "crash")  # stand-in safety lexicon
+
+
+def q_lexicon_filter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The safety-filter shape every pretraining pipeline runs: per
+    source, how many documents contain ≥1 deny-list token (whole-token
+    match on the normalized text, not substring — 'slower' must not trip
+    'slow'), hit counts, and the filter rate in bps. The lexicon is a
+    broadcast-size list compiled into the expression; swapping in a real
+    deny-list changes data, not the plan.
+    """
+    docs = _read(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    toks = F.split(norm, " ")
+    deny = F.array(*[F.lit(t) for t in _DENY_TOKENS])
+    n_hits = F.size(F.array_intersect(toks, deny))
+    per_doc = docs.select(
+        "source",
+        (n_hits > 0).cast("int").alias("flagged"),
+        F.size(
+            F.filter(toks, lambda t: F.array_contains(deny, t))
+        ).alias("hit_tokens"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("flagged").cast("long").alias("n_flagged"),
+            F.sum("hit_tokens").cast("long").alias("n_hit_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_flagged",
+            "n_hit_tokens",
+            F.expr("n_flagged * 10000 div n_docs").alias("flag_rate_bps"),
+        )
+        .orderBy("source")
+    )
+
+
+PIPELINE_QUERIES["lexicon_filter_rate"] = q_lexicon_filter_rate
+PIPELINE_ORACLES["lexicon_filter_rate"] = f"""
+WITH toks AS (
+  SELECT source,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+      AS toks
+  FROM documents
+),
+per_doc AS (
+  SELECT source,
+    CASE WHEN len(list_intersect(toks,
+      {list(_DENY_TOKENS)!r})) > 0 THEN 1 ELSE 0 END AS flagged,
+    len(list_filter(toks, t -> list_contains(
+      {list(_DENY_TOKENS)!r}, t))) AS hit_tokens
+  FROM toks
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+  sum(flagged)::BIGINT AS n_flagged,
+  sum(hit_tokens)::BIGINT AS n_hit_tokens,
+  (sum(flagged) * 10000 // count(*))::BIGINT AS flag_rate_bps
+FROM per_doc GROUP BY source ORDER BY source
+"""
