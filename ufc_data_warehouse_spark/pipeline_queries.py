@@ -3276,3 +3276,89 @@ SELECT source, count(*)::BIGINT AS n_docs,
   (sum(flagged) * 10000 // count(*))::BIGINT AS flag_rate_bps
 FROM per_doc GROUP BY source ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# train/val split leakage audit (near-dups straddling the split)
+# ---------------------------------------------------------------------------
+
+_SPLIT_MULT = 2654435761
+_SPLIT_TRAIN_PCT = 80
+
+
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval-integrity gate: after an 80/20 hash split, how many
+    NEAR-DUPLICATE pairs (LSH candidates with exact Jaccard ≥ 0.5)
+    straddle the boundary? Each one leaks training text into validation —
+    the bug class that silently inflates eval scores. Composes the
+    production candidate generator and exact verifier with the pure-hash
+    split (reproducible, engine-exact).
+    """
+    from .extra_queries import _lsh_candidates, _shingles
+    from .operators import dedup
+
+    sh = _shingles(spark, sf_dir)
+    cand = _lsh_candidates(spark, sf_dir)
+    pairs = dedup.jaccard_pairs(sh, min_jaccard=0.5, candidates=cand).select(
+        "id_a", "id_b"
+    )
+    is_train = lambda c: (  # noqa: E731
+        (c * _SPLIT_MULT) % 100 < _SPLIT_TRAIN_PCT
+    ).cast("int")
+    flagged = pairs.select(
+        is_train(F.col("id_a")).alias("a_train"),
+        is_train(F.col("id_b")).alias("b_train"),
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_near_dup_pairs"),
+        F.sum(F.expr("CASE WHEN a_train <> b_train THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_leaking_pairs"),
+        F.expr(
+            "sum(CASE WHEN a_train <> b_train THEN 1 ELSE 0 END) * 10000"
+            " div count(1)"
+        ).alias("leak_rate_bps"),
+    )
+
+
+def _split_leakage_oracle() -> str:
+    from .sqlfrag import (
+        _BANDS_SQL,
+        _JACCARD_CORE_SQL,
+        _MINHASH_SQL,
+        _SHINGLES_SQL,
+    )
+
+    return f"""
+WITH {_SHINGLES_SQL.strip().lstrip(',')},
+sigs AS ({_MINHASH_SQL}),
+buckets AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM buckets l JOIN buckets r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+),
+{_JACCARD_CORE_SQL.strip().lstrip(',')},
+pairs AS (
+  SELECT j.id_a, j.id_b
+  FROM jac j JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+  WHERE 100 * j.shared >= 50 * j.union_size
+),
+flagged AS (
+  SELECT CASE WHEN (id_a * {_SPLIT_MULT}) % 100 < {_SPLIT_TRAIN_PCT}
+              THEN 1 ELSE 0 END AS a_train,
+         CASE WHEN (id_b * {_SPLIT_MULT}) % 100 < {_SPLIT_TRAIN_PCT}
+              THEN 1 ELSE 0 END AS b_train
+  FROM pairs
+)
+SELECT count(*)::BIGINT AS n_near_dup_pairs,
+  sum(CASE WHEN a_train <> b_train THEN 1 ELSE 0 END)::BIGINT
+    AS n_leaking_pairs,
+  (sum(CASE WHEN a_train <> b_train THEN 1 ELSE 0 END) * 10000
+   // count(*))::BIGINT AS leak_rate_bps
+FROM flagged
+"""
+
+
+PIPELINE_QUERIES["split_leakage_audit"] = q_split_leakage_audit
+PIPELINE_ORACLES["split_leakage_audit"] = _split_leakage_oracle()
