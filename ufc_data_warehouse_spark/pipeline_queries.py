@@ -428,6 +428,7 @@ def build_late_oracles() -> dict[str, str]:
         "dedup_method_agreement": _method_agreement_oracle(),
         "ann_ivf_incremental_append": _ivf_incremental_oracle(),
         "dedup_canonical_by_quality": _canonical_quality_oracle(),
+        "ann_ndcg_audit": _ndcg_oracle(),
     }
 
 
@@ -3362,3 +3363,100 @@ FROM flagged
 
 PIPELINE_QUERIES["split_leakage_audit"] = q_split_leakage_audit
 PIPELINE_ORACLES["split_leakage_audit"] = _split_leakage_oracle()
+
+
+# ---------------------------------------------------------------------------
+# NDCG@10 audit (rank-quality with graded discounts, cross-engine-safe logs)
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+# discounts computed ONCE driver-side with glibc log (same trick as the
+# TF-IDF idf table: JVM Math.log and glibc disagree in the last ulp for
+# some inputs, so neither engine computes a log at query time)
+_NDCG_DISCOUNTS = [1.0 / _math.log2(i + 1) for i in range(1, 11)]
+
+
+def q_ann_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-quality audit #3 (after recall and MRR): NDCG@10 of the IVF
+    path with binary same-label relevance. The log2 discounts are
+    embedded as literals computed driver-side, so no engine evaluates a
+    logarithm and DCG is bit-identical double math on both sides; IDCG
+    follows from the per-query relevant count. One audit row per query.
+    """
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    ivf = simsearch.ivf_topk(emb, queries, k=10, n_probe=2)
+    labels = emb.select("vec_id", "label")
+    qlab = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    nlab = labels.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    disc = F.array(*[F.lit(d) for d in _NDCG_DISCOUNTS])
+    rel = (
+        ivf.join(F.broadcast(qlab), "query_id")
+        .join(nlab, "neighbor_id")
+        .select(
+            "query_id",
+            F.when(F.col("q_label") == F.col("n_label"), 1)
+            .otherwise(0)
+            .alias("rel"),
+            F.element_at(disc, F.col("rank")).alias("disc"),
+        )
+    )
+    per_q = rel.groupBy("query_id").agg(
+        F.sum(F.col("rel") * F.col("disc")).alias("dcg"),
+        F.sum("rel").cast("int").alias("n_rel"),
+    )
+    # ideal DCG for r relevant items = sum of the first r discounts
+    idcg_prefix = [0.0]
+    for d in _NDCG_DISCOUNTS:
+        idcg_prefix.append(idcg_prefix[-1] + d)
+    idcg = F.array(*[F.lit(v) for v in idcg_prefix])
+    return (
+        per_q.select(
+            "query_id",
+            "n_rel",
+            F.when(F.col("n_rel") == 0, F.lit(0.0))
+            .otherwise(
+                F.col("dcg") / F.element_at(idcg, F.col("n_rel") + 1)
+            )
+            .alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _ndcg_oracle() -> str:
+    from .extra_queries import EXTRA_ORACLES
+
+    ivf = EXTRA_ORACLES["ann_ivf_topk"].strip()
+    disc = ", ".join(repr(d) for d in _NDCG_DISCOUNTS)
+    idcg_prefix = [0.0]
+    for d in _NDCG_DISCOUNTS:
+        idcg_prefix.append(idcg_prefix[-1] + d)
+    idcg = ", ".join(repr(v) for v in idcg_prefix)
+    return f"""
+WITH ivf_t AS ({ivf}),
+rel AS (
+  SELECT i.query_id,
+    CASE WHEN q.label = n.label THEN 1 ELSE 0 END AS rel,
+    ([{disc}])[i.rank] AS disc
+  FROM ivf_t i
+  JOIN embeddings q ON i.query_id = q.vec_id
+  JOIN embeddings n ON i.neighbor_id = n.vec_id
+),
+per_q AS (
+  SELECT query_id, sum(rel * disc) AS dcg, sum(rel)::INT AS n_rel
+  FROM rel GROUP BY query_id
+)
+SELECT query_id, n_rel,
+  CASE WHEN n_rel = 0 THEN 0.0
+       ELSE dcg / ([{idcg}])[n_rel + 1] END AS ndcg
+FROM per_q ORDER BY query_id
+"""
+
+
+PIPELINE_QUERIES["ann_ndcg_audit"] = q_ann_ndcg_audit
