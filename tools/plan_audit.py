@@ -61,6 +61,7 @@ EXPECTED_NLJ = {
     "ann_ivf_partition_pruned",  # broadcast medoid-reps probe cross (tiny × tiny)
     "ann_ivf_incremental_append",  # broadcast medoid-reps probe cross (tiny × tiny)
     "ann_mrr_audit",  # composes cosine_topk + ivf_topk (their crosses)
+    "ann_ndcg_audit",  # composes ivf_topk broadcast probe crosses
     "ann_probe_sweep",  # composes ivf_topk at 3 probe settings (their crosses)
     "dedup_method_agreement",  # composes simhash all-pairs verify (LSH-banded at scale)
     "embedding_dim_variance_audit",  # quantize stats + 1-row max-var crosses
