@@ -921,3 +921,19 @@ def test_rollup_router_serves_subset_dims_from_rollup(spark, tmp_path):
     plan_fb = fallback._jdf.queryExecution().executedPlan().toString()
     assert "user_id:" in plan_fb.replace(" ", "")
     assert "n:bigint,cents:bigint" not in plan_fb.replace(" ", "")
+
+
+def test_scan_budget_guard_blocks_and_passes(spark):
+    """The pre-execution cost gate: a tiny budget raises before any job
+    runs; a generous one returns the frame unchanged."""
+    import pytest as _pytest
+
+    from tests.conftest import SF_DIR
+
+    from ufc_data_warehouse_spark.operators import scale
+
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    with _pytest.raises(scale.ScanBudgetExceeded):
+        scale.scan_budget_guard(df, max_bytes=10)
+    out = scale.scan_budget_guard(df, max_bytes=1 << 40)
+    assert out.count() > 0

@@ -721,3 +721,30 @@ def distributed_kth_smallest(
             F.col("v").alias("kth_value"),
         )
     )
+
+
+class ScanBudgetExceeded(RuntimeError):
+    """Raised by :func:`scan_budget_guard` when a plan's estimated input
+    size exceeds the caller's budget."""
+
+
+def scan_budget_guard(df, max_bytes: int):
+    """Cost-governance guardrail: refuse to execute a plan whose
+    OPTIMIZED-plan size estimate exceeds ``max_bytes`` — the warehouse
+    'you are about to scan 90 TB, did you mean that?' gate, enforced
+    BEFORE any task launches (the estimate comes from file statistics,
+    so checking it is free). Returns the df unchanged when within
+    budget; raises :class:`ScanBudgetExceeded` otherwise.
+
+    At 100 TB this guards the interactive entry point: ad-hoc queries
+    route through it with a per-team budget; batch pipelines pass
+    ``max_bytes=None`` semantics by simply not calling it.
+    """
+    est = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    if est > max_bytes:
+        raise ScanBudgetExceeded(
+            f"plan estimates {est} bytes > budget {max_bytes}"
+        )
+    return df

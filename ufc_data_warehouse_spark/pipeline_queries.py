@@ -3460,3 +3460,74 @@ FROM per_q ORDER BY query_id
 
 
 PIPELINE_QUERIES["ann_ndcg_audit"] = q_ann_ndcg_audit
+
+
+# ---------------------------------------------------------------------------
+# OOV rate per language against the top-N corpus vocabulary
+# ---------------------------------------------------------------------------
+
+_OOV_VOCAB_N = 20
+
+
+def q_oov_rate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: the out-of-vocabulary token rate per
+    language against the corpus's top-N terms (N=20 here — sized to the synthetic vocab so the OOV path is actually exercised; a real corpus uses 30k+) (count desc, term asc —
+    total order, so the vocab set is engine-exact). High OOV for a
+    language = the vocab under-serves it; the companion number to
+    tokenizer fertility. Vocab is a broadcast-size set; one token scan.
+    """
+    docs = _read(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    toks = docs.select(
+        "lang", F.explode(F.split(norm, " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(_OOV_VOCAB_N)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    flagged = toks.join(F.broadcast(vocab), "tok", "left").select(
+        "lang",
+        F.coalesce("in_vocab", F.lit(0)).alias("in_vocab"),
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.lit(1) - F.col("in_vocab")).cast("long").alias("n_oov"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_oov",
+            F.expr("n_oov * 10000 div n_tokens").alias("oov_bps"),
+        )
+        .orderBy("lang")
+    )
+
+
+PIPELINE_QUERIES["oov_rate_by_lang"] = q_oov_rate_by_lang
+PIPELINE_ORACLES["oov_rate_by_lang"] = f"""
+WITH toks AS (
+  SELECT lang, t.tok
+  FROM (SELECT lang, string_split(
+          trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk
+        FROM documents) d,
+       unnest(tk) AS t(tok)
+  WHERE t.tok <> ''
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS n FROM toks GROUP BY tok
+    ORDER BY n DESC, tok LIMIT {_OOV_VOCAB_N})
+),
+flagged AS (
+  SELECT lang, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+)
+SELECT lang, count(*)::BIGINT AS n_tokens, sum(oov)::BIGINT AS n_oov,
+  (sum(oov) * 10000 // count(*))::BIGINT AS oov_bps
+FROM flagged GROUP BY lang ORDER BY lang
+"""
