@@ -3531,3 +3531,85 @@ SELECT lang, count(*)::BIGINT AS n_tokens, sum(oov)::BIGINT AS n_oov,
   (sum(oov) * 10000 // count(*))::BIGINT AS oov_bps
 FROM flagged GROUP BY lang ORDER BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Neyman-style stratified sample allocation (exact integer weights)
+# ---------------------------------------------------------------------------
+
+_NEYMAN_BUDGET = 1000
+
+
+def q_neyman_allocation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-aware stratified sampling allocation: a 1000-row budget
+    split across event-type strata proportionally to the exact
+    integer (n·Σx²−S²) div n (≈ n·Var — Neyman's n_h·S_h ordering
+    without sqrt, divided through by n to stay inside BIGINT when
+    multiplied by the budget), rounded by largest remainder so
+    the allocations sum EXACTLY to the budget. The sampling plan a
+    stats-aware pipeline computes before drawing; all integer, both
+    engines agree on every seat.
+    """
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    strata = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    ).select(
+        "event_type",
+        "n",
+        F.expr("(n * s2 - s * s) div n").alias("w"),
+    )
+    tot = strata.agg(F.sum("w").alias("w_tot"))
+    based = strata.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n",
+        "w",
+        F.expr(f"w * {_NEYMAN_BUDGET} div w_tot").alias("base"),
+        F.expr(f"w * {_NEYMAN_BUDGET} % w_tot").alias("rem"),
+    )
+    leftover = based.agg(
+        (F.lit(_NEYMAN_BUDGET) - F.sum("base")).alias("extra")
+    )
+    w_rank = Window.orderBy(F.desc("rem"), F.asc("event_type"))
+    return (
+        based.crossJoin(F.broadcast(leftover))
+        .withColumn("rk", F.row_number().over(w_rank))
+        .select(
+            "event_type",
+            "n",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("extra"), 1).otherwise(0)
+            ).alias("allocated"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PIPELINE_QUERIES["neyman_allocation_counts"] = q_neyman_allocation_counts
+PIPELINE_ORACLES["neyman_allocation_counts"] = f"""
+WITH ev AS (
+  SELECT event_type, floor(value * 100)::BIGINT AS cents FROM events
+),
+strata AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+    ((count(*) * sum(cents * cents) - sum(cents) * sum(cents)) // count(*))::BIGINT AS w
+  FROM ev GROUP BY event_type
+),
+tot AS (SELECT sum(w)::BIGINT AS w_tot FROM strata),
+based AS (
+  SELECT event_type, n, w,
+    (w * {_NEYMAN_BUDGET}) // w_tot AS base,
+    (w * {_NEYMAN_BUDGET}) % w_tot AS rem
+  FROM strata, tot
+),
+leftover AS (SELECT {_NEYMAN_BUDGET} - sum(base) AS extra FROM based)
+SELECT event_type, n,
+  (base + CASE WHEN row_number() OVER (ORDER BY rem DESC, event_type)
+                    <= extra THEN 1 ELSE 0 END)::BIGINT AS allocated
+FROM based, leftover ORDER BY event_type
+"""
