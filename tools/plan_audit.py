@@ -72,6 +72,7 @@ EXPECTED_NLJ = {
     "positive_pair_mining",  # composes cosine_topk broadcast query-batch cross
     "quantization_error_bound",  # 1-row quantize [min,max] stats broadcast cross
     "t_closeness_audit",  # dimension-sized class×segment grid + 1-row total crosses
+    "neyman_allocation_counts",  # 1-row weight-total + leftover broadcast crosses
 }
 
 

@@ -3613,3 +3613,61 @@ SELECT event_type, n,
                     <= extra THEN 1 ELSE 0 END)::BIGINT AS allocated
 FROM based, leftover ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# per-user daily rate limiting (quota enforcement replay)
+# ---------------------------------------------------------------------------
+
+_RATE_LIMIT_K = 5
+
+
+def q_rate_limit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota enforcement as a batch replay: keep each user's FIRST 5
+    events per day (event-time order, event_id tie-break — total order,
+    so the kept set is engine-exact) and report per-day admitted/dropped
+    counts. The deterministic twin of an API rate limiter — useful both
+    for backfill parity with the online limiter and for capping
+    per-contributor data in a training mix. One keyed window.
+    """
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("unix_millis(CAST(ts AS TIMESTAMP)) div 86400000").alias("day"),
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "admitted",
+        (F.row_number().over(w) <= _RATE_LIMIT_K).cast("int"),
+    )
+    return (
+        flagged.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("admitted").cast("long").alias("n_admitted"),
+            F.sum(F.lit(1) - F.col("admitted")).cast("long").alias("n_dropped"),
+        )
+        .orderBy("day")
+    )
+
+
+PIPELINE_QUERIES["rate_limit_events"] = q_rate_limit_events
+PIPELINE_ORACLES["rate_limit_events"] = f"""
+WITH ev AS (
+  SELECT user_id, event_id, ts,
+    epoch_ms(ts)::BIGINT // 86400000 AS day
+  FROM events
+),
+flagged AS (
+  SELECT day,
+    CASE WHEN row_number() OVER (PARTITION BY user_id, day
+                                 ORDER BY ts, event_id)
+              <= {_RATE_LIMIT_K} THEN 1 ELSE 0 END AS admitted
+  FROM ev
+)
+SELECT day, count(*)::BIGINT AS n_events,
+  sum(admitted)::BIGINT AS n_admitted,
+  sum(1 - admitted)::BIGINT AS n_dropped
+FROM flagged GROUP BY day ORDER BY day
+"""
