@@ -429,6 +429,7 @@ def build_late_oracles() -> dict[str, str]:
         "ann_ivf_incremental_append": _ivf_incremental_oracle(),
         "dedup_canonical_by_quality": _canonical_quality_oracle(),
         "ann_ndcg_audit": _ndcg_oracle(),
+        "knn_label_purity": _knn_purity_oracle(),
     }
 
 
@@ -3671,3 +3672,164 @@ SELECT day, count(*)::BIGINT AS n_events,
   sum(1 - admitted)::BIGINT AS n_dropped
 FROM flagged GROUP BY day ORDER BY day
 """
+
+
+# ---------------------------------------------------------------------------
+# time-decay attribution (exact integer halving weights)
+# ---------------------------------------------------------------------------
+
+
+def q_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution with exponential time decay, kept exact: the weight is
+    an integer RIGHT-SHIFT — 128 >> (age_days div 7), halving per week —
+    so no float pow exists and every engine agrees on every credit. Each
+    purchase credits its most recent preceding touch (same zero-join
+    carry-forward window as last_touch_attribution); the rollup reports
+    weighted credit per channel in exact weight·cents units.
+    """
+    ev = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("click", "view", "signup")
+    touch_ts = F.last(F.when(is_touch, F.col("ts")), ignorenulls=True).over(w)
+    touch_type = F.last(
+        F.when(is_touch, F.col("event_type")), ignorenulls=True
+    ).over(w)
+    purchases = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+            touch_ts.alias("t_ts"),
+            touch_type.alias("t_type"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce("t_type", F.lit("unattributed")).alias("channel"),
+            "cents",
+            F.when(
+                F.col("t_ts").isNotNull(),
+                F.expr(
+                    "(unix_millis(CAST(ts AS TIMESTAMP))"
+                    " - unix_millis(CAST(t_ts AS TIMESTAMP)))"
+                    " div 86400000"
+                ),
+            ).alias("age_days"),
+        )
+    )
+    weight = F.when(
+        F.col("age_days").isNull() | (F.col("age_days") >= 49), F.lit(0)
+    ).otherwise(
+        F.expr("shiftright(128, cast(age_days div 7 as int))")
+    )
+    return (
+        purchases.withColumn("wt", weight.cast("long"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("wt") * F.col("cents")).alias("weighted_credit"),
+        )
+        .orderBy("channel")
+    )
+
+
+PIPELINE_QUERIES["time_decay_attribution"] = q_time_decay_attribution
+PIPELINE_ORACLES["time_decay_attribution"] = """
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type,
+    floor(value * 100)::BIGINT AS cents,
+    last_value(CASE WHEN event_type IN ('click', 'view', 'signup')
+                    THEN ts END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_ts,
+    last_value(CASE WHEN event_type IN ('click', 'view', 'signup')
+                    THEN event_type END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_type
+  FROM events
+),
+purchases AS (
+  SELECT coalesce(t_type, 'unattributed') AS channel, cents,
+    CASE WHEN t_ts IS NOT NULL
+         THEN (epoch_ms(ts) - epoch_ms(t_ts)) // 86400000 END AS age_days
+  FROM ev WHERE event_type = 'purchase'
+),
+weighted AS (
+  SELECT channel, cents,
+    CASE WHEN age_days IS NULL OR age_days >= 49 THEN 0
+         ELSE 128 // (1 << (age_days // 7)) END::BIGINT AS wt
+  FROM purchases
+)
+SELECT channel, count(*)::BIGINT AS n_purchases,
+  sum(wt * cents)::BIGINT AS weighted_credit
+FROM weighted GROUP BY channel ORDER BY channel
+"""
+
+
+# ---------------------------------------------------------------------------
+# kNN label purity (label-noise audit)
+# ---------------------------------------------------------------------------
+
+
+def q_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit in the confident-learning spirit: for each
+    sampled query point, what fraction of its 10 exact nearest neighbors
+    share its label (integer bps)? Points whose neighborhood disagrees
+    are mislabeling candidates — the triage list a data-quality pass
+    reviews before training. Pure composition of the exact retriever.
+    """
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    topk = simsearch.cosine_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    labels = emb.select("vec_id", "label")
+    qlab = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    nlab = labels.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    return (
+        topk.join(F.broadcast(qlab), "query_id")
+        .join(nlab, "neighbor_id")
+        .groupBy("query_id", "q_label")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(
+                F.when(F.col("q_label") == F.col("n_label"), 1).otherwise(0)
+            ).cast("long").alias("n_same"),
+        )
+        .select(
+            "query_id",
+            F.col("q_label").alias("label"),
+            "n_same",
+            F.expr("n_same * 10000 div k").alias("purity_bps"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _knn_purity_oracle() -> str:
+    from .extra_queries import EXTRA_ORACLES
+
+    exact = EXTRA_ORACLES["ann_cosine_topk"].strip()
+    return f"""
+WITH topk AS ({exact})
+SELECT t.query_id, q.label,
+  sum(CASE WHEN q.label = n.label THEN 1 ELSE 0 END)::BIGINT AS n_same,
+  (sum(CASE WHEN q.label = n.label THEN 1 ELSE 0 END) * 10000
+   // count(*))::BIGINT AS purity_bps
+FROM topk t
+JOIN embeddings q ON t.query_id = q.vec_id
+JOIN embeddings n ON t.neighbor_id = n.vec_id
+GROUP BY t.query_id, q.label ORDER BY t.query_id
+"""
+
+
+PIPELINE_QUERIES["knn_label_purity"] = q_knn_label_purity
