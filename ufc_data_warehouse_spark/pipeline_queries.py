@@ -3833,3 +3833,98 @@ GROUP BY t.query_id, q.label ORDER BY t.query_id
 
 
 PIPELINE_QUERIES["knn_label_purity"] = q_knn_label_purity
+
+
+# ---------------------------------------------------------------------------
+# funnel conversion-window sensitivity sweep
+# ---------------------------------------------------------------------------
+
+_FUNNEL_WINDOWS_H = (1, 6, 24)
+
+
+def q_funnel_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point sweep for the signup→click→purchase funnel: the
+    same staged funnel at 1h / 6h / 24h conversion windows in one result
+    — how sensitive the reported conversion is to the window choice (a
+    cliff between rows means the window is doing the work, not the
+    product). Same keyed-on-user plan per arm; arms are unioned.
+    """
+    ev = _read(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    out = None
+    for hours in _FUNNEL_WINDOWS_H:
+        iv = F.expr(f"INTERVAL {hours} HOURS")
+        s = (
+            ev.filter(F.col("event_type") == "signup")
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("s_ts"))
+        )
+        c = (
+            ev.join(s, "user_id")
+            .filter(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("s_ts"))
+                & (F.col("ts") <= F.col("s_ts") + iv)
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("c_ts"))
+        )
+        p = (
+            ev.join(c, "user_id")
+            .filter(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("c_ts"))
+                & (F.col("ts") <= F.col("c_ts") + iv)
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("p_ts"))
+        )
+        arm = (
+            s.join(c, "user_id", "left")
+            .join(p, "user_id", "left")
+            .agg(
+                F.lit(hours).cast("int").alias("window_hours"),
+                F.count("s_ts").alias("n_signup"),
+                F.count("c_ts").alias("n_click"),
+                F.count("p_ts").alias("n_purchase"),
+            )
+            .select("window_hours", "n_signup", "n_click", "n_purchase")
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out.orderBy("window_hours")
+
+
+def _funnel_sweep_oracle() -> str:
+    arms = []
+    for hours in _FUNNEL_WINDOWS_H:
+        arms.append(f"""
+SELECT {hours}::INT AS window_hours, count(s.s_ts) AS n_signup,
+  count(c.c_ts) AS n_click, count(p.p_ts) AS n_purchase
+FROM (SELECT user_id, min(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id) s
+LEFT JOIN (
+  SELECT e.user_id, min(e.ts) AS c_ts
+  FROM events e JOIN (SELECT user_id, min(ts) AS s_ts FROM events
+                      WHERE event_type = 'signup' GROUP BY user_id) s2
+    USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s2.s_ts
+    AND e.ts <= s2.s_ts + INTERVAL {hours} HOURS GROUP BY e.user_id) c
+  USING (user_id)
+LEFT JOIN (
+  SELECT e.user_id, min(e.ts) AS p_ts
+  FROM events e JOIN (
+    SELECT e2.user_id, min(e2.ts) AS c_ts
+    FROM events e2 JOIN (SELECT user_id, min(ts) AS s_ts FROM events
+                         WHERE event_type = 'signup' GROUP BY user_id) s3
+      USING (user_id)
+    WHERE e2.event_type = 'click' AND e2.ts > s3.s_ts
+      AND e2.ts <= s3.s_ts + INTERVAL {hours} HOURS GROUP BY e2.user_id) c2
+    USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c2.c_ts
+    AND e.ts <= c2.c_ts + INTERVAL {hours} HOURS GROUP BY e.user_id) p
+  USING (user_id)""")
+    union = " UNION ALL ".join(f"({a})" for a in arms)
+    return f"SELECT * FROM ({union}) ORDER BY window_hours"
+
+
+PIPELINE_QUERIES["funnel_window_sweep"] = q_funnel_window_sweep
+PIPELINE_ORACLES["funnel_window_sweep"] = _funnel_sweep_oracle()
