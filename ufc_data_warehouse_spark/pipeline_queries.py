@@ -3928,3 +3928,101 @@ LEFT JOIN (
 
 PIPELINE_QUERIES["funnel_window_sweep"] = q_funnel_window_sweep
 PIPELINE_ORACLES["funnel_window_sweep"] = _funnel_sweep_oracle()
+
+
+# ---------------------------------------------------------------------------
+# dataset card (one-row corpus summary)
+# ---------------------------------------------------------------------------
+
+
+def q_dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card in one row: corpus size, language/source breadth,
+    token mass, English share, exact-duplicate groups, and the deny-list
+    flag rate — the numbers a datasheet/data-card publishes, each
+    integer-exact. Two scans (one plain agg, one md5 dup-group agg),
+    both map-side combinable.
+    """
+    docs = _read(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    toks = F.split(norm, " ")
+    deny = F.array(*[F.lit(t) for t in _DENY_TOKENS])
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(F.array_intersect(toks, deny)) > 0).cast("int").alias("flagged"),
+        F.md5(norm).alias("digest"),
+    )
+    dups = (
+        base.groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_groups"),
+            F.sum(F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0))
+            .cast("long")
+            .alias("n_removable"),
+        )
+    )
+    summary = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("n_en"),
+        F.sum("flagged").cast("long").alias("n_flagged"),
+    )
+    return summary.crossJoin(F.broadcast(dups)).select(
+        "n_docs",
+        "n_langs",
+        "n_sources",
+        "total_tokens",
+        F.expr("total_tokens div n_docs").alias("mean_tokens"),
+        "total_chars",
+        F.expr("n_en * 10000 div n_docs").alias("en_share_bps"),
+        F.expr("n_flagged * 10000 div n_docs").alias("flag_rate_bps"),
+        "n_dup_groups",
+        "n_removable",
+    )
+
+
+PIPELINE_QUERIES["dataset_card_summary"] = q_dataset_card_summary
+PIPELINE_ORACLES["dataset_card_summary"] = f"""
+WITH base AS (
+  SELECT doc_id, lang, source, n_chars,
+    len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+        ' '))::BIGINT AS n_tokens,
+    CASE WHEN len(list_intersect(
+      string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+      {list(_DENY_TOKENS)!r})) > 0 THEN 1 ELSE 0 END AS flagged,
+    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS digest
+  FROM documents
+),
+dups AS (
+  SELECT sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups,
+    sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END)::BIGINT AS n_removable
+  FROM (SELECT digest, count(*) AS n FROM base GROUP BY digest)
+),
+summary AS (
+  SELECT count(*)::BIGINT AS n_docs,
+    count(DISTINCT lang)::BIGINT AS n_langs,
+    count(DISTINCT source)::BIGINT AS n_sources,
+    sum(n_tokens)::BIGINT AS total_tokens,
+    sum(n_chars)::BIGINT AS total_chars,
+    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en,
+    sum(flagged)::BIGINT AS n_flagged
+  FROM base
+)
+SELECT n_docs, n_langs, n_sources, total_tokens,
+  (total_tokens // n_docs)::BIGINT AS mean_tokens, total_chars,
+  (n_en * 10000 // n_docs)::BIGINT AS en_share_bps,
+  (n_flagged * 10000 // n_docs)::BIGINT AS flag_rate_bps,
+  n_dup_groups, n_removable
+FROM summary, dups
+"""
