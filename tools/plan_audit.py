@@ -73,6 +73,8 @@ EXPECTED_NLJ = {
     "quantization_error_bound",  # 1-row quantize [min,max] stats broadcast cross
     "t_closeness_audit",  # dimension-sized class×segment grid + 1-row total crosses
     "neyman_allocation_counts",  # 1-row weight-total + leftover broadcast crosses
+    "knn_label_purity",  # composes cosine_topk broadcast query-batch cross
+    "dataset_card_summary",  # 1-row dup-groups × 1-row summary cross
 }
 
 
