@@ -108,3 +108,21 @@ def test_coverage_doc_mentions_every_query():
     cov = open(cov_path).read()
     missing = [q for q in sorted(entry_mod.queries()) if q not in cov]
     assert not missing, f"queries missing from COVERAGE.md: {missing}"
+
+
+def test_bench_lists_are_registered_queries():
+    """bench.py must only time names that exist in the driver contract —
+    a rename that breaks the bench should fail here, not in the timed
+    run."""
+    import bench
+
+    import __spark_entry__ as entry_mod
+    from ufc_data_warehouse_spark.extra_queries import BENCH_EXTRA
+    from ufc_data_warehouse_spark.oracle import model_names
+
+    qs = set(entry_mod.queries())
+    missing_extra = [n for n in BENCH_EXTRA if n not in qs]
+    assert not missing_extra, missing_extra
+    models = set(model_names())
+    missing_models = [n for n in bench.MODEL_HEADLINE if n not in models]
+    assert not missing_models, missing_models
