@@ -430,6 +430,7 @@ def build_late_oracles() -> dict[str, str]:
         "dedup_canonical_by_quality": _canonical_quality_oracle(),
         "ann_ndcg_audit": _ndcg_oracle(),
         "knn_label_purity": _knn_purity_oracle(),
+        "graph_modularity_score": _modularity_oracle(),
     }
 
 
@@ -4026,3 +4027,84 @@ SELECT n_docs, n_langs, n_sources, total_tokens,
   n_dup_groups, n_removable
 FROM summary, dups
 """
+
+
+# ---------------------------------------------------------------------------
+# modularity of the LPA communities (exact integer Q)
+# ---------------------------------------------------------------------------
+
+
+def q_graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality of the LPA partition: Newman modularity kept exact by
+    cross-multiplication — with D = directed edge count (= 2m),
+    Q = Σ_c (din_c·D − deg_c²) / D², emitted as BIGINT numerator /
+    denominator plus truncated bps. The acceptance number for any
+    community detector: Q near 0 says the 'communities' are no better
+    than random — which is the honest expectation on this near-complete
+    bipartite purchase graph, and exactly why the audit belongs next to
+    the algorithm.
+    """
+    from .operators import graph
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + F.lit(_LPA_SUPP_OFFSET)).alias("dst"),
+    ).distinct()
+    labels = graph.label_propagation(edges, rounds=2)
+    e0 = edges.where(F.col("src") != F.col("dst"))
+    und = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    la = labels.select(F.col("node").alias("src"), F.col("label").alias("l_src"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("label").alias("l_dst"))
+    tagged = und.join(la, "src").join(lb, "dst")
+    per_c = tagged.groupBy("l_src").agg(
+        F.count(F.lit(1)).alias("deg"),
+        F.sum(
+            F.when(F.col("l_src") == F.col("l_dst"), 1).otherwise(0)
+        ).alias("din"),
+    )
+    d_tot = und.agg(F.count(F.lit(1)).alias("d"))
+    return (
+        per_c.crossJoin(F.broadcast(d_tot))
+        .agg(
+            F.sum(F.expr("din * d - deg * deg")).alias("q_num"),
+            F.first(F.expr("d * d")).alias("q_den"),
+        )
+        .select(
+            "q_num",
+            "q_den",
+            F.expr("q_num * 10000 div q_den").alias("q_bps"),
+        )
+    )
+
+
+def _modularity_oracle() -> str:
+    from .extra_queries import EXTRA_ORACLES
+
+    lpa = EXTRA_ORACLES["graph_label_propagation"].strip()
+    # reuse the LPA oracle's CTE chain up to l2 by swapping its final SELECT
+    final = "SELECT label, count(*)::BIGINT AS community_size\nFROM l2 GROUP BY label ORDER BY label"
+    assert final in lpa
+    chain = lpa.replace(final, "SELECT 1")  # placeholder; rebuilt below
+    chain = chain[: chain.rindex("SELECT 1")].rstrip()
+    return f"""{chain},
+tagged AS (
+  SELECT a.label AS l_src, b.label AS l_dst
+  FROM e JOIN l2 a ON e.src = a.node JOIN l2 b ON e.dst = b.node
+),
+per_c AS (
+  SELECT l_src, count(*)::BIGINT AS deg,
+    sum(CASE WHEN l_src = l_dst THEN 1 ELSE 0 END)::BIGINT AS din
+  FROM tagged GROUP BY l_src
+),
+d_tot AS (SELECT count(*)::BIGINT AS d FROM e)
+SELECT sum(din * d - deg * deg)::BIGINT AS q_num,
+  (max(d) * max(d))::BIGINT AS q_den,
+  (sum(din * d - deg * deg) * 10000 // (max(d) * max(d)))::BIGINT AS q_bps
+FROM per_c, d_tot
+"""
+
+
+PIPELINE_QUERIES["graph_modularity_score"] = q_graph_modularity_score
