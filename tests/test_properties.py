@@ -720,3 +720,34 @@ def test_t_closeness_bounds(spark):
     r = q_t_closeness_audit(spark, SF_DIR).collect()[0]
     assert 0 <= r["max_t_bps"] <= 10000
     assert 0 <= r["n_classes_over_t"] <= r["n_classes"]
+
+
+def test_partitioning_invariance_of_tie_sensitive_queries(spark):
+    """Tie-sensitive top-k/ntile queries must return identical rows under
+    different shuffle-partition counts — the invariant that makes local
+    results transfer to a 1000-executor cluster. shuffle.partitions is a
+    runtime conf, so one session can check both settings."""
+    from ufc_data_warehouse_spark.extra_queries import EXTRA_QUERIES
+
+    from tests.conftest import SF_DIR
+
+    names = [
+        "ann_maxsim_multivector",
+        "coreset_kcenter_selection",
+        "bigram_successor_topk",
+        "grouped_quartiles",
+    ]
+    original = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for parts in ("7", "29"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for n in names:
+                rows = sorted(
+                    tuple(r) for r in EXTRA_QUERIES[n](spark, SF_DIR).collect()
+                )
+                results.setdefault(n, []).append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", original)
+    for n, (a, b) in results.items():
+        assert a == b, f"{n} differs across shuffle-partition settings"
