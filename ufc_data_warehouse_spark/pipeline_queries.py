@@ -431,6 +431,7 @@ def build_late_oracles() -> dict[str, str]:
         "ann_ndcg_audit": _ndcg_oracle(),
         "knn_label_purity": _knn_purity_oracle(),
         "graph_modularity_score": _modularity_oracle(),
+        "fusion_weight_sweep": _fusion_sweep_oracle(),
     }
 
 
@@ -4108,3 +4109,133 @@ FROM per_c, d_tot
 
 
 PIPELINE_QUERIES["graph_modularity_score"] = q_graph_modularity_score
+
+
+# ---------------------------------------------------------------------------
+# hybrid fusion weight sweep (lexical vs vector balance, all-integer)
+# ---------------------------------------------------------------------------
+
+_FUSION_WEIGHTS = (25, 50, 75)
+_FUSION_ARM_K = 200
+_FUSION_TOP = 5
+
+
+def q_fusion_weight_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point sweep for hybrid retrieval: rank-based CombSUM at
+    lexical weights 25/50/75% — points = w·(201−lex_rank) +
+    (100−w)·(201−vec_rank), pure integers so every engine ranks
+    identically. The weight-tuning table next to rrf_hybrid_search
+    (which pins the standard 1/(60+r) fusion); arms stay top-200
+    retrievers at any corpus size.
+    """
+    from .analytics_queries import _bm25_scores
+
+    lex = (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_FUSION_ARM_K)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+            .alias("lex_rank"),
+        )
+    )
+    emb = _read(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), F.col("qvec"), lambda x, y: x.cast("double") * y
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+    )
+    vec = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (dot / (norm(F.col("embedding")) * norm(F.col("qvec")))).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(_FUSION_ARM_K)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cosine"), F.asc("doc_id")))
+            .alias("vec_rank"),
+        )
+    )
+    joined = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce(
+            F.lit(_FUSION_ARM_K + 1) - F.col("lex_rank"), F.lit(0)
+        ).alias("p_lex"),
+        F.coalesce(
+            F.lit(_FUSION_ARM_K + 1) - F.col("vec_rank"), F.lit(0)
+        ).alias("p_vec"),
+    )
+    out = None
+    for w in _FUSION_WEIGHTS:
+        scored = joined.select(
+            F.lit(w).cast("int").alias("lex_weight"),
+            "doc_id",
+            (F.lit(w) * F.col("p_lex") + F.lit(100 - w) * F.col("p_vec"))
+            .cast("long")
+            .alias("points"),
+        )
+        wk = Window.partitionBy("lex_weight").orderBy(
+            F.desc("points"), F.asc("doc_id")
+        )
+        arm = (
+            scored.withColumn("rk", F.row_number().over(wk))
+            .filter(F.col("rk") <= _FUSION_TOP)
+            .select("lex_weight", F.col("rk").cast("int").alias("rk"),
+                    "doc_id", "points")
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out.orderBy("lex_weight", "rk")
+
+
+def _fusion_sweep_oracle() -> str:
+    from .extra_queries import EXTRA_ORACLES
+
+    rrf = EXTRA_ORACLES["rrf_hybrid_search"]
+    cut = rrf.index("fused AS (")
+    prefix = rrf[:cut].rstrip().rstrip(",")
+    arms = []
+    for w in _FUSION_WEIGHTS:
+        arms.append(f"""
+SELECT {w}::INT AS lex_weight, rk::INT AS rk, doc_id, points FROM (
+  SELECT doc_id,
+    ({w} * coalesce({_FUSION_ARM_K + 1} - lex_rank, 0)
+     + {100 - w} * coalesce({_FUSION_ARM_K + 1} - vec_rank, 0))::BIGINT
+      AS points,
+    row_number() OVER (ORDER BY
+      ({w} * coalesce({_FUSION_ARM_K + 1} - lex_rank, 0)
+       + {100 - w} * coalesce({_FUSION_ARM_K + 1} - vec_rank, 0)) DESC,
+      doc_id) AS rk
+  FROM joined
+) WHERE rk <= {_FUSION_TOP}""")
+    union = " UNION ALL ".join(f"({a})" for a in arms)
+    return f"""{prefix},
+joined AS (
+  SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id, lex_rank, vec_rank
+  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+)
+SELECT * FROM ({union}) ORDER BY lex_weight, rk
+"""
+
+
+PIPELINE_QUERIES["fusion_weight_sweep"] = q_fusion_weight_sweep
