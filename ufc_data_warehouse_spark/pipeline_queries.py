@@ -4239,3 +4239,66 @@ SELECT * FROM ({union}) ORDER BY lex_weight, rk
 
 
 PIPELINE_QUERIES["fusion_weight_sweep"] = q_fusion_weight_sweep
+
+
+# ---------------------------------------------------------------------------
+# cohort LTV curve (cumulative revenue by cohort age)
+# ---------------------------------------------------------------------------
+
+
+def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifetime-value curve: users grouped by signup week (first event
+    week), purchase revenue accumulated by cohort age in weeks — the
+    (cohort, age) → cumulative-cents triangle finance reads next to the
+    retention triangle. Exact integer cents; the cumulative window runs
+    per cohort over ≤|weeks| rows.
+    """
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        F.expr("unix_millis(CAST(ts AS TIMESTAMP)) div 604800000").alias(
+            "week"
+        ),
+    )
+    first_week = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_week, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("age_weeks"))
+        .agg(F.sum("cents").alias("week_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rev.withColumn("cum_cents", F.sum("week_cents").over(w))
+        .select("cohort_week", "age_weeks", "week_cents", "cum_cents")
+        .orderBy("cohort_week", "age_weeks")
+    )
+
+
+PIPELINE_QUERIES["cohort_ltv_curve"] = q_cohort_ltv_curve
+PIPELINE_ORACLES["cohort_ltv_curve"] = """
+WITH ev AS (
+  SELECT user_id, event_type, floor(value * 100)::BIGINT AS cents,
+    epoch_ms(ts)::BIGINT // 604800000 AS week
+  FROM events
+),
+first_week AS (
+  SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id
+),
+rev AS (
+  SELECT f.cohort_week, e.week - f.cohort_week AS age_weeks,
+    sum(e.cents)::BIGINT AS week_cents
+  FROM ev e JOIN first_week f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase'
+  GROUP BY f.cohort_week, e.week - f.cohort_week
+)
+SELECT cohort_week, age_weeks, week_cents,
+  sum(week_cents) OVER (PARTITION BY cohort_week ORDER BY age_weeks
+                        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_cents
+FROM rev ORDER BY cohort_week, age_weeks
+"""
