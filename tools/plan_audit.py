@@ -75,6 +75,7 @@ EXPECTED_NLJ = {
     "neyman_allocation_counts",  # 1-row weight-total + leftover broadcast crosses
     "knn_label_purity",  # composes cosine_topk broadcast query-batch cross
     "dataset_card_summary",  # 1-row dup-groups × 1-row summary cross
+    "fusion_weight_sweep",  # 1-row probe-vector + 1-row corpus-stats broadcast crosses
 }
 
 
