@@ -432,6 +432,7 @@ def build_late_oracles() -> dict[str, str]:
         "knn_label_purity": _knn_purity_oracle(),
         "graph_modularity_score": _modularity_oracle(),
         "fusion_weight_sweep": _fusion_sweep_oracle(),
+        "dedup_pipeline_yield": _pipeline_yield_oracle(),
     }
 
 
@@ -4302,3 +4303,73 @@ SELECT cohort_week, age_weeks, week_cents,
                         ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_cents
 FROM rev ORDER BY cohort_week, age_weeks
 """
+
+
+# ---------------------------------------------------------------------------
+# dedup pipeline yield (per-stage survivor accounting)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_pipeline_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The number a dedup run reports upward: corpus in → exact-dedup
+    survivors (min doc per md5 of normalized text) → near-dup survivors
+    (MinHash-LSH cluster canonicals), with the final yield in bps. Both
+    stages use the production operators; the survivor rule (min id) is a
+    total order, so the pipeline is replayable.
+    """
+    from .extra_queries import EXTRA_QUERIES
+
+    docs = _read(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    base = docs.select("doc_id", F.md5(norm).alias("digest"))
+    exact_canon = base.groupBy("digest").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    clusters = EXTRA_QUERIES["dedup_clusters"](spark, sf_dir).select(
+        F.col("id").alias("doc_id"), "is_canonical"
+    )
+    survivors2 = exact_canon.join(clusters, "doc_id").filter(
+        F.col("is_canonical") == 1
+    )
+    n0 = base.agg(F.count(F.lit(1)).alias("n_input"))
+    n1 = exact_canon.agg(F.count(F.lit(1)).alias("after_exact"))
+    n2 = survivors2.agg(F.count(F.lit(1)).alias("after_neardup"))
+    return (
+        n0.crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "n_input",
+            "after_exact",
+            "after_neardup",
+            F.expr("after_neardup * 10000 div n_input").alias("yield_bps"),
+        )
+    )
+
+
+def _pipeline_yield_oracle() -> str:
+    from .extra_queries import EXTRA_ORACLES
+
+    clusters = EXTRA_ORACLES["dedup_clusters"].strip()
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS digest
+  FROM documents
+),
+exact_canon AS (
+  SELECT min(doc_id) AS doc_id FROM base GROUP BY digest
+),
+clusters_t AS (SELECT id AS doc_id, is_canonical FROM ({clusters}) c),
+survivors2 AS (
+  SELECT e.doc_id FROM exact_canon e
+  JOIN clusters_t c ON e.doc_id = c.doc_id WHERE c.is_canonical = 1
+)
+SELECT (SELECT count(*) FROM base)::BIGINT AS n_input,
+  (SELECT count(*) FROM exact_canon)::BIGINT AS after_exact,
+  (SELECT count(*) FROM survivors2)::BIGINT AS after_neardup,
+  ((SELECT count(*) FROM survivors2) * 10000
+   // (SELECT count(*) FROM base))::BIGINT AS yield_bps
+"""
+
+
+PIPELINE_QUERIES["dedup_pipeline_yield"] = q_dedup_pipeline_yield
