@@ -77,6 +77,7 @@ EXPECTED_NLJ = {
     "dataset_card_summary",  # 1-row dup-groups × 1-row summary cross
     "fusion_weight_sweep",  # 1-row probe-vector + 1-row corpus-stats broadcast crosses
     "graph_modularity_score",  # 1-row directed-edge-total broadcast cross
+    "dedup_pipeline_yield",  # three 1-row stage-count broadcast crosses
 }
 
 
