@@ -785,3 +785,88 @@ def test_time_decay_weights_are_halving_powers(spark):
             assert r["weighted_credit"] == 0
         else:
             assert 0 <= r["weighted_credit"]
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=8),
+        min_size=2,
+        max_size=12,
+    ),
+    st.sampled_from([30, 40, 60]),
+)
+def test_prefix_filter_matches_exhaustive_jaccard(spark, docs, t_pct):
+    """The lossless claim, property-tested: prefix-filtered pairs ==
+    exhaustive token-Jaccard pairs on random token multisets at several
+    thresholds (duplicate tokens, shared-everywhere tokens included)."""
+    from ufc_data_warehouse_spark.operators import dedup
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["shared"], r["union_size"])
+        for r in dedup.prefix_filter_pairs(
+            df, min_jaccard_pct=t_pct
+        ).collect()
+    )
+
+    sets = {i: set(toks) for i, toks in enumerate(docs)}
+    expected = []
+    for a in sets:
+        for b in sets:
+            if a < b:
+                shared = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if shared and 100 * shared >= t_pct * union:
+                    expected.append((a, b, shared, union))
+    assert got == sorted(expected)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10), st.integers(0, 10)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(1, 4),
+)
+def test_kcore_matches_bruteforce_peel(spark, edge_list, k):
+    """Fixed-round k-core peeling == a literal Python peel on arbitrary
+    small graphs (3 rounds both sides)."""
+    from ufc_data_warehouse_spark.operators import graph
+
+    und: set[tuple[int, int]] = set()
+    for a, b in edge_list:
+        if a != b:
+            und.add((a, b))
+            und.add((b, a))
+    if not und:
+        return
+    alive = set(und)
+    for _ in range(3):
+        deg: dict[int, int] = {}
+        for a, _b in alive:
+            deg[a] = deg.get(a, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        alive = {(a, b) for (a, b) in alive if a in keep and b in keep}
+    deg = {}
+    for a, _b in alive:
+        deg[a] = deg.get(a, 0) + 1
+    expected = sorted(deg.items())
+
+    df = spark.createDataFrame(sorted(edge_list), "src long, dst long")
+    got = sorted(
+        (r["node"], r["core_degree"])
+        for r in graph.kcore_nodes(df, k=k, rounds=3).collect()
+    )
+    assert got == expected
