@@ -870,3 +870,62 @@ def test_kcore_matches_bruteforce_peel(spark, edge_list, k):
         for r in graph.kcore_nodes(df, k=k, rounds=3).collect()
     )
     assert got == expected
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        min_size=1,
+        max_size=20,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        min_size=1,
+        max_size=20,
+    ),
+)
+def test_union_merge_asof_matches_bruteforce(spark, events, orders):
+    """The single-shuffle union-merge as-of carry == brute-force 'latest
+    order at or before event time' on random keyed sequences (ties on
+    time resolved to the highest order id, same as the production
+    query)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev_rows = [(i, u, t) for i, (u, t) in enumerate(events)]
+    o_rows = [(j, u, t) for j, (u, t) in enumerate(orders)]
+    ev = spark.createDataFrame(ev_rows, "event_id long, user_id long, ts long")
+    od = spark.createDataFrame(o_rows, "o_id long, user_id long, t long")
+
+    o_side = od.select(
+        "user_id", F.col("t").alias("tt"), F.lit(1).alias("is_order"),
+        F.col("o_id"), F.lit(None).cast("long").alias("event_id"),
+    )
+    e_side = ev.select(
+        "user_id", F.col("ts").alias("tt"), F.lit(0).alias("is_order"),
+        F.lit(None).cast("long").alias("o_id"), "event_id",
+    )
+    merged = o_side.unionByName(e_side)
+    w = (
+        Window.partitionBy("user_id")
+        # orders before events at the same tt ('at or before' semantics);
+        # ties between orders at one tt → highest o_id wins
+        .orderBy(F.asc("tt"), F.desc("is_order"), F.asc("o_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = merged.withColumn(
+        "last_o", F.last(F.when(F.col("is_order") == 1, F.col("o_id")),
+                         ignorenulls=True).over(w)
+    ).filter(F.col("is_order") == 0)
+    got = {r["event_id"]: r["last_o"] for r in carried.collect()}
+
+    for i, (u, t) in enumerate(events):
+        cands = [(tt, j) for j, (uu, tt) in enumerate(orders)
+                 if uu == u and tt <= t]
+        expected = max(cands)[1] if cands else None
+        assert got[i] == expected, (i, got[i], expected)
