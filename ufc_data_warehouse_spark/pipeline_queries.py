@@ -4373,3 +4373,89 @@ SELECT (SELECT count(*) FROM base)::BIGINT AS n_input,
 
 
 PIPELINE_QUERIES["dedup_pipeline_yield"] = q_dedup_pipeline_yield
+
+
+# ---------------------------------------------------------------------------
+# temporal train/test split with embargo (purged time-series CV)
+# ---------------------------------------------------------------------------
+
+
+def q_temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged temporal split (the de-Prado-style answer to leakage
+    through autocorrelation): train = weeks before the data-derived
+    cutoff, a 1-week EMBARGO dropped entirely, test = weeks after.
+    Reports per-segment event/user counts and the users straddling
+    train↔test (fine for user-stationary features, the red flag for
+    recency features). Cutoff = 70% of the observed week span —
+    data-derived, so the split reproduces forever.
+    """
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_millis(CAST(ts AS TIMESTAMP)) div 604800000").alias(
+            "week"
+        ),
+    )
+    bounds = ev.agg(
+        F.min("week").alias("w0"), F.max("week").alias("w1")
+    ).select(
+        "w0", "w1", F.expr("w0 + (w1 - w0) * 7 div 10").alias("cutoff")
+    )
+    seg = ev.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.when(F.col("week") < F.col("cutoff"), "train")
+        .when(F.col("week") < F.col("cutoff") + 1, "embargo")
+        .otherwise("test")
+        .alias("segment"),
+    )
+    per_seg = seg.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    straddle = (
+        seg.filter(F.col("segment") != "embargo")
+        .groupBy("user_id")
+        .agg(F.countDistinct("segment").alias("n_seg"))
+        .agg(
+            F.sum(F.when(F.col("n_seg") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_straddling_users")
+        )
+    )
+    return (
+        per_seg.crossJoin(F.broadcast(straddle))
+        .select("segment", "n_events", "n_users", "n_straddling_users")
+        .orderBy("segment")
+    )
+
+
+PIPELINE_QUERIES["temporal_split_embargo"] = q_temporal_split_embargo
+PIPELINE_ORACLES["temporal_split_embargo"] = """
+WITH ev AS (
+  SELECT user_id, epoch_ms(ts)::BIGINT // 604800000 AS week FROM events
+),
+bounds AS (
+  SELECT min(week) AS w0, max(week) AS w1,
+    min(week) + (max(week) - min(week)) * 7 // 10 AS cutoff
+  FROM ev
+),
+seg AS (
+  SELECT user_id,
+    CASE WHEN week < cutoff THEN 'train'
+         WHEN week < cutoff + 1 THEN 'embargo'
+         ELSE 'test' END AS segment
+  FROM ev, bounds
+),
+per_seg AS (
+  SELECT segment, count(*)::BIGINT AS n_events,
+    count(DISTINCT user_id)::BIGINT AS n_users
+  FROM seg GROUP BY segment
+),
+straddle AS (
+  SELECT sum(CASE WHEN n_seg = 2 THEN 1 ELSE 0 END)::BIGINT
+    AS n_straddling_users
+  FROM (SELECT user_id, count(DISTINCT segment) AS n_seg
+        FROM seg WHERE segment <> 'embargo' GROUP BY user_id)
+)
+SELECT segment, n_events, n_users, n_straddling_users
+FROM per_seg, straddle ORDER BY segment
+"""
