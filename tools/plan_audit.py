@@ -78,6 +78,7 @@ EXPECTED_NLJ = {
     "fusion_weight_sweep",  # 1-row probe-vector + 1-row corpus-stats broadcast crosses
     "graph_modularity_score",  # 1-row directed-edge-total broadcast cross
     "dedup_pipeline_yield",  # three 1-row stage-count broadcast crosses
+    "temporal_split_embargo",  # 1-row week-bounds + 1-row straddle-count crosses
 }
 
 
