@@ -79,6 +79,7 @@ EXPECTED_NLJ = {
     "graph_modularity_score",  # 1-row directed-edge-total broadcast cross
     "dedup_pipeline_yield",  # three 1-row stage-count broadcast crosses
     "temporal_split_embargo",  # 1-row week-bounds + 1-row straddle-count crosses
+    "spatial_geofence_counts",  # 3-row literal fence table broadcast cross
 }
 
 

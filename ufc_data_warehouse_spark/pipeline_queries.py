@@ -4459,3 +4459,81 @@ straddle AS (
 SELECT segment, n_events, n_users, n_straddling_users
 FROM per_seg, straddle ORDER BY segment
 """
+
+
+# ---------------------------------------------------------------------------
+# geofence containment counts (point-in-rectangle, exact integers)
+# ---------------------------------------------------------------------------
+
+_GEOFENCES = [
+    # (name, x_min, x_max, y_min, y_max) in micro-units on the synthetic map
+    ("downtown", 100_000, 400_000, 100_000, 400_000),
+    ("midtown", 300_000, 700_000, 300_000, 700_000),
+    ("harbor", 600_000, 999_999, 0, 300_000),
+]
+
+
+def q_spatial_geofence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon for the rectangle case: customers on the same
+    deterministic micro-coordinate map as spatial_nn_customers, counted
+    per (possibly overlapping) geofence — the zone-analytics shape. The
+    fence table is a literal broadcast; containment is four integer
+    compares, so the plan is one map-side cross with 3 rows + a hash agg.
+    """
+    cust = _read(spark, sf_dir, "customer")
+    coord = lambda salt: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("c_custkey").cast("string"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    pts = cust.select(
+        coord("x:").alias("x"), coord("y:").alias("y")
+    )
+    fences = spark.createDataFrame(
+        _GEOFENCES, "fence string, x0 long, x1 long, y0 long, y1 long"
+    )
+    return (
+        pts.crossJoin(F.broadcast(fences))
+        .filter(
+            (F.col("x") >= F.col("x0"))
+            & (F.col("x") <= F.col("x1"))
+            & (F.col("y") >= F.col("y0"))
+            & (F.col("y") <= F.col("y1"))
+        )
+        .groupBy("fence")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .orderBy("fence")
+    )
+
+
+def _geofence_oracle() -> str:
+    fences = ", ".join(
+        f"('{n}', {x0}, {x1}, {y0}, {y1})"
+        for n, x0, x1, y0, y1 in _GEOFENCES
+    )
+    return f"""
+WITH pts AS (
+  SELECT
+    ('0x' || substr(md5('x:' || c_custkey::VARCHAR), 1, 7))::BIGINT
+      % 1000000 AS x,
+    ('0x' || substr(md5('y:' || c_custkey::VARCHAR), 1, 7))::BIGINT
+      % 1000000 AS y
+  FROM customer
+),
+fences(fence, x0, x1, y0, y1) AS (VALUES {fences})
+SELECT fence, count(*)::BIGINT AS n_points
+FROM pts JOIN fences
+  ON x >= x0 AND x <= x1 AND y >= y0 AND y <= y1
+GROUP BY fence ORDER BY fence
+"""
+
+
+PIPELINE_QUERIES["spatial_geofence_counts"] = q_spatial_geofence_counts
+PIPELINE_ORACLES["spatial_geofence_counts"] = _geofence_oracle()
