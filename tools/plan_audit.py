@@ -80,6 +80,7 @@ EXPECTED_NLJ = {
     "dedup_pipeline_yield",  # three 1-row stage-count broadcast crosses
     "temporal_split_embargo",  # 1-row week-bounds + 1-row straddle-count crosses
     "spatial_geofence_counts",  # 3-row literal fence table broadcast cross
+    "recency_weighted_retention",  # 1-row max-week as-of broadcast cross
 }
 
 

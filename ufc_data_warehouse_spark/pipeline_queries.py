@@ -4537,3 +4537,75 @@ GROUP BY fence ORDER BY fence
 
 PIPELINE_QUERIES["spatial_geofence_counts"] = q_spatial_geofence_counts
 PIPELINE_ORACLES["spatial_geofence_counts"] = _geofence_oracle()
+
+
+# ---------------------------------------------------------------------------
+# recency-weighted downsampling (replay-buffer retention)
+# ---------------------------------------------------------------------------
+
+
+def q_recency_weighted_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay-buffer downsampling: keep probability halves per week of
+    age — weight = 64 >> age_weeks (integer shift, no float pow), an
+    event is kept iff hash(event_id) % 64 < weight. Reproducible across
+    engines/retries like every sampler here; per-week kept counts + bps
+    show the realized decay curve against the max-week as-of point.
+    """
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("unix_millis(CAST(ts AS TIMESTAMP)) div 604800000").alias(
+            "week"
+        ),
+    )
+    mx = ev.agg(F.max("week").alias("w_max"))
+    aged = ev.crossJoin(F.broadcast(mx)).select(
+        "event_id",
+        "week",
+        (F.col("w_max") - F.col("week")).alias("age_weeks"),
+    )
+    weight = F.when(F.col("age_weeks") >= 7, 0).otherwise(
+        F.expr("shiftright(64, cast(age_weeks as int))")
+    )
+    kept = aged.select(
+        "week",
+        F.when(
+            (F.col("event_id") * 2654435761) % 64 < weight, 1
+        ).otherwise(0).alias("kept"),
+    )
+    return (
+        kept.groupBy("week")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("kept").cast("long").alias("n_kept"),
+        )
+        .select(
+            "week",
+            "n_events",
+            "n_kept",
+            F.expr("n_kept * 10000 div n_events").alias("kept_bps"),
+        )
+        .orderBy("week")
+    )
+
+
+PIPELINE_QUERIES["recency_weighted_retention"] = q_recency_weighted_retention
+PIPELINE_ORACLES["recency_weighted_retention"] = """
+WITH ev AS (
+  SELECT event_id, epoch_ms(ts)::BIGINT // 604800000 AS week FROM events
+),
+mx AS (SELECT max(week) AS w_max FROM ev),
+aged AS (
+  SELECT event_id, week, w_max - week AS age_weeks FROM ev, mx
+),
+kept AS (
+  SELECT week,
+    CASE WHEN (event_id * 2654435761) % 64 <
+      (CASE WHEN age_weeks >= 7 THEN 0
+            ELSE 64 // (1 << age_weeks) END)
+    THEN 1 ELSE 0 END AS kept
+  FROM aged
+)
+SELECT week, count(*)::BIGINT AS n_events, sum(kept)::BIGINT AS n_kept,
+  (sum(kept) * 10000 // count(*))::BIGINT AS kept_bps
+FROM kept GROUP BY week ORDER BY week
+"""
