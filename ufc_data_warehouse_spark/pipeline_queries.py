@@ -4609,3 +4609,57 @@ SELECT week, count(*)::BIGINT AS n_events, sum(kept)::BIGINT AS n_kept,
   (sum(kept) * 10000 // count(*))::BIGINT AS kept_bps
 FROM kept GROUP BY week ORDER BY week
 """
+
+
+# ---------------------------------------------------------------------------
+# keyset pagination (the scale-safe OFFSET replacement)
+# ---------------------------------------------------------------------------
+
+_PAGE_SIZE = 20
+
+
+def q_keyset_pagination_page3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page 3 of orders by (o_orderdate, o_orderkey) via KEYSET
+    pagination: each page is WHERE (key > last-seen) ORDER BY key LIMIT n
+    — cost O(page) with an index/sort, where OFFSET is O(rows skipped)
+    and gets slower every page (the API-pagination bug at warehouse
+    scale). The two previous pages run here only to derive the cursor
+    the client would have kept; a real service passes it in.
+    """
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    cursor = None
+    page = None
+    for _ in range(3):
+        q = orders
+        if cursor is not None:
+            d, k = cursor
+            q = q.filter(
+                (F.col("o_orderdate") > F.lit(d))
+                | (
+                    (F.col("o_orderdate") == F.lit(d))
+                    & (F.col("o_orderkey") > F.lit(k))
+                )
+            )
+        page = (
+            q.orderBy("o_orderdate", "o_orderkey").limit(_PAGE_SIZE)
+        )
+        last = page.orderBy(
+            F.desc("o_orderdate"), F.desc("o_orderkey")
+        ).limit(1).collect()[0]
+        cursor = (last["o_orderdate"], last["o_orderkey"])
+    return page.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).orderBy("o_orderdate", "o_orderkey")
+
+
+PIPELINE_QUERIES["keyset_pagination_page3"] = q_keyset_pagination_page3
+PIPELINE_ORACLES["keyset_pagination_page3"] = f"""
+SELECT o_orderkey, o_orderdate, floor(o_totalprice * 100)::BIGINT AS cents
+FROM orders
+ORDER BY o_orderdate, o_orderkey
+LIMIT {_PAGE_SIZE} OFFSET {2 * _PAGE_SIZE}
+"""
