@@ -4663,3 +4663,46 @@ FROM orders
 ORDER BY o_orderdate, o_orderkey
 LIMIT {_PAGE_SIZE} OFFSET {2 * _PAGE_SIZE}
 """
+
+
+# ---------------------------------------------------------------------------
+# file provenance via the _metadata hidden column
+# ---------------------------------------------------------------------------
+
+
+def q_file_provenance_partition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row provenance from the reader itself: Spark's hidden ``_metadata``
+    column maps every row to its physical file with zero bookkeeping —
+    the debugging/lineage surface for 'which file produced this bad row'.
+    Demonstrated over the partitioned IVF index: rows grouped by the
+    partition directory extracted from ``_metadata.file_path`` must equal
+    the logical per-label counts (the oracle) — file layout and logical
+    content reconciled in one query.
+    """
+    import os as _os
+    import tempfile
+
+    emb = _read(spark, sf_dir, "embeddings")
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"{tempfile.gettempdir()}/ivf_index_{tag}"
+    if not _os.path.exists(f"{path}/_SUCCESS"):
+        simsearch.write_ivf_partitioned(emb, path)
+    full = spark.read.parquet(path)
+    part = F.regexp_extract(
+        F.col("_metadata.file_path"), r"label=(\d+)", 1
+    ).cast("int")
+    return (
+        full.select(part.alias("label"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("label")
+    )
+
+
+PIPELINE_QUERIES["file_provenance_partition_counts"] = (
+    q_file_provenance_partition_counts
+)
+PIPELINE_ORACLES["file_provenance_partition_counts"] = """
+SELECT label, count(*)::BIGINT AS n_rows
+FROM embeddings GROUP BY label ORDER BY label
+"""
