@@ -4706,3 +4706,77 @@ PIPELINE_ORACLES["file_provenance_partition_counts"] = """
 SELECT label, count(*)::BIGINT AS n_rows
 FROM embeddings GROUP BY label ORDER BY label
 """
+
+
+# ---------------------------------------------------------------------------
+# CEP negation pattern: signup → purchase with NO error between
+# ---------------------------------------------------------------------------
+
+
+def q_pattern_negation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complex-event-processing NEGATION pattern — A then B within a
+    day with NO C in between (here: signup → purchase uninterrupted by an
+    error) — the shape MATCH_RECOGNIZE's [^C] handles in CEP engines.
+    Zero-join plan: one carry-forward window tracks the latest signup AND
+    the latest error before each purchase; the pattern holds iff the
+    signup is more recent than the error and within the day window.
+    Counts per outcome; every compare is on event-time + id total order.
+    """
+    ev = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_signup = F.last(
+        F.when(F.col("event_type") == "signup", F.col("ts")), ignorenulls=True
+    ).over(w)
+    last_error = F.last(
+        F.when(F.col("event_type") == "error", F.col("ts")), ignorenulls=True
+    ).over(w)
+    purchases = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        last_signup.alias("s_ts"),
+        last_error.alias("e_ts"),
+    ).filter(F.col("event_type") == "purchase")
+    in_window = F.col("s_ts").isNotNull() & (
+        F.col("ts") <= F.col("s_ts") + F.expr("INTERVAL 1 DAY")
+    )
+    uninterrupted = F.col("e_ts").isNull() | (F.col("e_ts") < F.col("s_ts"))
+    outcome = (
+        F.when(~in_window, "no_recent_signup")
+        .when(uninterrupted, "clean_conversion")
+        .otherwise("interrupted_by_error")
+    )
+    return (
+        purchases.select(outcome.alias("outcome"))
+        .groupBy("outcome")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy("outcome")
+    )
+
+
+PIPELINE_QUERIES["pattern_negation_counts"] = q_pattern_negation_counts
+PIPELINE_ORACLES["pattern_negation_counts"] = """
+WITH ev AS (
+  SELECT user_id, ts, event_type,
+    last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS s_ts,
+    last_value(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS e_ts
+  FROM events
+),
+purchases AS (
+  SELECT CASE
+    WHEN s_ts IS NULL OR ts > s_ts + INTERVAL 1 DAY THEN 'no_recent_signup'
+    WHEN e_ts IS NULL OR e_ts < s_ts THEN 'clean_conversion'
+    ELSE 'interrupted_by_error' END AS outcome
+  FROM ev WHERE event_type = 'purchase'
+)
+SELECT outcome, count(*)::BIGINT AS n_purchases
+FROM purchases GROUP BY outcome ORDER BY outcome
+"""
