@@ -4780,3 +4780,75 @@ purchases AS (
 SELECT outcome, count(*)::BIGINT AS n_purchases
 FROM purchases GROUP BY outcome ORDER BY outcome
 """
+
+
+# ---------------------------------------------------------------------------
+# next-event prediction accuracy of the transition model
+# ---------------------------------------------------------------------------
+
+
+def q_markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the order-1 Markov model: predict each next event as
+    the globally most frequent successor of the current type (tie → min
+    type) and score accuracy per current type in bps — the eval loop
+    that closes the transition-matrix family (event_transition_matrix
+    builds the model; this measures it ON the same data, which the
+    docstring owns: a real eval holds the matrix out).
+    """
+    ev = _read(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    pairs = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    trans = pairs.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    wp = Window.partitionBy("cur").orderBy(F.desc("n"), F.asc("nxt"))
+    pred = (
+        trans.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") == 1)
+        .select("cur", F.col("nxt").alias("predicted"))
+    )
+    scored = pairs.join(F.broadcast(pred), "cur").select(
+        "cur",
+        F.when(F.col("nxt") == F.col("predicted"), 1).otherwise(0).alias("hit"),
+    )
+    return (
+        scored.groupBy("cur")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.sum("hit").cast("long").alias("n_correct"),
+        )
+        .select(
+            "cur",
+            "n_transitions",
+            "n_correct",
+            F.expr("n_correct * 10000 div n_transitions").alias("acc_bps"),
+        )
+        .orderBy("cur")
+    )
+
+
+PIPELINE_QUERIES["markov_next_event_accuracy"] = q_markov_next_event_accuracy
+PIPELINE_ORACLES["markov_next_event_accuracy"] = """
+WITH pairs AS (
+  SELECT event_type AS cur,
+    lead(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+p2 AS (SELECT cur, nxt FROM pairs WHERE nxt IS NOT NULL),
+trans AS (SELECT cur, nxt, count(*)::BIGINT AS n FROM p2 GROUP BY cur, nxt),
+pred AS (
+  SELECT cur, nxt AS predicted FROM (
+    SELECT cur, nxt,
+      row_number() OVER (PARTITION BY cur ORDER BY n DESC, nxt) AS rk
+    FROM trans) WHERE rk = 1
+)
+SELECT p2.cur, count(*)::BIGINT AS n_transitions,
+  sum(CASE WHEN p2.nxt = pred.predicted THEN 1 ELSE 0 END)::BIGINT
+    AS n_correct,
+  (sum(CASE WHEN p2.nxt = pred.predicted THEN 1 ELSE 0 END) * 10000
+   // count(*))::BIGINT AS acc_bps
+FROM p2 JOIN pred ON p2.cur = pred.cur
+GROUP BY p2.cur ORDER BY p2.cur
+"""
