@@ -4852,3 +4852,153 @@ SELECT p2.cur, count(*)::BIGINT AS n_transitions,
 FROM p2 JOIN pred ON p2.cur = pred.cur
 GROUP BY p2.cur ORDER BY p2.cur
 """
+
+
+# ---------------------------------------------------------------------------
+# as-of join with tolerance (pandas merge_asof parity)
+# ---------------------------------------------------------------------------
+
+
+def q_asof_tolerance_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a tolerance bound (pandas merge_asof's
+    ``tolerance=``): each event takes the user's latest preceding order,
+    but a match older than 7 days is REJECTED — stale context is worse
+    than none in a feature pipeline. Same single-shuffle union-merge
+    carry as asof_orders_before_events; the tolerance is one integer
+    date-diff compare. Output: events per match bucket.
+    """
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    o_rows = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        F.lit(1).alias("is_order"),
+        "o_orderkey",
+    )
+    e_rows = ev.select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("t"),
+        F.lit(0).alias("is_order"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    merged = o_rows.unionByName(e_rows)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("t"), F.desc("is_order"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = merged.select(
+        "user_id",
+        "t",
+        "is_order",
+        F.last(
+            F.when(F.col("is_order") == 1, F.col("t")), ignorenulls=True
+        ).over(w).alias("o_t"),
+    ).filter(F.col("is_order") == 0)
+    gap_days = F.expr("datediff(t, o_t)")
+    bucket = (
+        F.when(F.col("o_t").isNull(), "no_prior_order")
+        .when(gap_days <= 7, "matched_within_7d")
+        .otherwise("rejected_stale")
+    )
+    return (
+        carried.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("bucket")
+    )
+
+
+PIPELINE_QUERIES["asof_tolerance_buckets"] = q_asof_tolerance_buckets
+PIPELINE_ORACLES["asof_tolerance_buckets"] = """
+WITH merged AS (
+  SELECT o_custkey AS user_id, o_orderdate::TIMESTAMP AS t, 1 AS is_order,
+    o_orderkey
+  FROM orders
+  UNION ALL
+  SELECT user_id, ts, 0, NULL FROM events
+),
+carried AS (
+  SELECT user_id, t, is_order,
+    last_value(CASE WHEN is_order = 1 THEN t END IGNORE NULLS)
+      OVER (PARTITION BY user_id
+            ORDER BY t, is_order DESC, o_orderkey
+            ROWS UNBOUNDED PRECEDING) AS o_t
+  FROM merged
+)
+SELECT CASE WHEN o_t IS NULL THEN 'no_prior_order'
+            WHEN datediff('day', o_t, t) <= 7 THEN 'matched_within_7d'
+            ELSE 'rejected_stale' END AS bucket,
+  count(*)::BIGINT AS n_events
+FROM carried WHERE is_order = 0
+GROUP BY 1 ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# Jaccard threshold sensitivity sweep
+# ---------------------------------------------------------------------------
+
+_JACCARD_SWEEP_PCTS = (30, 50, 70)
+
+
+def q_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold sensitivity: exact-Jaccard candidate-pair counts
+    at 30/50/70% from ONE pair computation — the pair-volume curve that
+    picks the dedup operating point (a cliff between thresholds means the
+    corpus has a near-dup band there). Candidate-restricted like the
+    production path; thresholds are integer cross-compares.
+    """
+    from .extra_queries import _lsh_candidates, _shingles
+    from .operators import dedup
+
+    sh = _shingles(spark, sf_dir)
+    cand = _lsh_candidates(spark, sf_dir)
+    jac = dedup.jaccard_pairs(sh, min_jaccard=0.0, candidates=cand).select(
+        "shared", "union_size"
+    )
+    aggs = [
+        F.sum(
+            F.when(
+                F.lit(100) * F.col("shared") >= F.lit(p) * F.col("union_size"),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias(f"pairs_ge_{p}")
+        for p in _JACCARD_SWEEP_PCTS
+    ]
+    return jac.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"), *aggs
+    )
+
+
+def _jaccard_sweep_oracle() -> str:
+    from .sqlfrag import (
+        _BANDS_SQL,
+        _JACCARD_CORE_SQL,
+        _MINHASH_SQL,
+        _SHINGLES_SQL,
+    )
+
+    sums = ", ".join(
+        f"sum(CASE WHEN 100 * j.shared >= {p} * j.union_size THEN 1 ELSE 0 END)::BIGINT AS pairs_ge_{p}"
+        for p in _JACCARD_SWEEP_PCTS
+    )
+    return f"""
+WITH {_SHINGLES_SQL.strip().lstrip(',')},
+sigs AS ({_MINHASH_SQL}),
+buckets AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM buckets l JOIN buckets r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+),
+{_JACCARD_CORE_SQL.strip().lstrip(',')}
+SELECT count(*)::BIGINT AS n_candidates, {sums}
+FROM jac j JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+"""
+
+
+PIPELINE_QUERIES["jaccard_threshold_sweep"] = q_jaccard_threshold_sweep
+PIPELINE_ORACLES["jaccard_threshold_sweep"] = _jaccard_sweep_oracle()
