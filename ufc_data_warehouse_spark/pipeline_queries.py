@@ -5002,3 +5002,49 @@ FROM jac j JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
 
 PIPELINE_QUERIES["jaccard_threshold_sweep"] = q_jaccard_threshold_sweep
 PIPELINE_ORACLES["jaccard_threshold_sweep"] = _jaccard_sweep_oracle()
+
+
+# ---------------------------------------------------------------------------
+# churn-definition sensitivity sweep
+# ---------------------------------------------------------------------------
+
+_CHURN_DAYS = (30, 60, 90)
+
+
+def q_churn_definition_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much does 'churned' depend on the inactivity cutoff? Users
+    whose LAST event is ≥30/60/90 days before the dataset's as-of point
+    (its max event time — data-derived), counted from one scan + one
+    per-user max. A cliff between rows means the cutoff is defining the
+    metric, not the behavior — same sensitivity discipline as the funnel
+    and probe sweeps.
+    """
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_millis(CAST(ts AS TIMESTAMP)) div 86400000").alias("day"),
+    )
+    last_seen = ev.groupBy("user_id").agg(F.max("day").alias("last_day"))
+    asof = ev.agg(F.max("day").alias("as_of_day"))
+    aged = last_seen.crossJoin(F.broadcast(asof)).select(
+        (F.col("as_of_day") - F.col("last_day")).alias("inactive_days")
+    )
+    aggs = [
+        F.sum(F.when(F.col("inactive_days") >= d, 1).otherwise(0))
+        .cast("long")
+        .alias(f"churned_{d}d")
+        for d in _CHURN_DAYS
+    ]
+    return aged.agg(F.count(F.lit(1)).cast("long").alias("n_users"), *aggs)
+
+
+PIPELINE_QUERIES["churn_definition_sweep"] = q_churn_definition_sweep
+PIPELINE_ORACLES["churn_definition_sweep"] = f"""
+WITH ev AS (
+  SELECT user_id, epoch_ms(ts)::BIGINT // 86400000 AS day FROM events
+),
+last_seen AS (SELECT user_id, max(day) AS last_day FROM ev GROUP BY user_id),
+asof_t AS (SELECT max(day) AS as_of_day FROM ev)
+SELECT count(*)::BIGINT AS n_users,
+  {", ".join(f"sum(CASE WHEN as_of_day - last_day >= {d} THEN 1 ELSE 0 END)::BIGINT AS churned_{d}d" for d in _CHURN_DAYS)}
+FROM last_seen, asof_t
+"""
