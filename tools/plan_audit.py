@@ -81,6 +81,7 @@ EXPECTED_NLJ = {
     "temporal_split_embargo",  # 1-row week-bounds + 1-row straddle-count crosses
     "spatial_geofence_counts",  # 3-row literal fence table broadcast cross
     "recency_weighted_retention",  # 1-row max-week as-of broadcast cross
+    "churn_definition_sweep",  # 1-row as-of-day broadcast cross
 }
 
 
