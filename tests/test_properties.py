@@ -929,3 +929,65 @@ def test_union_merge_asof_matches_bruteforce(spark, events, orders):
                  if uu == u and tt <= t]
         expected = max(cands)[1] if cands else None
         assert got[i] == expected, (i, got[i], expected)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 30)),
+             min_size=1, max_size=15),
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 30)),
+             min_size=1, max_size=15),
+    st.integers(1, 10),
+)
+def test_asof_tolerance_matches_bruteforce(spark, events, orders, tol):
+    """Tolerance-bounded as-of == brute force: the latest order at or
+    before each event counts only when its age ≤ tol; older matches are
+    rejected, absent matches are unmatched."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [(i, u, t) for i, (u, t) in enumerate(events)],
+        "event_id long, user_id long, t long",
+    )
+    od = spark.createDataFrame(
+        [(j, u, t) for j, (u, t) in enumerate(orders)],
+        "o_id long, user_id long, t long",
+    )
+    merged = od.select(
+        "user_id", "t", F.lit(1).alias("is_order"), "o_id",
+        F.lit(None).cast("long").alias("event_id"),
+    ).unionByName(ev.select(
+        "user_id", "t", F.lit(0).alias("is_order"),
+        F.lit(None).cast("long").alias("o_id"), "event_id",
+    ))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("t"), F.desc("is_order"), F.asc("o_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = merged.withColumn(
+        "o_t", F.last(F.when(F.col("is_order") == 1, F.col("t")),
+                      ignorenulls=True).over(w)
+    ).filter(F.col("is_order") == 0)
+    bucket = (
+        F.when(F.col("o_t").isNull(), "none")
+        .when(F.col("t") - F.col("o_t") <= tol, "matched")
+        .otherwise("stale")
+    )
+    got = {r["event_id"]: r["b"]
+           for r in carried.select("event_id", bucket.alias("b")).collect()}
+
+    for i, (u, t) in enumerate(events):
+        cands = [tt for (uu, tt) in orders if uu == u and tt <= t]
+        if not cands:
+            expected = "none"
+        elif t - max(cands) <= tol:
+            expected = "matched"
+        else:
+            expected = "stale"
+        assert got[i] == expected, (i, got[i], expected)
