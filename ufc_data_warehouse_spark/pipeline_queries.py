@@ -5048,3 +5048,81 @@ SELECT count(*)::BIGINT AS n_users,
   {", ".join(f"sum(CASE WHEN as_of_day - last_day >= {d} THEN 1 ELSE 0 END)::BIGINT AS churned_{d}d" for d in _CHURN_DAYS)}
 FROM last_seen, asof_t
 """
+
+
+# ---------------------------------------------------------------------------
+# price realization vs retail (discount-leakage audit per brand)
+# ---------------------------------------------------------------------------
+
+
+def q_price_realization_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-power audit: realized net revenue vs retail value per
+    brand — realization_bps = Σ net cents · 10000 div Σ retail·qty cents,
+    everything in exact integer cents (net = extendedprice·(1−discount)
+    in DECIMAL before the cents floor). Low realization = discount
+    leakage concentrated in that brand. Part dim broadcast; one fact agg.
+    """
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    net_cents = F.floor(
+        (
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (
+                F.lit(1).cast("decimal(18,4)")
+                - F.col("l_discount").cast("decimal(18,4)")
+            )
+        ).cast("decimal(38,8)")
+        * 100
+    ).cast("long")
+    retail_cents = (
+        F.floor(F.col("p_retailprice") * 100).cast("long")
+        * F.col("l_quantity").cast("long")
+    )
+    joined = li.join(
+        F.broadcast(_read(spark, sf_dir, "part").select(
+            "p_partkey", "p_brand", "p_retailprice"
+        )),
+        li["l_partkey"] == F.col("p_partkey"),
+    )
+    return (
+        joined.select(
+            "p_brand",
+            net_cents.alias("net_cents"),
+            retail_cents.alias("retail_cents"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("net_cents").alias("sum_net_cents"),
+            F.sum("retail_cents").alias("sum_retail_cents"),
+        )
+        .select(
+            "p_brand",
+            "n_lines",
+            "sum_net_cents",
+            "sum_retail_cents",
+            F.expr(
+                "sum_net_cents * 10000 div sum_retail_cents"
+            ).alias("realization_bps"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+PIPELINE_QUERIES["price_realization_by_brand"] = q_price_realization_by_brand
+PIPELINE_ORACLES["price_realization_by_brand"] = """
+WITH joined AS (
+  SELECT p.p_brand,
+    floor((l.l_extendedprice::DECIMAL(18,4)
+           * (1::DECIMAL(18,4) - l.l_discount::DECIMAL(18,4)))::DECIMAL(38,8)
+          * 100)::BIGINT AS net_cents,
+    floor(p.p_retailprice * 100)::BIGINT * l.l_quantity::BIGINT
+      AS retail_cents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT p_brand, count(*)::BIGINT AS n_lines,
+  sum(net_cents)::BIGINT AS sum_net_cents,
+  sum(retail_cents)::BIGINT AS sum_retail_cents,
+  (sum(net_cents) * 10000 // sum(retail_cents))::BIGINT AS realization_bps
+FROM joined GROUP BY p_brand ORDER BY p_brand
+"""
