@@ -5126,3 +5126,76 @@ SELECT p_brand, count(*)::BIGINT AS n_lines,
   (sum(net_cents) * 10000 // sum(retail_cents))::BIGINT AS realization_bps
 FROM joined GROUP BY p_brand ORDER BY p_brand
 """
+
+
+# ---------------------------------------------------------------------------
+# effective tax rate by flag (closes l_tax column coverage)
+# ---------------------------------------------------------------------------
+
+
+def q_effective_tax_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective tax rate per (returnflag, linestatus): tax charged on
+    the discounted price — Σ tax cents ·10000 div Σ net cents, all exact
+    DECIMAL-then-cents integers (the TPC-H Q1 charge expression's tax leg,
+    isolated and rated). Closes column coverage: every lineitem column now
+    feeds at least one oracle-gated query.
+    """
+    li = _read(spark, sf_dir, "lineitem")
+    net = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (
+            F.lit(1).cast("decimal(18,4)")
+            - F.col("l_discount").cast("decimal(18,4)")
+        )
+    ).cast("decimal(38,8)")
+    tax_cents = F.floor(
+        (net * F.col("l_tax").cast("decimal(18,4)")).cast("decimal(38,8)")
+        * 100
+    ).cast("long")
+    net_cents = F.floor(net * 100).cast("long")
+    return (
+        li.select(
+            "l_returnflag",
+            "l_linestatus",
+            tax_cents.alias("tax_cents"),
+            net_cents.alias("net_cents"),
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("tax_cents").alias("sum_tax_cents"),
+            F.sum("net_cents").alias("sum_net_cents"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "n_lines",
+            "sum_tax_cents",
+            "sum_net_cents",
+            F.expr("sum_tax_cents * 10000 div sum_net_cents").alias(
+                "eff_tax_bps"
+            ),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+PIPELINE_QUERIES["effective_tax_by_flag"] = q_effective_tax_by_flag
+PIPELINE_ORACLES["effective_tax_by_flag"] = """
+WITH base AS (
+  SELECT l_returnflag, l_linestatus,
+    floor(((l_extendedprice::DECIMAL(18,4)
+            * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4)))::DECIMAL(38,8)
+           * l_tax::DECIMAL(18,4))::DECIMAL(38,8) * 100)::BIGINT AS tax_cents,
+    floor((l_extendedprice::DECIMAL(18,4)
+           * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4)))::DECIMAL(38,8)
+          * 100)::BIGINT AS net_cents
+  FROM lineitem
+)
+SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n_lines,
+  sum(tax_cents)::BIGINT AS sum_tax_cents,
+  sum(net_cents)::BIGINT AS sum_net_cents,
+  (sum(tax_cents) * 10000 // sum(net_cents))::BIGINT AS eff_tax_bps
+FROM base GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
