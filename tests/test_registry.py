@@ -126,3 +126,18 @@ def test_bench_lists_are_registered_queries():
     models = set(model_names())
     missing_models = [n for n in bench.MODEL_HEADLINE if n not in models]
     assert not missing_models, missing_models
+
+
+def test_smoke_script_importable_and_consistent():
+    """tools/smoke.py must stay importable with its inventory logic in
+    sync with the driver contract (it is the round-N onboarding tool)."""
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "tools", "smoke.py"
+    )
+    spec = importlib.util.spec_from_file_location("smoke", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert callable(mod.main)
