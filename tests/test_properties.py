@@ -991,3 +991,45 @@ def test_asof_tolerance_matches_bruteforce(spark, events, orders, tol):
         else:
             expected = "stale"
         assert got[i] == expected, (i, got[i], expected)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(alphabet="abcd ", min_size=11, max_size=60),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_winnowing_window_coverage_guarantee(spark, texts):
+    """The SIGMOD-2003 winnowing guarantee, property-tested: every
+    window of w consecutive k-gram positions contains at least one
+    selected fingerprint position (k=8, w=4 — the production defaults),
+    and the shared-substring guarantee follows from it."""
+    from ufc_data_warehouse_spark.operators import dedup
+
+    k, w = 8, 4
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = dedup.winnow_fingerprints(df, k=k, w=w)
+    by_doc: dict[int, set[int]] = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["id"], set()).add(r["pos"])
+
+    import re
+
+    for i, t in enumerate(texts):
+        norm = re.sub(r"\s+", " ", t.lower()).strip()
+        n_grams = len(norm) - k + 1
+        if n_grams < w:
+            continue
+        positions = by_doc.get(i, set())
+        for start in range(n_grams - w + 1):
+            window = set(range(start, start + w))
+            assert window & positions, (
+                f"doc {i}: window at {start} has no fingerprint"
+            )
