@@ -1033,3 +1033,63 @@ def test_winnowing_window_coverage_guarantee(spark, texts):
             assert window & positions, (
                 f"doc {i}: window at {start} has no fingerprint"
             )
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 100), st.integers(1, 20)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_interval_union_matches_bruteforce(spark, intervals):
+    """Gaps-and-islands interval union == brute-force union length on
+    random [s, s+len) intervals per key (overlaps, duplicates, and
+    closed-open adjacency merges included)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(i, u, s, s + ln) for i, (u, s, ln) in enumerate(intervals)]
+    df = spark.createDataFrame(rows, "rid long, user_id long, s long, e long")
+    w = Window.partitionBy("user_id").orderBy("s", "rid")
+    flagged = df.withColumn(
+        "pmax", F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    ).withColumn(
+        "ni",
+        F.when(F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1)
+        .otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "isle",
+        F.sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    got = {
+        r["user_id"]: (r["n_islands"], r["covered"])
+        for r in islands.groupBy("user_id", "isle")
+        .agg(F.min("s").alias("a"), F.max("e").alias("b"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum(F.col("b") - F.col("a")).alias("covered"),
+        )
+        .collect()
+    }
+
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for u, s, ln in intervals:
+        by_user.setdefault(u, []).append((s, s + ln))
+    for u, ivs in by_user.items():
+        ivs.sort()
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        expected = (len(merged), sum(e - s for s, e in merged))
+        assert got[u] == expected, (u, got[u], expected)
