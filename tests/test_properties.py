@@ -1093,3 +1093,59 @@ def test_interval_union_matches_bruteforce(spark, intervals):
                 merged.append((s, e))
         expected = (len(merged), sum(e - s for s, e in merged))
         assert got[u] == expected, (u, got[u], expected)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(60, 1800),
+)
+def test_sessionization_matches_bruteforce(spark, events, gap_s):
+    """Gaps-and-islands sessionization == a literal Python session walk
+    on random (user, epoch-second) events at several gap thresholds
+    (duplicate timestamps included — event id breaks the tie)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(i, u, t) for i, (u, t) in enumerate(events)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, s long")
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    sess = (
+        df.withColumn("prev", F.lag("s").over(w))
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("prev").isNull() | (F.col("s") - F.col("prev") > gap_s),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    got = {
+        r["user_id"]: r["n"]
+        for r in sess.groupBy("user_id")
+        .agg(F.countDistinct("sid").alias("n"))
+        .collect()
+    }
+
+    by_user: dict[int, list[int]] = {}
+    for u, t in events:
+        by_user.setdefault(u, []).append(t)
+    for u, ts in by_user.items():
+        ts.sort()
+        n = 1
+        for a, b in zip(ts, ts[1:]):
+            if b - a > gap_s:
+                n += 1
+        assert got[u] == n, (u, got[u], n)
