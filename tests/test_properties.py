@@ -1149,3 +1149,59 @@ def test_sessionization_matches_bruteforce(spark, events, gap_s):
             if b - a > gap_s:
                 n += 1
         assert got[u] == n, (u, got[u], n)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 8), st.integers(0, 8), st.integers(0, 20)
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(0, 4),
+)
+def test_temporal_reachability_subset_of_bfs(spark, timed_edges, seed):
+    """Cross-operator invariant: time constraints only REMOVE paths, so
+    every node temporally reachable within r rounds must also be
+    BFS-reachable within r rounds on the same (untimed) edge set — and
+    a temporal path must exist per brute force."""
+    from ufc_data_warehouse_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        sorted(timed_edges), "src long, dst long, t long"
+    )
+    seeds = spark.createDataFrame([(seed,)], "node long")
+    temporal = {
+        r["node"]
+        for r in graph.temporal_earliest_arrival(
+            edges, seeds, rounds=3, start_t=0
+        ).collect()
+    }
+    bfs = {
+        r["node"]
+        for r in graph.bfs_hops(
+            edges.select("src", "dst"), seeds, rounds=3
+        ).collect()
+    }
+    assert temporal <= bfs, temporal - bfs
+
+    # brute-force temporal reachability for the exactness direction
+    frontier = {seed: 0}
+    best = dict(frontier)
+    for _ in range(3):
+        new = {}
+        for u, at in best.items():
+            for s, d, t in timed_edges:
+                if s == u and t >= at and (d not in best or t < best.get(d, 1 << 62)):
+                    if d not in new or t < new[d]:
+                        new[d] = t
+        for d, t in new.items():
+            if d not in best or t < best[d]:
+                best[d] = t
+    assert temporal == set(best), (temporal, set(best))
