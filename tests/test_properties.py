@@ -736,6 +736,11 @@ def test_partitioning_invariance_of_tie_sensitive_queries(spark):
         "coreset_kcenter_selection",
         "bigram_successor_topk",
         "grouped_quartiles",
+        # samplers: the classic partitioning-dependence bug surface
+        "weighted_priority_sample",
+        "pps_systematic_sample",
+        "stratified_fixed_n_sample",
+        "contrastive_negative_sampling",
     ]
     original = spark.conf.get("spark.sql.shuffle.partitions")
     results = {}
