@@ -1210,3 +1210,16 @@ def test_temporal_reachability_subset_of_bfs(spark, timed_edges, seed):
             if d not in best or t < best[d]:
                 best[d] = t
     assert temporal == set(best), (temporal, set(best))
+
+
+def test_equidepth_buckets_are_balanced(spark):
+    """Equi-depth histogram invariant: bucket populations differ by at
+    most 1 (ntile over a total order guarantees it; this guards the
+    total-order tie-break from regressing)."""
+    from ufc_data_warehouse_spark.extra_queries import EXTRA_QUERIES
+
+    from tests.conftest import SF_DIR
+
+    rows = EXTRA_QUERIES["equidepth_histogram_price"](spark, SF_DIR).collect()
+    counts = [r["n_orders"] for r in rows]
+    assert max(counts) - min(counts) <= 1, counts
