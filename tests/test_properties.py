@@ -1221,5 +1221,5 @@ def test_equidepth_buckets_are_balanced(spark):
     from tests.conftest import SF_DIR
 
     rows = EXTRA_QUERIES["equidepth_histogram_price"](spark, SF_DIR).collect()
-    counts = [r["n_orders"] for r in rows]
+    counts = [r["n"] for r in rows]
     assert max(counts) - min(counts) <= 1, counts
