@@ -1223,3 +1223,25 @@ def test_equidepth_buckets_are_balanced(spark):
     rows = EXTRA_QUERIES["equidepth_histogram_price"](spark, SF_DIR).collect()
     counts = [r["n"] for r in rows]
     assert max(counts) - min(counts) <= 1, counts
+
+
+def test_pack_token_bins_capacity_bound(spark):
+    """Offset-based packing invariant: all docs in a (lang, bin) START
+    inside the 4096-token window, so a bin's total can exceed capacity
+    only by (its largest doc − 1) tokens — the straddle bound."""
+    from pyspark.sql import functions as F
+
+    from ufc_data_warehouse_spark.extra_queries import EXTRA_QUERIES
+
+    from tests.conftest import SF_DIR
+
+    df = EXTRA_QUERIES["pack_token_bins"](spark, SF_DIR)
+    rows = (
+        df.groupBy("lang", "bin")
+        .agg(F.sum("tokens").alias("total"), F.max("tokens").alias("mx"))
+        .collect()
+    )
+    for r in rows:
+        assert r["total"] <= 4096 + r["mx"] - 1, (
+            r["lang"], r["bin"], r["total"], r["mx"],
+        )
