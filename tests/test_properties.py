@@ -1245,3 +1245,42 @@ def test_pack_token_bins_capacity_bound(spark):
         assert r["total"] <= 4096 + r["mx"] - 1, (
             r["lang"], r["bin"], r["total"], r["mx"],
         )
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(alphabet="xyz 123", min_size=1, max_size=600),
+        min_size=1,
+        max_size=5,
+    ),
+    st.sampled_from([(200, 50), (100, 20), (64, 0)]),
+)
+def test_chunking_reconstructs_the_document(spark, texts, params):
+    """Lossless-chunking property: stitching chunks back (dropping each
+    chunk's leading `overlap` chars after the first) reproduces the
+    normalized document exactly, for several (chunk, overlap) settings."""
+    import re
+
+    from ufc_data_warehouse_spark.operators import text as text_ops
+
+    chunk_chars, overlap = params
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = text_ops.chunk_documents(
+        df, chunk_chars=chunk_chars, overlap=overlap
+    ).collect()
+    by_doc: dict[int, list[tuple[int, str]]] = {}
+    for r in chunks:
+        by_doc.setdefault(r["id"], []).append((r["chunk_idx"], r["chunk_text"]))
+    for i, t in enumerate(texts):
+        norm = re.sub(r"\s+", " ", t.lower()).strip()
+        parts = [c for _, c in sorted(by_doc.get(i, []))]
+        if not norm:
+            continue
+        rebuilt = parts[0] + "".join(p[overlap:] for p in parts[1:])
+        assert rebuilt == norm, (i, rebuilt[:80], norm[:80])
