@@ -1284,3 +1284,45 @@ def test_chunking_reconstructs_the_document(spark, texts, params):
             continue
         rebuilt = parts[0] + "".join(p[overlap:] for p in parts[1:])
         assert rebuilt == norm, (i, rebuilt[:80], norm[:80])
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(alphabet="abc3 ,.", min_size=1, max_size=120),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_bpe_estimate_bounds(spark, texts):
+    """Sanity bounds on the BPE token estimator: at least one token per
+    word run, never more tokens than characters."""
+    from ufc_data_warehouse_spark.operators import text as text_ops
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for r in text_ops.bpe_token_estimate(df).collect():
+        assert r["est_tokens"] >= r["word_runs"]
+        assert r["est_tokens"] <= max(1, len(texts[r["id"]]))
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.text(alphabet="abcd ", min_size=5, max_size=80))
+def test_simhash_deterministic_for_identical_docs(spark, t):
+    """Two identical documents must land on the identical simhash —
+    Hamming distance zero regardless of row order or ids."""
+    from ufc_data_warehouse_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(0, t), (1, t)], "doc_id long, text string"
+    )
+    sigs = {r["id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    assert sigs[0] == sigs[1]
