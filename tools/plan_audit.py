@@ -20,7 +20,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # queries whose plans legitimately contain a nested-loop/cartesian shape
 EXPECTED_NLJ = {
-    "dedup_simhash_pairs",  # exact all-pairs verify (LSH-banded at scale)
     "ann_cosine_topk",  # broadcast query-batch × corpus
     "dedup_ngram_jaccard",  # exhaustive verify variant
     "ann_lsh_buckets",  # planes × dims weight table: 8×64 literals
@@ -63,7 +62,6 @@ EXPECTED_NLJ = {
     "ann_mrr_audit",  # composes cosine_topk + ivf_topk (their crosses)
     "ann_ndcg_audit",  # composes ivf_topk broadcast probe crosses
     "ann_probe_sweep",  # composes ivf_topk at 3 probe settings (their crosses)
-    "dedup_method_agreement",  # composes simhash all-pairs verify (LSH-banded at scale)
     "embedding_dim_variance_audit",  # quantize stats + 1-row max-var crosses
     "event_rate_spike_audit",  # 1-row (N, H) totals broadcast cross
     "lang_upsampling_factors",  # 1-row max-count broadcast cross
