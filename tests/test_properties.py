@@ -1326,3 +1326,28 @@ def test_simhash_deterministic_for_identical_docs(spark, t):
     )
     sigs = {r["id"]: r["simhash"] for r in dedup.simhash(df).collect()}
     assert sigs[0] == sigs[1]
+
+
+def test_tfidf_jvm_log_fallback_parity(spark, monkeypatch):
+    """The capped JVM-log idf fallback must agree with the driver-side
+    glibc-log path to the documented ±1-ulp-per-factor bound (rel err
+    < 1e-15 per score), and produce the same (id, term, tf, df) rows
+    when k covers the whole vocabulary."""
+    from ufc_data_warehouse_spark.operators import text as text_ops
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(
+        200
+    )
+    exact = text_ops.tfidf_top_terms(docs, k=10_000).collect()
+    monkeypatch.setattr(text_ops, "IDF_MAP_CAP", 0)  # force JVM-log path
+    approx = text_ops.tfidf_top_terms(docs, k=10_000).collect()
+    key = lambda r: (r["id"], r["term"])  # noqa: E731
+    ex = {key(r): r for r in exact}
+    ap = {key(r): r for r in approx}
+    assert ex.keys() == ap.keys()
+    for k_, r in ex.items():
+        a = ap[k_]
+        assert (r["tf"], r["df"]) == (a["tf"], a["df"])
+        assert abs(r["score"] - a["score"]) <= 1e-15 * max(
+            1.0, abs(r["score"])
+        ), k_

@@ -65,7 +65,6 @@ EXPECTED_NLJ = {
     "embedding_dim_variance_audit",  # quantize stats + 1-row max-var crosses
     "event_rate_spike_audit",  # 1-row (N, H) totals broadcast cross
     "lang_upsampling_factors",  # 1-row max-count broadcast cross
-    "multimodal_image_neardup",  # exhaustive pair verify (LSH-restricted at scale)
     "order_backlog_aging",  # 1-row data-derived as-of date broadcast cross
     "positive_pair_mining",  # composes cosine_topk broadcast query-batch cross
     "quantization_error_bound",  # 1-row quantize [min,max] stats broadcast cross

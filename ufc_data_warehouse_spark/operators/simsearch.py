@@ -542,6 +542,88 @@ def _int_dot(a: F.Column, b: F.Column) -> F.Column:
     )
 
 
+def int_vector_near_pairs(
+    feats: DataFrame,
+    max_d2: int,
+    dims: int,
+    id_col: str = "media_id",
+    vec_col: str = "fi",
+    n_bands: int = 4,
+) -> DataFrame:
+    """Exact near-neighbor pairs over integer feature vectors:
+    (id_a, id_b, d2) for every pair with squared L2 distance <= max_d2,
+    id_a < id_b — same rows as the naive all-pairs join, bit-for-bit,
+    WITHOUT the cartesian product.
+
+    Banded grid blocking (lossless, pigeonhole): the ``dims`` coordinates
+    split into ``n_bands`` contiguous bands; any pair within ``max_d2``
+    total has at least one band whose partial squared distance is
+    <= max_d2 / n_bands, so every coordinate in that band differs by at
+    most r = floor(sqrt(max_d2 / n_bands)). Quantizing that band's
+    coordinates to grid cells of width r + 1 puts the pair in cells that
+    differ by <= 1 per coordinate — so probing the 3^dims_per_band
+    neighbor-cell offsets of ONE side finds every true pair. Candidates
+    flow through an equi-join on (band, cell...), then the exact integer
+    d2 verify kills false candidates. Recall is exactly 1.
+
+    Shape at 100 TB: probe side explodes x(n_bands * 3^dims_per_band)
+    (x36 at the 8-dim/4-band default), build side x n_bands — both
+    narrow maps; the single shuffle is the (band, cells) equi-join whose
+    cost is Σ bucket_pairs, not n². Pruning power scales with threshold
+    tightness (cells per dim ≈ range / sqrt(max_d2/n_bands)); production
+    perceptual-hash thresholds are far tighter than this demo's, giving
+    correspondingly finer grids.
+    """
+    dpb, rem = divmod(dims, n_bands)
+    assert rem == 0, "dims must divide evenly into n_bands"
+    w = int((max_d2 // n_bands) ** 0.5) + 1
+
+    def cells(b: int, offs: tuple[int, ...] | None = None) -> list[F.Column]:
+        out = []
+        for j in range(dpb):
+            c = F.floor(F.element_at(F.col(vec_col), b * dpb + j + 1) / F.lit(w))
+            if offs is not None:
+                c = c + F.lit(offs[j])
+            out.append(c.cast("long").alias(f"c{j}"))
+        return out
+
+    import itertools
+
+    probe_structs = [
+        F.struct(F.lit(b).alias("band"), *cells(b, offs))
+        for b in range(n_bands)
+        for offs in itertools.product((-1, 0, 1), repeat=dpb)
+    ]
+    build_structs = [
+        F.struct(F.lit(b).alias("band"), *cells(b)) for b in range(n_bands)
+    ]
+    key = ["band"] + [f"c{j}" for j in range(dpb)]
+    probe = feats.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("fa"),
+        F.explode(F.array(*probe_structs)).alias("k"),
+    ).select("id_a", "fa", *[F.col(f"k.{c}").alias(c) for c in key])
+    build = feats.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("fb"),
+        F.explode(F.array(*build_structs)).alias("k"),
+    ).select("id_b", "fb", *[F.col(f"k.{c}").alias(c) for c in key])
+    d2 = F.aggregate(
+        F.zip_with(F.col("fa"), F.col("fb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        probe.join(build, key)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fa", "fb")
+        .distinct()
+        .withColumn("d2", d2)
+        .filter(F.col("d2") <= F.lit(max_d2))
+        .select("id_a", "id_b", "d2")
+    )
+
+
 def kcenter_coreset(embeddings: DataFrame, k: int = 4) -> DataFrame:
     """Greedy k-center (Gonzalez maximin) coreset selection over
     int8-quantized vectors → ``(rank, vec_id, d2)``: the k points that

@@ -115,6 +115,11 @@ def chunk_documents(
 _WORD_RE = "[a-z0-9]+"
 _PUNCT_RE = r"[^a-z0-9 ]"
 
+# Hard cap on the driver-side (df → idf) lookup in tfidf_top_terms.
+# Distinct document-frequency values are O(hundreds) on real Zipfian
+# corpora but O(n_docs) worst case; past the cap idf computes JVM-side.
+IDF_MAP_CAP = 100_000
+
 
 def bpe_token_estimate(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -340,7 +345,11 @@ def tfidf_top_terms(
     score bit-exact across engines. The collect is bounded: distinct
     document-frequency VALUES (≤ number of distinct counts, typically
     hundreds) — the same driver-side-scalar pattern as k-means
-    centroids, not a data collect.
+    centroids, not a data collect. Worst-case distinct-df cardinality is
+    still O(n_docs), so the collect is HARD-CAPPED at ``IDF_MAP_CAP``
+    values; above the cap the idf switches to the JVM expression
+    ``ln(N/df)`` (identical to the last ulp for ~96% of inputs, ±1 ulp
+    for the rest — see tests/test_properties.py parity bound).
     """
     import math
 
@@ -352,21 +361,27 @@ def tfidf_top_terms(
     tf = exploded.groupBy("id", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = exploded.select("id").distinct().count()
-    distinct_dfs = [r[0] for r in dfreq.select("df").distinct().collect()]
-    idf_map = spark.createDataFrame(
-        [(d, math.log(n_docs / d)) for d in distinct_dfs],
-        "df long, idf double",
-    )
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(idf_map), "df")
-        .select(
-            "id",
-            "term",
-            "tf",
-            "df",
-            (F.col("tf").cast("double") * F.col("idf")).alias("score"),
+    distinct_dfs = [
+        r[0]
+        for r in dfreq.select("df").distinct().limit(IDF_MAP_CAP + 1).collect()
+    ]
+    scored = tf.join(F.broadcast(dfreq), "term")
+    if len(distinct_dfs) <= IDF_MAP_CAP:
+        idf_map = spark.createDataFrame(
+            [(d, math.log(n_docs / d)) for d in distinct_dfs],
+            "df long, idf double",
         )
+        scored = scored.join(F.broadcast(idf_map), "df")
+    else:  # cap blown: stay fully distributed, JVM log
+        scored = scored.withColumn(
+            "idf", F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+        )
+    scored = scored.select(
+        "id",
+        "term",
+        "tf",
+        "df",
+        (F.col("tf").cast("double") * F.col("idf")).alias("score"),
     )
     w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))
     return (

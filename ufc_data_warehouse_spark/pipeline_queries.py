@@ -42,6 +42,14 @@ _SUBVECS = 8
 _SUBDIM = 8
 
 
+# Hard cap on every ANN query set (the broadcast/collected side). The
+# 1-in-100 sample alone grows with the corpus (n/100 — unbounded at 100 TB);
+# the deterministic orderBy(vec_id) + LIMIT makes the query batch a true
+# constant. A no-op at test SFs (sampled sets are <= 20 vectors) so oracles
+# replay the same bound bit-for-bit.
+_QUERY_SET_LIMIT = 64
+
+
 def q_ann_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-interaction retrieval: each 64-d embedding is treated as 8
     token-vectors of 8 dims; score(q, d) = Σ_i max_j <q_i, d_j> (ColBERT
@@ -56,8 +64,11 @@ def q_ann_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = _read(spark, sf_dir, "embeddings")
     codes = simsearch.quantize_int8(emb).select("vec_id", "codes")
-    qcodes = codes.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("codes").alias("qc")
+    qcodes = (
+        codes.filter(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(_QUERY_SET_LIMIT)
+        .select(F.col("vec_id").alias("query_id"), F.col("codes").alias("qc"))
     )
     pairs = codes.crossJoin(F.broadcast(qcodes)).filter(
         F.col("vec_id") != F.col("query_id")
@@ -105,7 +116,8 @@ scored AS (
           q.codes[i * {_SUBDIM} + 1 : i * {_SUBDIM} + {_SUBDIM}]::BIGINT[],
           d.codes[j * {_SUBDIM} + 1 : j * {_SUBDIM} + {_SUBDIM}]::BIGINT[])
       ))))::BIGINT AS score
-  FROM codes d JOIN codes q ON q.vec_id % 100 = 0 AND d.vec_id <> q.vec_id
+  FROM codes d JOIN (SELECT * FROM codes WHERE vec_id % 100 = 0
+                     ORDER BY vec_id LIMIT 64) q ON d.vec_id <> q.vec_id
 )
 SELECT query_id, neighbor_id, rank::INT AS rank, score FROM (
   SELECT query_id, neighbor_id, score,
@@ -844,6 +856,7 @@ def q_ann_maxsim_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrows = (
         codes.filter(F.col("vec_id") % 100 == 0)
         .orderBy("vec_id")
+        .limit(_QUERY_SET_LIMIT)
         .collect()
     )
     scored = simsearch.maxsim_scores_arrow(
@@ -1646,9 +1659,11 @@ def q_multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     real perceptual embedding; the pair stage, threshold semantics, and
     output contract are the production ones.
 
-    Scale: all-pairs here (the oracle's ground-truth shape); production
-    restricts candidates via the LSH bucketer (`ann_lsh_buckets`) first,
-    same as dedup_embedding_cosine documents.
+    Scale: candidates come from lossless banded grid blocking
+    (`simsearch.int_vector_near_pairs` — pigeonhole bands over the
+    coordinates + neighbor-cell equi-join), then the exact integer d2
+    verify. Same rows as the all-pairs ground truth (the oracle keeps
+    the exhaustive shape), no cartesian product in the plan.
     """
     from .operators import multimodal
 
@@ -1662,25 +1677,9 @@ def q_multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "features", lambda x: F.round(x * 128).cast("long")
         ).alias("fi"),
     )
-    a = feats.select(
-        F.col("media_id").alias("id_a"), F.col("fi").alias("fa")
-    )
-    b = feats.select(
-        F.col("media_id").alias("id_b"), F.col("fi").alias("fb")
-    )
-    d2 = F.aggregate(
-        F.zip_with(F.col("fa"), F.col("fb"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("d2", d2)
-        .filter(F.col("d2") <= _IMG_D2_MAX)
-        .select("id_a", "id_b", "d2")
-        .orderBy("id_a", "id_b")
-    )
+    return simsearch.int_vector_near_pairs(
+        feats, max_d2=_IMG_D2_MAX, dims=8
+    ).orderBy("id_a", "id_b")
 
 
 PIPELINE_QUERIES["multimodal_image_neardup"] = q_multimodal_image_neardup
@@ -1922,8 +1921,11 @@ def q_ann_cascade_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = _read(spark, sf_dir, "embeddings")
     codes = simsearch.quantize_int8(emb).select("vec_id", "codes")
-    qcodes = codes.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("codes").alias("qc")
+    qcodes = (
+        codes.filter(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(_QUERY_SET_LIMIT)
+        .select(F.col("vec_id").alias("query_id"), F.col("codes").alias("qc"))
     )
     pairs = codes.crossJoin(F.broadcast(qcodes)).filter(
         F.col("vec_id") != F.col("query_id")
@@ -2009,7 +2011,8 @@ s1 AS (
           q.codes[i * {_SUBDIM} + 1 : i * {_SUBDIM} + {_SUBDIM}]::BIGINT[],
           d.codes[j * {_SUBDIM} + 1 : j * {_SUBDIM} + {_SUBDIM}]::BIGINT[])
       ))))::BIGINT AS s1
-  FROM codes d JOIN codes q ON q.vec_id % 100 = 0 AND d.vec_id <> q.vec_id
+  FROM codes d JOIN (SELECT * FROM codes WHERE vec_id % 100 = 0
+                     ORDER BY vec_id LIMIT 64) q ON d.vec_id <> q.vec_id
 ),
 cand AS (
   SELECT query_id, neighbor_id FROM (
