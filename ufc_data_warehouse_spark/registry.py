@@ -108,8 +108,12 @@ class Registry:
         targets: list[str] | None = None,
         partition_by: dict[str, list[str]] | None = None,
         metrics: dict[str, dict] | None = None,
+        jdbc_url: str | None = None,
+        jdbc_options: dict[str, str] | None = None,
     ) -> dict[str, str]:
-        """Write models to ``{warehouse}/{layer}/{name}`` parquet.
+        """Write models to ``{warehouse}/{layer}/{name}`` parquet, or —
+        when ``jdbc_url`` is given — to ``{layer}_{name}`` tables over
+        JDBC (the reference's Postgres load target, dlt/load.py:55-59).
 
         ``partition_by`` maps model name → partition columns (natural keys,
         e.g. weight_category) — the 100 TB layout knob.
@@ -131,15 +135,62 @@ class Registry:
 
                 obs = Observation(f"mart_{name}")
                 df = df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
-            writer = df.write.mode("overwrite")
-            cols = (partition_by or {}).get(name)
-            if cols:
-                writer = writer.partitionBy(*cols)
-            writer.parquet(path)
+            if jdbc_url is not None:
+                path = f"{model.layer}_{name}"
+                write_jdbc(df, jdbc_url, path, options=jdbc_options)
+            else:
+                writer = df.write.mode("overwrite")
+                cols = (partition_by or {}).get(name)
+                if cols:
+                    writer = writer.partitionBy(*cols)
+                writer.parquet(path)
             if obs is not None:
                 metrics[name] = obs.get
             written[name] = path
         return written
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    options: dict[str, str] | None = None,
+    num_partitions: int | None = None,
+) -> None:
+    """JDBC sink — the reference's actual load target is a Postgres
+    database written over a DB-API/JDBC connection (reference
+    dlt/load.py:55-59 + .dlt/secrets.toml); this is the Spark-native
+    equivalent for any JDBC-speaking warehouse.
+
+    Scale notes: every output partition opens one connection and writes
+    ``batchsize`` rows per round-trip, so ``num_partitions`` IS the sink
+    parallelism knob — cap it well below the database's max_connections
+    (a 1000-executor job must not open 32k connections). Default
+    batchsize raised to 10k (Spark's 1k default round-trips too often
+    for bulk loads). ``truncate`` defaults true so overwrite keeps the
+    target table's DDL (indexes, grants) instead of drop+recreate —
+    dbt's incremental-friendly behavior.
+    """
+    opts = {"batchsize": "10000", "truncate": "true"}
+    opts.update(options or {})
+    writer = df.coalesce(num_partitions) if num_partitions else df
+    writer.write.mode(mode).options(**opts).jdbc(url, table)
+
+
+def jdbc_roundtrip(
+    spark,
+    df: DataFrame,
+    url: str,
+    table: str,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Write ``df`` to ``table`` over JDBC and read it back — the
+    load-verification shape (dlt's post-load row-count check,
+    reference dlt/load.py)."""
+    write_jdbc(df, url, table, options=options, num_partitions=1)
+    reader = spark.read.options(**(options or {}))
+    return reader.jdbc(url, table)
 
 
 REGISTRY = Registry()
