@@ -91,3 +91,19 @@ def assert_frames_match(spark_df, duck_df: pd.DataFrame, label: str = "") -> Non
     assert len(left) == len(right), f"{label}: row count {len(left)} vs {len(right)}"
     pd.testing.assert_frame_equal(left, right, check_dtype=False, check_exact=False,
                                   rtol=1e-5, atol=1e-8, obj=label or "frame")
+
+
+# ---------------------------------------------------------------------------
+# two-tier suite: the exhaustive per-query oracle sweep and the hypothesis
+# property suites dominate runtime (~11 of ~13 minutes). They are marked
+# `slow` at collection so `pytest -m "not slow"` is the <2-minute iteration
+# tier; plain `pytest tests/` still runs everything.
+# ---------------------------------------------------------------------------
+
+_SLOW_FILES = {"test_extra_queries.py", "test_properties.py", "test_models_oracle.py"}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if os.path.basename(str(item.fspath)) in _SLOW_FILES:
+            item.add_marker(pytest.mark.slow)

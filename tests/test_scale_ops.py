@@ -688,6 +688,7 @@ def test_shuffle_hash_hint_skips_sorts(spark):
             spark.conf.set(k, v)
 
 
+@pytest.mark.slow
 def test_ivf_recall_vs_brute_force(spark):
     """IVF probing (sublinear scale path) with k-means inverted lists:
     recall@10 must beat the scanned fraction, be monotone in n_probe, and
