@@ -129,6 +129,69 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production append-only scenario: docs with
+    doc_id % 10 == 0 arrive as today's batch; the rest are the indexed
+    corpus whose LSH band keys are already stored. The batch's band keys
+    (broadcast) probe the corpus index by equi-join, candidates verify
+    with exact shingle Jaccard, and only verified (batch, corpus) dup
+    links are emitted — corpus data is never shuffled and batch cost is
+    independent of corpus size (operators/dedup.py::
+    incremental_lsh_candidates)."""
+    sh = _shingles(spark, sf_dir)
+    sigs = dedup.minhash_signatures(sh, num_hashes=16)
+    batch_sigs = sigs.filter(F.col("id") % 10 == 0)
+    corpus_sigs = sigs.filter(F.col("id") % 10 != 0)
+    cands = dedup.incremental_lsh_candidates(corpus_sigs, batch_sigs)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    shared = (
+        cands.join(
+            sh.select(F.col("id").alias("batch_id"), "shingle"), "batch_id"
+        )
+        .join(
+            sh.select(F.col("id").alias("corpus_id"), "shingle"),
+            ["corpus_id", "shingle"],
+        )
+        .groupBy("batch_id", "corpus_id")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(
+            sizes.select(F.col("id").alias("batch_id"), F.col("n").alias("n_b")),
+            "batch_id",
+        )
+        .join(
+            sizes.select(F.col("id").alias("corpus_id"), F.col("n").alias("n_c")),
+            "corpus_id",
+        )
+        .select(
+            "batch_id",
+            "corpus_id",
+            "shared",
+            (F.col("n_b") + F.col("n_c") - F.col("shared")).alias("union_size"),
+            (
+                F.col("shared").cast("double")
+                / (F.col("n_b") + F.col("n_c") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+        .orderBy("batch_id", "corpus_id")
+    )
+
+
+def q_dedup_simhash48_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-width SimHash config: 48-bit signature, Hamming <= 3 →
+    4 pigeonhole bands of 12 bits each, i.e. 4096-way band buckets. This
+    is the selectivity regime the banded join is built for (the 24-bit
+    demo config has 3-4-bit bands); wider signature + tighter threshold
+    is exactly how a pretraining-dedup deployment runs SimHash."""
+    docs = _read(spark, sf_dir, "documents")
+    sigs = dedup.simhash(docs, bits=48)
+    return dedup.simhash_near_pairs(sigs, max_hamming=3, bits=48).orderBy(
+        "id_a", "id_b"
+    )
+
+
 from .sqlfrag import (  # noqa: E402
     _BANDS_SQL,
     _JACCARD_CORE_SQL,
@@ -138,7 +201,8 @@ from .sqlfrag import (  # noqa: E402
     _TOKS_SQL,
 )
 
-_SIMHASH_SQL = f"""
+def _simhash_sql(bits: int) -> str:
+    return f"""
 doc_toks AS (
   SELECT doc_id AS id, {_TOKS_SQL} AS toks FROM documents
 ),
@@ -149,13 +213,16 @@ tok_hash AS (
 bit_deltas AS (
   SELECT id, b.bit,
     CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS delta
-  FROM tok_hash, unnest(generate_series(0, {dedup.SIMHASH_BITS - 1})) AS b(bit)
+  FROM tok_hash, unnest(generate_series(0, {bits - 1})) AS b(bit)
 ),
 bit_sums AS (SELECT id, bit, sum(delta) AS s FROM bit_deltas GROUP BY id, bit),
 simhashes AS (
   SELECT id, sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
   FROM bit_sums GROUP BY id
 )"""
+
+
+_SIMHASH_SQL = _simhash_sql(dedup.SIMHASH_BITS)
 
 # ---------------------------------------------------------------------------
 # text analysis family
@@ -1767,6 +1834,8 @@ EXTRA_QUERIES: dict[str, Query] = {
     "dedup_prefix_filter": q_dedup_prefix_filter,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_simhash48_pairs": q_dedup_simhash48_pairs,
+    "dedup_incremental_batch": q_dedup_incremental_batch,
     "text_token_stats": q_text_token_stats,
     "text_language_id": q_text_language_id,
     "text_quality_score": q_text_quality_score,
@@ -1953,6 +2022,39 @@ SELECT a.id AS id_a, b.id AS id_b,
   bit_count(xor(a.simhash, b.simhash))::INT AS hamming
 FROM simhashes a JOIN simhashes b ON a.id < b.id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+ORDER BY id_a, id_b""",
+    "dedup_incremental_batch": f"""
+WITH {_SHINGLES_SQL.strip().lstrip(',')},
+sigs AS ({_MINHASH_SQL}),
+buckets AS ({_BANDS_SQL}),
+cands AS (
+  SELECT DISTINCT b.id AS batch_id, c.id AS corpus_id
+  FROM buckets b JOIN buckets c
+    ON b.band = c.band AND b.bucket = c.bucket
+  WHERE b.id % 10 = 0 AND c.id % 10 <> 0
+),
+sizes AS (SELECT id, count(*) AS n FROM shingles GROUP BY id),
+shared AS (
+  SELECT x.batch_id, x.corpus_id, count(*) AS shared
+  FROM cands x
+  JOIN shingles a ON a.id = x.batch_id
+  JOIN shingles b ON b.id = x.corpus_id AND b.shingle = a.shingle
+  GROUP BY x.batch_id, x.corpus_id
+)
+SELECT s.batch_id, s.corpus_id, s.shared,
+  (nb.n + nc.n - s.shared) AS union_size,
+  s.shared::DOUBLE / (nb.n + nc.n - s.shared) AS jaccard
+FROM shared s
+JOIN sizes nb ON s.batch_id = nb.id
+JOIN sizes nc ON s.corpus_id = nc.id
+WHERE s.shared::DOUBLE / (nb.n + nc.n - s.shared) >= 0.2
+ORDER BY batch_id, corpus_id""",
+    "dedup_simhash48_pairs": f"""
+WITH {_simhash_sql(48).strip().lstrip(',')}
+SELECT a.id AS id_a, b.id AS id_b,
+  bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM simhashes a JOIN simhashes b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 ORDER BY id_a, id_b""",
     "text_token_stats": f"""
 SELECT doc_id AS id, len({_TOKS_SQL})::INT AS n_tokens,

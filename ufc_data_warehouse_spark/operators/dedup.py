@@ -114,6 +114,60 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
     return shingles.groupBy("id").agg(*aggs)
 
 
+def lsh_band_keys(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """(id, band, bucket) — one row per document per band; bucket is the
+    md5 of the band's concatenated minhashes. This IS the stored LSH
+    index of a deduplicated corpus: append-only, partitionable by
+    (band, bucket prefix), and probe-able by equi-join."""
+    band_rows = []
+    for b in range(bands):
+        cols = [
+            F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        band_rows.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+    return signatures.select(
+        "id", F.explode(F.array(*band_rows)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def incremental_lsh_candidates(
+    corpus_sigs: DataFrame,
+    batch_sigs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """(batch_id, corpus_id) near-dup candidates of an incoming batch
+    against an already-indexed corpus — the PRODUCTION dedup scenario:
+    the corpus is append-only and its band keys (``lsh_band_keys``) are
+    stored; each new increment computes its own band keys and probes the
+    index by equi-join on (band, bucket).
+
+    Scale shape: the batch side is BROADCAST — a daily increment is MBs
+    even when the corpus index is TBs — so the corpus index streams
+    map-side and is never shuffled; candidate cardinality is bucket
+    collisions only. Batch-internal duplicates are a separate (tiny)
+    ``lsh_candidate_pairs`` call on the batch alone.
+    """
+    cb = lsh_band_keys(corpus_sigs, bands, rows_per_band).select(
+        F.col("id").alias("corpus_id"), "band", "bucket"
+    )
+    bb = lsh_band_keys(batch_sigs, bands, rows_per_band).select(
+        F.col("id").alias("batch_id"), "band", "bucket"
+    )
+    return (
+        cb.join(F.broadcast(bb), ["band", "bucket"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
 ) -> DataFrame:
@@ -132,20 +186,7 @@ def lsh_candidate_pairs(
     Output is distinct pairs only; verification (exact Jaccard) is the
     caller's next step.
     """
-    band_rows = []
-    for b in range(bands):
-        cols = [
-            F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)
-        ]
-        band_rows.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
-            )
-        )
-    buckets = signatures.select(
-        "id", F.explode(F.array(*band_rows)).alias("bb")
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    buckets = lsh_band_keys(signatures, bands, rows_per_band)
     grouped = (
         buckets.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_set("id")).alias("ids"))
