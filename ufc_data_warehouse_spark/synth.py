@@ -79,11 +79,13 @@ N_DIVISIONS = len(DIVISIONS)
 
 
 def _pick(idx: Column, values: list[str]) -> Column:
-    """values[idx] as a codegen-friendly WHEN ladder (no join, no UDF)."""
-    expr: Column = F.lit(None).cast("string")
-    for i, v in reversed(list(enumerate(values))):
-        expr = F.when(idx == i, F.lit(v)).otherwise(expr)
-    return expr
+    """values[idx] as a codegen-friendly element_at over an array literal
+    (no join, no UDF). Built as ONE sql expression string: the WHEN-ladder
+    Column form costs len(values) py4j round-trips per call site, which
+    measurably dominates plan-construction time for this module (~1.5 s
+    of driver chatter per ufc_raw_tables call at any scale factor)."""
+    quoted = ", ".join("'" + v.replace("'", "''") + "'" for v in values)
+    return F.element_at(F.expr(f"array({quoted})"), idx.cast("int") + 1)
 
 
 def _fighter_name(fid: Column) -> Column:
