@@ -101,18 +101,37 @@ def token_bins(
     order (within ``group_col`` if given) and ``bin`` increments each time
     the running token total crosses ``budget``.
 
-    ``bin = exclusive_cumsum(tokens) // budget`` — a single window cumsum,
-    so ONE shuffle on the group key. With a group key the window is
-    per-group (parallel across groups — the 100 TB shape: group by
-    language/source shard). Without one it is a single-partition window —
-    only for small frames; at scale pre-bin per partition then offset by a
-    per-partition total (two passes, no global sort).
+    ``bin = exclusive_cumsum(tokens) // budget``. With a group key this is
+    a single window cumsum hashed on the group (parallel across groups —
+    the 100 TB shape: group by language/source shard). Without one, an
+    integer ``id_col`` routes through ``scale.global_prefix_sum`` — the
+    range-bucketed two-phase cumsum (bucket-local window + broadcast
+    per-bucket offsets), NEVER a single-partition global window; a
+    non-integer id falls back to the global window with this documented
+    small-frame-only caveat.
     """
-    part = Window.partitionBy(group_col) if group_col else Window.partitionBy()
+    toks = F.col(token_col).cast("bigint")
+    if group_col is None:
+        from pyspark.sql.types import IntegralType
+
+        if isinstance(df.schema[id_col].dataType, IntegralType):
+            from .scale import global_prefix_sum
+
+            cum = global_prefix_sum(
+                df.withColumn("_tok", toks),
+                value_col="_tok",
+                order_col=id_col,
+                out_col="_cum",
+            )
+            return cum.withColumn(
+                "bin", ((F.col("_cum") - F.col("_tok")) / budget).cast("bigint")
+            ).drop("_tok", "_cum")
+        part = Window.partitionBy()
+    else:
+        part = Window.partitionBy(group_col)
     w = part.orderBy(F.asc(id_col)).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    toks = F.col(token_col).cast("bigint")
     cum_excl = F.sum(toks).over(w) - toks
     return df.withColumn("bin", (cum_excl / budget).cast("bigint"))
 
