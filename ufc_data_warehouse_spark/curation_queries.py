@@ -759,6 +759,7 @@ def build_registry(
         "curation_pipeline_e2e": q_curation_pipeline_e2e,
         "scd2_point_in_time_join": q_scd2_point_in_time_join,
         "pii_column_scan": q_pii_column_scan,
+        "blocklist_domain_filter": q_blocklist_domain_filter,
     }
     oracles: dict[str, str] = {
         "text_pii_redaction": _pii_oracle(),
@@ -792,8 +793,83 @@ ORDER BY id_a, id_b""",
         "curation_pipeline_e2e": _pipeline_oracle(norm_sql, toks_sql),
         "scd2_point_in_time_join": _SCD2_PIT_ORACLE,
         "pii_column_scan": _pii_scan_oracle(),
+        "blocklist_domain_filter": _BLOCKLIST_ORACLE,
     }
     return queries, oracles
+
+
+# Domain blocklist with registrable-domain semantics: an entry blocks the
+# exact host AND every subdomain of it. The non-matching entry pins the
+# no-op path.
+_DOMAIN_BLOCKLIST = ["example.de", "src3.example.en", "spam.invalid"]
+
+
+def q_blocklist_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-pipeline URL blocklist filter: each document's host (derived
+    ``{source}.example.{lang}``, same construction as url_host_stats) is
+    checked against a domain blocklist where an entry blocks the host and
+    all its subdomains. Output: per (source, lang) n_docs / n_blocked /
+    n_kept.
+
+    Scale shape: suffix matching is NOT a per-entry rlike scan (that is
+    O(|blocklist|) regex work per row and unindexable). Each host explodes
+    into its label-suffix chain (≤ label count, ~4 entries), which
+    equi-joins the BROADCAST blocklist — one narrow explode + one
+    broadcast hash join, regardless of blocklist size; the same shape a
+    100 TB crawl uses for public-suffix and robots policy tables.
+    """
+    docs = _read(spark, sf_dir, "documents")
+    host = F.concat_ws(".", F.col("source"), F.lit("example"), F.col("lang"))
+    base = docs.select("doc_id", "source", "lang", host.alias("host"))
+    labels = F.split(F.col("host"), r"\.")
+    chain = F.transform(
+        F.sequence(F.lit(1), F.size(labels)),
+        lambda i: F.array_join(F.slice(labels, i, F.size(labels)), "."),
+    )
+    bl = spark.createDataFrame(
+        [(d,) for d in _DOMAIN_BLOCKLIST], "suffix string"
+    )
+    blocked = (
+        base.select("doc_id", F.explode(chain).alias("suffix"))
+        .join(F.broadcast(bl), "suffix")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_blocked", F.lit(1))
+    )
+    return (
+        base.join(blocked, "doc_id", "left")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("is_blocked"), F.lit(0)))
+            .cast("long")
+            .alias("n_blocked"),
+        )
+        .withColumn("n_kept", F.col("n_docs") - F.col("n_blocked"))
+        .orderBy("source", "lang")
+    )
+
+
+_BLOCKLIST_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, source, lang,
+    source || '.example.' || lang AS host
+  FROM documents
+),
+chain AS (
+  SELECT doc_id,
+    array_to_string(list_slice(string_split(host, '.'), i,
+                               len(string_split(host, '.'))), '.') AS suffix
+  FROM base, unnest(generate_series(1, len(string_split(host, '.')))) AS s(i)
+),
+bl AS (SELECT unnest({_DOMAIN_BLOCKLIST!r}) AS suffix),
+blocked AS (SELECT DISTINCT c.doc_id FROM chain c JOIN bl ON c.suffix = bl.suffix)
+SELECT source, lang, count(*)::BIGINT AS n_docs,
+  sum(CASE WHEN b.doc_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_blocked,
+  (count(*) - sum(CASE WHEN b.doc_id IS NULL THEN 0 ELSE 1 END))::BIGINT AS n_kept
+FROM base LEFT JOIN blocked b USING (doc_id)
+GROUP BY source, lang ORDER BY source, lang
+"""
 
 
 def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:

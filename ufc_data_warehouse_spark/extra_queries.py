@@ -137,7 +137,11 @@ def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     with exact shingle Jaccard, and only verified (batch, corpus) dup
     links are emitted — corpus data is never shuffled and batch cost is
     independent of corpus size (operators/dedup.py::
-    incremental_lsh_candidates)."""
+    incremental_lsh_candidates). Complements incremental_dedup_pairs
+    (curation_queries.py), which exact-joins the batch's shingles against
+    the corpus' shingle inverted index instead of a stored LSH index —
+    exact recall at any threshold but shingle-join cost; this variant is
+    the constant-work-per-batch path once a corpus index exists."""
     sh = _shingles(spark, sf_dir)
     sigs = dedup.minhash_signatures(sh, num_hashes=16)
     batch_sigs = sigs.filter(F.col("id") % 10 == 0)
