@@ -404,6 +404,97 @@ def kmeans(
     return assigned.select("id", "cluster"), centroids
 
 
+def pq_encode(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    n_assign: int = 2,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Product quantization: split each ``dims``-d vector into ``m``
+    subvectors and learn an independent ``k``-centroid codebook per
+    subspace with the deterministic fixed-point :func:`kmeans`; each
+    vector compresses to ``m`` small codes (here 4 × 2 bits).
+
+    Returns (codes (id, code_0..code_{m-1}), codebooks[m][k][dims/m]).
+
+    Scale shape: per-subspace k-means is the same zero-shuffle
+    assign / map-side-combined update as :func:`kmeans` (codebooks are
+    k×d driver literals); the code join chain re-joins on ``id`` so AQE
+    reuses one hash partitioning across all m joins. PQ is the memory
+    lever brute/IVF search sits on at 100 TB: 64 float32 dims (256 B)
+    → m log2(k) bits (1 B here), so candidate scoring reads 256× less.
+    """
+    d_sub = dims // m
+    codes: DataFrame | None = None
+    books: list[list[list[float]]] = []
+    for mm in range(m):
+        sub = embeddings.select(
+            F.col(id_col).alias("id"),
+            F.slice(F.col(vec_col), mm * d_sub + 1, d_sub).alias("embedding"),
+        )
+        assigned, cents = kmeans(
+            sub, k=k, n_assign=n_assign, id_col="id", vec_col="embedding"
+        )
+        books.append(cents)
+        part = assigned.select("id", F.col("cluster").alias(f"code_{mm}"))
+        codes = part if codes is None else codes.join(part, "id")
+    assert codes is not None
+    return codes, books
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    probe_vec: list[float],
+    k_top: int = 10,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Asymmetric distance computation (ADC): rank the whole corpus
+    against one uncompressed probe using only its PQ codes —
+    ``dist(q, x) ≈ Σ_m table_m[code_m(x)]`` where ``table_m[j]`` is the
+    exact squared distance of the probe's m-th subvector to centroid j.
+
+    The m×k distance table is computed ONCE on the driver and inlined as
+    array literals, so scoring is a zero-shuffle map-only projection of
+    m ``element_at`` lookups + an add chain — no per-row vector math at
+    all. That is the entire point of PQ at 100 TB: the scan touches 1
+    byte of codes per vector instead of 256 B of floats.
+    """
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    tables = [
+        [
+            sum(
+                (probe_vec[mm * d_sub + j] - c[j]) ** 2
+                for j in range(d_sub)
+            )
+            for c in codebooks[mm]
+        ]
+        for mm in range(m)
+    ]
+    dist = None
+    for mm in range(m):
+        lookup = F.element_at(
+            F.array(*[F.lit(float(t)) for t in tables[mm]]),
+            F.col(f"code_{mm}") + 1,
+        )
+        dist = lookup if dist is None else dist + lookup
+    out = codes.select("id", dist.alias("adc_dist"))
+    if exclude_id is not None:
+        out = out.filter(F.col("id") != exclude_id)
+    w = Window.orderBy(F.asc("adc_dist"), F.asc("id"))
+    # global top-k: TakeOrderedAndProject shape (limit pushes the sort to
+    # per-partition top-k + a k-row merge), not a full global sort
+    return (
+        out.orderBy(F.asc("adc_dist"), F.asc("id"))
+        .limit(k_top)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
 def semantic_dedup_pairs(
     embeddings: DataFrame,
     assignments: DataFrame,

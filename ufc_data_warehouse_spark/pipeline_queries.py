@@ -5202,3 +5202,145 @@ SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n_lines,
 FROM base GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) + asymmetric distance computation (ADC)
+# ---------------------------------------------------------------------------
+
+
+def _pq_kmeans_ctes(sub: int, lo: int, d: int) -> str:
+    """Unrolled per-subspace k-means CTE chain (k=4, 2 assignment passes)
+    over ``embedding[lo : lo+d-1]`` — the same fixed-point replay as the
+    kmeans_clusters oracle (curation_queries._KMEANS_CTES), parameterized
+    by subspace so DuckDB reproduces every codebook bit-for-bit."""
+    hi = lo + d - 1
+    s = sub
+    return f"""
+e_{s} AS (
+  SELECT vec_id AS id,
+    list_transform(embedding[{lo}:{hi}],
+                   x -> floor(x::DOUBLE * 1000000)::BIGINT) AS q
+  FROM embeddings
+),
+init_{s} AS (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS cluster,
+    list_transform(q, v -> v::DOUBLE / 1000000.0) AS c
+  FROM (SELECT id, q FROM e_{s} ORDER BY id LIMIT 4)
+),
+d1_{s} AS (
+  SELECT e.id, i.cluster,
+    list_sum(list_transform(range(1, {d + 1}),
+      j -> (e.q[j]::DOUBLE / 1000000.0 - i.c[j])
+         * (e.q[j]::DOUBLE / 1000000.0 - i.c[j]))) AS dist
+  FROM e_{s} e, init_{s} i
+),
+a1_{s} AS (
+  SELECT id, cluster FROM (
+    SELECT id, cluster,
+      row_number() OVER (PARTITION BY id ORDER BY dist ASC, cluster ASC) AS rn
+    FROM d1_{s}
+  ) WHERE rn = 1
+),
+u1_{s} AS (
+  SELECT a.cluster, t.j AS dim, sum(e.q[t.j]) AS s, count(*) AS cnt
+  FROM a1_{s} a JOIN e_{s} e USING (id),
+       unnest(generate_series(1, {d})) AS t(j)
+  GROUP BY a.cluster, t.j
+),
+c1_{s} AS (
+  SELECT cluster, list(s::DOUBLE / (cnt * 1000000.0) ORDER BY dim) AS c
+  FROM u1_{s} GROUP BY cluster
+),
+d2_{s} AS (
+  SELECT e.id, i.cluster,
+    list_sum(list_transform(range(1, {d + 1}),
+      j -> (e.q[j]::DOUBLE / 1000000.0 - i.c[j])
+         * (e.q[j]::DOUBLE / 1000000.0 - i.c[j]))) AS dist
+  FROM e_{s} e, c1_{s} i
+),
+a2_{s} AS (
+  SELECT id, cluster FROM (
+    SELECT id, cluster,
+      row_number() OVER (PARTITION BY id ORDER BY dist ASC, cluster ASC) AS rn
+    FROM d2_{s}
+  ) WHERE rn = 1
+)"""
+
+
+_PQ_M, _PQ_DSUB = 4, 16
+
+
+def q_ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes for every corpus vector: 4 subspaces ×
+    16 dims, 4 centroids each (simsearch.pq_encode) — 64 float32 dims
+    compress to 4 two-bit codes. Codebooks learn with the deterministic
+    fixed-point k-means, so the DuckDB oracle replays all four subspace
+    codebooks and every code exactly."""
+    emb = _read(spark, sf_dir, "embeddings")
+    codes, _ = simsearch.pq_encode(emb, m=_PQ_M, k=4, n_assign=2)
+    return codes.orderBy("id")
+
+
+def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC retrieval over PQ codes: rank the corpus against the probe
+    vector (vec_id 0 — one bounded driver fetch) using only each
+    vector's 4 codes and a driver-inlined 4×4 distance table
+    (simsearch.pq_adc_topk). The scan is map-only element_at lookups —
+    the 256×-less-IO shape PQ exists for; top-10 via TakeOrdered."""
+    emb = _read(spark, sf_dir, "embeddings")
+    codes, books = simsearch.pq_encode(emb, m=_PQ_M, k=4, n_assign=2)
+    probe = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    return simsearch.pq_adc_topk(
+        codes, books, [float(x) for x in probe["embedding"]], k_top=10,
+        exclude_id=0,
+    ).orderBy("rank")
+
+
+_PQ_ALL_CTES = ",\n".join(
+    _pq_kmeans_ctes(s, s * _PQ_DSUB + 1, _PQ_DSUB).strip()
+    for s in range(_PQ_M)
+)
+
+PIPELINE_QUERIES["ann_pq_codes"] = q_ann_pq_codes
+PIPELINE_ORACLES["ann_pq_codes"] = f"""
+WITH {_PQ_ALL_CTES}
+SELECT a2_0.id,
+  a2_0.cluster::INT AS code_0, a2_1.cluster::INT AS code_1,
+  a2_2.cluster::INT AS code_2, a2_3.cluster::INT AS code_3
+FROM a2_0 JOIN a2_1 USING (id) JOIN a2_2 USING (id) JOIN a2_3 USING (id)
+ORDER BY id
+"""
+
+_PQ_ADC_TERMS = " + ".join(f"dm_{s}.d{s}" for s in range(_PQ_M))
+_PQ_ADC_JOINS = "\n".join(
+    f"JOIN dm_{s} ON dm_{s}.id = a2_0.id" for s in range(_PQ_M)
+)
+_PQ_DM_CTES = ",\n".join(
+    f"""dm_{s} AS (
+  SELECT a.id,
+    list_sum(list_transform(range(1, {_PQ_DSUB + 1}),
+      j -> (pr.p[{s * _PQ_DSUB} + j] - c.c[j])
+         * (pr.p[{s * _PQ_DSUB} + j] - c.c[j]))) AS d{s}
+  FROM a2_{s} a JOIN c1_{s} c ON a.cluster = c.cluster, probe pr
+)"""
+    for s in range(_PQ_M)
+)
+
+PIPELINE_QUERIES["ann_pq_adc_topk"] = q_ann_pq_adc_topk
+PIPELINE_ORACLES["ann_pq_adc_topk"] = f"""
+WITH {_PQ_ALL_CTES},
+probe AS (
+  SELECT list_transform(embedding, x -> x::DOUBLE) AS p
+  FROM embeddings WHERE vec_id = 0
+),
+{_PQ_DM_CTES}
+SELECT id, adc_dist, row_number() OVER (ORDER BY adc_dist ASC, id ASC) AS rank
+FROM (
+  SELECT a2_0.id, {_PQ_ADC_TERMS} AS adc_dist
+  FROM a2_0
+  {_PQ_ADC_JOINS}
+  WHERE a2_0.id <> 0
+)
+ORDER BY adc_dist ASC, id ASC LIMIT 10
+"""
