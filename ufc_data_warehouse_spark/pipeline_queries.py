@@ -5344,3 +5344,111 @@ FROM (
 )
 ORDER BY adc_dist ASC, id ASC LIMIT 10
 """
+
+
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the composition a billion-vector index actually ships:
+    coarse stage probes the 2 nearest inverted lists (deterministic
+    min-id medoid reps, exact cosine to the probe), fine stage ADC-scores
+    ONLY those lists' PQ codes with the driver-inlined distance table.
+    The scan therefore touches |corpus| × n_probe/n_lists rows × 1 byte
+    of codes — the IVF selectivity and the PQ byte-shrink multiply.
+    Probe = vec_id 0 (one bounded driver fetch)."""
+    import math
+
+    emb = _read(spark, sf_dir, "embeddings")
+    codes, books = simsearch.pq_encode(emb, m=_PQ_M, k=4, n_assign=2)
+    pvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .head()["embedding"]
+    ]
+    qcol = F.array(*[F.lit(v) for v in pvec])
+    pnorm = math.sqrt(sum(v * v for v in pvec))
+    w_rep = Window.partitionBy("label").orderBy(F.asc("vec_id"))
+    reps = (
+        emb.withColumn("_rn", F.row_number().over(w_rep))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("label").alias("probe_list"),
+            F.col("embedding").alias("rep_vec"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("rep_vec"), qcol, lambda x, y: x.cast("double") * y
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rnorm = F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.col("rep_vec"), lambda x: x.cast("double") * x.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    plists = (
+        reps.select(
+            "probe_list", (dot / (rnorm * F.lit(pnorm))).alias("rep_cos")
+        )
+        .orderBy(F.desc("rep_cos"), F.asc("probe_list"))
+        .limit(2)
+        .select("probe_list")
+    )
+    cand_ids = (
+        emb.join(
+            F.broadcast(plists), emb["label"] == plists["probe_list"]
+        )
+        .filter(F.col("vec_id") != 0)
+        .select(F.col("vec_id").alias("id"))
+    )
+    cand_codes = codes.join(cand_ids, "id")
+    return simsearch.pq_adc_topk(
+        cand_codes, books, pvec, k_top=10, exclude_id=0
+    ).orderBy("rank")
+
+
+PIPELINE_QUERIES["ann_ivfpq_topk"] = q_ann_ivfpq_topk
+PIPELINE_ORACLES["ann_ivfpq_topk"] = f"""
+WITH {_PQ_ALL_CTES},
+probe AS (
+  SELECT list_transform(embedding, x -> x::DOUBLE) AS p
+  FROM embeddings WHERE vec_id = 0
+),
+reps AS (
+  SELECT label AS rep_list, embedding::DOUBLE[] AS rep_vec
+  FROM (
+    SELECT label, embedding,
+      row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+    FROM embeddings
+  ) WHERE rn = 1
+),
+plists AS (
+  SELECT rep_list FROM (
+    SELECT r.rep_list,
+      row_number() OVER (ORDER BY
+        list_dot_product(r.rep_vec, pr.p)
+          / (sqrt(list_dot_product(r.rep_vec, r.rep_vec))
+             * sqrt(list_dot_product(pr.p, pr.p))) DESC, r.rep_list) AS prn
+    FROM reps r, probe pr
+  ) WHERE prn <= 2
+),
+cand AS (
+  SELECT e.vec_id AS id FROM embeddings e
+  JOIN plists pl ON e.label = pl.rep_list
+  WHERE e.vec_id <> 0
+),
+{_PQ_DM_CTES}
+SELECT id, adc_dist, row_number() OVER (ORDER BY adc_dist ASC, id ASC) AS rank
+FROM (
+  SELECT a2_0.id, {_PQ_ADC_TERMS} AS adc_dist
+  FROM a2_0
+  {_PQ_ADC_JOINS}
+  JOIN cand ON cand.id = a2_0.id
+)
+ORDER BY adc_dist ASC, id ASC LIMIT 10
+"""
