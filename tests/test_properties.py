@@ -1351,3 +1351,159 @@ def test_tfidf_jvm_log_fallback_parity(spark, monkeypatch):
         assert abs(r["score"] - a["score"]) <= 1e-15 * max(
             1.0, abs(r["score"])
         ), k_
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(alphabet="ab cd", min_size=3, max_size=40),
+        min_size=2,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+def test_simhash_banded_pairs_match_allpairs(spark, texts, max_hamming):
+    """Pigeonhole banding is lossless: the banded equi-join + verify must
+    return exactly the pairs the naive all-pairs join returns, for any
+    corpus and threshold."""
+    from pyspark.sql import functions as F
+
+    from ufc_data_warehouse_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sigs = dedup.simhash(df).cache()
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_near_pairs(sigs, max_hamming=max_hamming).collect()
+    }
+    a = sigs.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"))
+    b = sigs.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"))
+    brute = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .collect()
+    }
+    sigs.unpersist()
+    assert banded == brute
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=-128, max_value=127), min_size=8, max_size=8
+        ),
+        min_size=2,
+        max_size=14,
+    ),
+    st.sampled_from([100, 5000, 30000, 120000]),
+)
+def test_int_vector_near_pairs_match_bruteforce(spark, vecs, max_d2):
+    """Banded grid blocking is lossless at any threshold: same pairs and
+    distances as the exhaustive quadratic check."""
+    from ufc_data_warehouse_spark.operators import simsearch
+
+    rows = [(i, [int(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "media_id long, fi array<long>")
+    got = {
+        (r["id_a"], r["id_b"], r["d2"])
+        for r in simsearch.int_vector_near_pairs(
+            df, max_d2=max_d2, dims=8
+        ).collect()
+    }
+    want = set()
+    for i, va in rows:
+        for j, vb in rows:
+            if i < j:
+                d2 = sum((x - y) ** 2 for x, y in zip(va, vb))
+                if d2 <= max_d2:
+                    want.add((i, j, d2))
+    assert got == want
+
+
+def test_incremental_lsh_matches_pairwise_banding(spark):
+    """The batch-vs-corpus index probe must find exactly the cross-side
+    subset of the all-pairs LSH candidates (same bands, same buckets)."""
+    from pyspark.sql import functions as F
+
+    from ufc_data_warehouse_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(
+        300
+    )
+    sigs = dedup.minhash_signatures(
+        dedup.word_shingles(docs, n=3), num_hashes=16
+    ).cache()
+    batch = sigs.filter(F.col("id") % 10 == 0)
+    corpus = sigs.filter(F.col("id") % 10 != 0)
+    inc = {
+        (r["batch_id"], r["corpus_id"])
+        for r in dedup.incremental_lsh_candidates(corpus, batch).collect()
+    }
+    allpairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(sigs).collect()
+    }
+    sigs.unpersist()
+    cross = {
+        (a, b) if a % 10 == 0 else (b, a)
+        for a, b in allpairs
+        if (a % 10 == 0) != (b % 10 == 0)
+    }
+    assert inc == cross
+
+
+def test_pq_adc_matches_python_recompute(spark):
+    """ADC ranking must equal a driver-side recompute of table-lookup
+    distances from the same codes and codebooks."""
+    from ufc_data_warehouse_spark.operators import simsearch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    codes_df, books = simsearch.pq_encode(emb, m=4, k=4, n_assign=2)
+    probe = [
+        float(x)
+        for x in emb.filter("vec_id = 0").head()["embedding"]
+    ]
+    got = [
+        (r["id"], r["rank"])
+        for r in simsearch.pq_adc_topk(
+            codes_df, books, probe, k_top=10, exclude_id=0
+        ).orderBy("rank").collect()
+    ]
+    d_sub = 16
+    tables = [
+        [
+            sum((probe[m * d_sub + j] - c[j]) ** 2 for j in range(d_sub))
+            for c in books[m]
+        ]
+        for m in range(4)
+    ]
+    dists = []
+    for r in codes_df.collect():
+        if r["id"] == 0:
+            continue
+        d = 0.0
+        for m in range(4):
+            d += tables[m][r[f"code_{m}"]]
+        dists.append((d, r["id"]))
+    want = [
+        (vid, rank + 1)
+        for rank, (_, vid) in enumerate(sorted(dists)[:10])
+    ]
+    assert got == want
