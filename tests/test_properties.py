@@ -1507,3 +1507,20 @@ def test_pq_adc_matches_python_recompute(spark):
         for rank, (_, vid) in enumerate(sorted(dists)[:10])
     ]
     assert got == want
+
+
+def test_rowlocal_minhash_matches_grouped(spark):
+    """The zero-shuffle row-local minhash must be byte-identical to the
+    explode+groupBy signature pipeline."""
+    from ufc_data_warehouse_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(
+        200
+    )
+    grouped = dedup.minhash_signatures(
+        dedup.word_shingles(docs, n=3), num_hashes=16
+    )
+    rowlocal = dedup.minhash_signatures_rowlocal(docs, num_hashes=16)
+    assert sorted(map(tuple, grouped.collect())) == sorted(
+        map(tuple, rowlocal.collect())
+    )

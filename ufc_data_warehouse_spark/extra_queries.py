@@ -3151,3 +3151,41 @@ from .pipeline_queries import (  # noqa: E402
 EXTRA_QUERIES.update(PIPELINE_QUERIES)
 EXTRA_ORACLES.update(PIPELINE_ORACLES)
 EXTRA_ORACLES.update(_pipeline_late_oracles())
+
+
+def q_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion dedup against the historical corpus: arriving
+    documents (doc_id % 10 == 0 as the stream) band-key entirely
+    stateless per micro-batch via the row-local minhash, stream-static
+    join the stored corpus LSH index, emit distinct collision candidates
+    (streaming/events.py::streaming_lsh_dedup_probe). Candidates match
+    dedup_incremental_batch's candidate stage exactly; the Jaccard verify
+    stays a batch job downstream."""
+    from .streaming import events as se
+
+    apply_runtime_confs(spark)
+    docs = _read(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    corpus_index = dedup.lsh_band_keys(
+        dedup.minhash_signatures(dedup.word_shingles(corpus, n=3), num_hashes=16)
+    )
+    stream = se.read_documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") % 10 == 0
+    )
+    return se.run_available_now(
+        se.streaming_lsh_dedup_probe(stream, corpus_index),
+        output_mode="append",
+    ).orderBy("batch_id", "corpus_id")
+
+
+EXTRA_QUERIES["streaming_lsh_dedup"] = q_streaming_lsh_dedup
+EXTRA_ORACLES["streaming_lsh_dedup"] = f"""
+WITH {_SHINGLES_SQL.strip().lstrip(',')},
+sigs AS ({_MINHASH_SQL}),
+buckets AS ({_BANDS_SQL})
+SELECT DISTINCT b.id AS batch_id, c.id AS corpus_id
+FROM buckets b JOIN buckets c
+  ON b.band = c.band AND b.bucket = c.bucket
+WHERE b.id % 10 = 0 AND c.id % 10 <> 0
+ORDER BY batch_id, corpus_id
+"""

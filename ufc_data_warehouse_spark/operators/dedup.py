@@ -114,6 +114,49 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
     return shingles.groupBy("id").agg(*aggs)
 
 
+def minhash_signatures_rowlocal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """(id, sig_0..sig_{H-1}) computed entirely ROW-LOCALLY: the shingle
+    set becomes an array expression (sequence → slice → array_distinct)
+    and each signature is ``array_min`` of the per-permutation hashes —
+    ZERO shuffle, byte-identical to :func:`minhash_signatures` over
+    :func:`word_shingles` (same distinct-shingle set, same md5 min).
+
+    This is the signature path for STREAMS (stateless per micro-batch —
+    no aggregation state) and for map-only batch stages; the groupBy
+    variant remains preferable when shingles are already materialized for
+    other consumers. Documents shorter than ``n`` tokens produce no
+    shingles there and no row here (empty-set minhash is undefined).
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("id"), toks.alias("toks")
+    ).filter(F.size("toks") >= n)
+    shingle_at = lambda i: F.array_join(  # noqa: E731
+        F.slice(F.col("toks"), i + 1, n), " "
+    )
+    shingles = F.array_distinct(
+        F.transform(F.sequence(F.lit(0), F.size("toks") - n), shingle_at)
+    )
+    def sig_expr(i: int) -> F.Column:
+        # NB: the lambda must take ONE arg — F.transform passes the array
+        # index to any two-arg lambda, which would shadow a default-arg i
+        prefix = f"{i}:"
+        return F.array_min(
+            F.transform(
+                F.col("shingles"), lambda s: F.md5(F.concat(F.lit(prefix), s))
+            )
+        )
+
+    sigs = [sig_expr(i).alias(f"sig_{i}") for i in range(num_hashes)]
+    return base.select("id", shingles.alias("shingles")).select("id", *sigs)
+
+
 def lsh_band_keys(
     signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
 ) -> DataFrame:

@@ -641,3 +641,50 @@ class ProgressCapture:
 
     def __exit__(self, *exc) -> None:
         self._spark.streams.removeListener(self._listener)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over documents.parquet (same symlink-dir
+    pattern as the events stream) — the arriving-corpus side of streaming
+    dedup."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    src_dir = tempfile.mkdtemp(prefix="docs_stream_")
+    os.symlink(f"{sf_dir}/documents.parquet", f"{src_dir}/documents_0.parquet")
+    return spark.readStream.schema(schema).format("parquet").load(src_dir)
+
+
+def streaming_lsh_dedup_probe(
+    doc_stream: DataFrame, corpus_index: DataFrame
+) -> DataFrame:
+    """Streaming ingestion dedup against the historical corpus: arriving
+    documents (the stream) shingle → minhash → band keys ENTIRELY
+    stateless per micro-batch, then STREAM-STATIC join the stored corpus
+    LSH index (operators/dedup.py::lsh_band_keys) and emit distinct
+    (batch_id, corpus_id) collision candidates.
+
+    State story at 100 TB/day: signatures use the ROW-LOCAL minhash
+    (``minhash_signatures_rowlocal`` — array exprs, no aggregation, so no
+    streaming state and no shuffle); banding is a narrow map; the
+    stream-static join is stateless (the static side is a table the
+    planner re-reads per micro-batch — broadcast when index-partition
+    pruned); the only stateful op is the final dropDuplicates on the
+    candidate pair, whose state is bounded by true collisions, not
+    throughput. The exact-Jaccard verify happens downstream in batch
+    (dedup_incremental_batch's verify stage) — streaming emits candidates,
+    the lake job confirms; that split keeps the streaming path
+    shuffle-light and the expensive verify amortized.
+    """
+    from ..operators import dedup
+
+    sigs = dedup.minhash_signatures_rowlocal(doc_stream, num_hashes=16)
+    keys = dedup.lsh_band_keys(sigs).select(
+        F.col("id").alias("batch_id"), "band", "bucket"
+    )
+    idx = corpus_index.select(
+        F.col("id").alias("corpus_id"), "band", "bucket"
+    )
+    return (
+        keys.join(idx, ["band", "bucket"])
+        .select("batch_id", "corpus_id")
+        .dropDuplicates(["batch_id", "corpus_id"])
+    )
