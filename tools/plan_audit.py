@@ -21,7 +21,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # queries whose plans legitimately contain a nested-loop/cartesian shape
 EXPECTED_NLJ = {
     "ann_cosine_topk",  # broadcast query-batch × corpus
-    "dedup_ngram_jaccard",  # exhaustive verify variant
     "ann_lsh_buckets",  # planes × dims weight table: 8×64 literals
     "ann_ivf_topk",  # query-batch × list-representatives probe (tiny × tiny)
     "dedup_embedding_cosine",  # exhaustive pair verify (LSH-restricted at scale)
@@ -32,7 +31,6 @@ EXPECTED_NLJ = {
     "ann_incremental_topk",  # two cosine_topk broadcast query-batch crosses
     "graph_triangle_census",  # final stat assembly: cross of three 1-row aggs
     "chi_square_source_lang",  # tiny dim×dim category cross + 1-row total
-    "table_checksum_reconciliation",  # two 1-row per-table fingerprints
     "rfm_customer_segments",  # 1-row data-derived as-of date broadcast cross
     "pareto_abc_customers",  # 1-row grand-total broadcast cross
     "tvd_drift_weekly",  # tiny week-pairs × distinct-types dimension cross
