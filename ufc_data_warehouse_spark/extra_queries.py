@@ -2867,6 +2867,16 @@ BENCH_EXTRA = [
     "coreset_kcenter_selection",
     "multimodal_scene_cuts",
     "graph_label_propagation",
+    # round-2 scale paths: banded simhash pairing at production width
+    # (the 24-bit demo config's 3-bit bands degenerate on this
+    # near-identical synthetic corpus — quadratic candidates, like the
+    # un-benched prefix_filter; 48-bit/4096-way buckets is the config a
+    # deployment runs), the incremental batch-vs-corpus index probe, and
+    # PQ/ADC retrieval (time is dominated by one-time codebook learning —
+    # 4 subspace k-means; the ADC scan itself is map-only lookups)
+    "dedup_simhash48_pairs",
+    "dedup_incremental_batch",
+    "ann_pq_adc_topk",
 ]
 # NOT benchmarked: dedup_prefix_filter / graph_triangle_census — on this
 # synthetic corpus (5000 near-identical docs; a 91%-dense co-purchase
