@@ -23,8 +23,10 @@ from ufc_data_warehouse_spark.registry import jdbc_roundtrip, write_jdbc
 
 
 def _duckdb_jdbc_jar() -> str | None:
+    # bounded search roots — a bare ~/.cache/** recursive glob at module
+    # import would walk the entire cache tree on every pytest collection
     for pattern in (
-        os.path.expanduser("~/.cache/**/duckdb_jdbc*.jar"),
+        os.path.expanduser("~/.cache/coursier/**/duckdb_jdbc*.jar"),
         os.path.join(os.environ.get("SPARK_HOME", "/nonexistent"), "jars", "duckdb_jdbc*.jar"),
     ):
         hits = glob.glob(pattern, recursive=True)
@@ -33,13 +35,15 @@ def _duckdb_jdbc_jar() -> str | None:
     return None
 
 
-_JAR = _duckdb_jdbc_jar()
-
-pytestmark = pytest.mark.skipif(
-    _JAR is None, reason="no DuckDB JDBC driver jar on this machine"
-)
-
 _OPTS = {"driver": "org.duckdb.DuckDBDriver"}
+
+
+@pytest.fixture(scope="module")
+def jdbc_jar():
+    jar = _duckdb_jdbc_jar()
+    if jar is None:
+        pytest.skip("no DuckDB JDBC driver jar on this machine")
+    return jar
 
 
 def _precreate(db_path: str, table: str, parquet: str) -> None:
@@ -52,11 +56,11 @@ def _precreate(db_path: str, table: str, parquet: str) -> None:
         con.close()
 
 
-def test_jdbc_roundtrip_region(spark, tmp_path):
+def test_jdbc_roundtrip_region(spark, tmp_path, jdbc_jar):
     src = "/root/testdata/sf0.001/region.parquet"
     db = str(tmp_path / "sink.db")
     _precreate(db, "region_sink", src)
-    spark.sql(f"ADD JAR {_JAR}")
+    spark.sql(f"ADD JAR {jdbc_jar}")
     df = spark.read.parquet(src)
     url = f"jdbc:duckdb:{db}"
     back = jdbc_roundtrip(spark, df, url, "region_sink", options=_OPTS)
@@ -65,11 +69,11 @@ def test_jdbc_roundtrip_region(spark, tmp_path):
     assert got == want
 
 
-def test_jdbc_overwrite_replaces_rows(spark, tmp_path):
+def test_jdbc_overwrite_replaces_rows(spark, tmp_path, jdbc_jar):
     src = "/root/testdata/sf0.001/nation.parquet"
     db = str(tmp_path / "sink2.db")
     _precreate(db, "nation_sink", src)
-    spark.sql(f"ADD JAR {_JAR}")
+    spark.sql(f"ADD JAR {jdbc_jar}")
     df = spark.read.parquet(src)
     url = f"jdbc:duckdb:{db}"
     write_jdbc(df, url, "nation_sink", options=_OPTS, num_partitions=1)

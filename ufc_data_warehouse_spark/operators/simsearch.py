@@ -689,26 +689,38 @@ def int_vector_near_pairs(
         F.struct(F.lit(b).alias("band"), *cells(b)) for b in range(n_bands)
     ]
     key = ["band"] + [f"c{j}" for j in range(dpb)]
+    # ids ONLY through the exploded join + distinct — carrying the vector
+    # payloads through the x36 explode and the pair shuffle would multiply
+    # shuffled bytes by redundant array copies; the verify re-fetches each
+    # side's vector with one id-keyed join instead
     probe = feats.select(
         F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("fa"),
         F.explode(F.array(*probe_structs)).alias("k"),
-    ).select("id_a", "fa", *[F.col(f"k.{c}").alias(c) for c in key])
+    ).select("id_a", *[F.col(f"k.{c}").alias(c) for c in key])
     build = feats.select(
         F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("fb"),
         F.explode(F.array(*build_structs)).alias("k"),
-    ).select("id_b", "fb", *[F.col(f"k.{c}").alias(c) for c in key])
+    ).select("id_b", *[F.col(f"k.{c}").alias(c) for c in key])
+    pairs = (
+        probe.join(build, key)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     d2 = F.aggregate(
         F.zip_with(F.col("fa"), F.col("fb"), lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
     return (
-        probe.join(build, key)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "fa", "fb")
-        .distinct()
+        pairs.join(
+            feats.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("fa")),
+            "id_a",
+        )
+        .join(
+            feats.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("fb")),
+            "id_b",
+        )
         .withColumn("d2", d2)
         .filter(F.col("d2") <= F.lit(max_d2))
         .select("id_a", "id_b", "d2")

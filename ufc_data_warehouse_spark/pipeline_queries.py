@@ -117,7 +117,7 @@ scored AS (
           d.codes[j * {_SUBDIM} + 1 : j * {_SUBDIM} + {_SUBDIM}]::BIGINT[])
       ))))::BIGINT AS score
   FROM codes d JOIN (SELECT * FROM codes WHERE vec_id % 100 = 0
-                     ORDER BY vec_id LIMIT 64) q ON d.vec_id <> q.vec_id
+                     ORDER BY vec_id LIMIT {_QUERY_SET_LIMIT}) q ON d.vec_id <> q.vec_id
 )
 SELECT query_id, neighbor_id, rank::INT AS rank, score FROM (
   SELECT query_id, neighbor_id, score,
@@ -2012,7 +2012,7 @@ s1 AS (
           d.codes[j * {_SUBDIM} + 1 : j * {_SUBDIM} + {_SUBDIM}]::BIGINT[])
       ))))::BIGINT AS s1
   FROM codes d JOIN (SELECT * FROM codes WHERE vec_id % 100 = 0
-                     ORDER BY vec_id LIMIT 64) q ON d.vec_id <> q.vec_id
+                     ORDER BY vec_id LIMIT {_QUERY_SET_LIMIT}) q ON d.vec_id <> q.vec_id
 ),
 cand AS (
   SELECT query_id, neighbor_id FROM (

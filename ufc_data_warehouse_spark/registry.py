@@ -123,6 +123,11 @@ class Registry:
         pipeline observability measured DURING the write itself (the
         accumulator rides the job), not by re-scanning the written output.
         """
+        if jdbc_url is not None and partition_by:
+            raise ValueError(
+                "partition_by is a parquet-layout knob; JDBC tables have no "
+                "directory partitioning — drop it or use the parquet sink"
+            )
         resolved = self.build(sources, targets)
         written: dict[str, str] = {}
         for name in self.topo_order(targets):
@@ -174,7 +179,11 @@ def write_jdbc(
     """
     opts = {"batchsize": "10000", "truncate": "true"}
     opts.update(options or {})
-    writer = df.coalesce(num_partitions) if num_partitions else df
+    # repartition, NOT coalesce: coalesce propagates the reduced partition
+    # count upstream (num_partitions=1 would serialize the whole producing
+    # job) and can never raise the count; the extra exchange is the price
+    # of decoupling compute parallelism from connection fan-out
+    writer = df.repartition(num_partitions) if num_partitions else df
     writer.write.mode(mode).options(**opts).jdbc(url, table)
 
 
