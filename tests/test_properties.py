@@ -741,6 +741,11 @@ def test_partitioning_invariance_of_tie_sensitive_queries(spark):
         "pps_systematic_sample",
         "stratified_fixed_n_sample",
         "contrastive_negative_sampling",
+        # round-2 additions with rank/tie or banding surfaces
+        "ann_pq_adc_topk",
+        "ann_ivfpq_topk",
+        "dedup_simhash48_pairs",
+        "dedup_incremental_batch",
     ]
     original = spark.conf.get("spark.sql.shuffle.partitions")
     results = {}
