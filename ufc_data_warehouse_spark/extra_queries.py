@@ -3199,3 +3199,51 @@ FROM buckets b JOIN buckets c
 WHERE b.id % 10 = 0 AND c.id % 10 <> 0
 ORDER BY batch_id, corpus_id
 """
+
+
+def q_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate COUNT(DISTINCT) under streaming: per event_type, an
+    Apache DataSketches HLL (``hll_sketch_agg``, a true mergeable
+    aggregate, so it runs as a streaming stateful agg in update mode)
+    accumulates user_id sketches; the emitted estimate is then gated
+    against the exact batch distinct — the output pins the within-5%%
+    boolean (lg_k=12 ≈ 1.6%% typical error), so sketch drift FAILS the
+    hash gate. This is the streaming half of the batch sketch-rollup
+    pattern (operators/scale.py::hll_partial_sketches): bounded state per
+    key at any throughput, no raw-row retention."""
+    from .streaming import events as se
+
+    apply_runtime_confs(spark)
+    stream = se.read_events_stream(spark, sf_dir)
+    sketched = stream.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id, 12)").alias("sketch")
+    )
+    out = se.run_available_now(sketched, output_mode="update").select(
+        "event_type",
+        F.expr("hll_sketch_estimate(sketch)").cast("long").alias("approx"),
+    )
+    exact = (
+        _read(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return (
+        out.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("approx") - F.col("n_exact")) * 100
+                <= F.col("n_exact") * 5
+            ).alias("within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EXTRA_QUERIES["streaming_hll_distinct"] = q_streaming_hll_distinct
+EXTRA_ORACLES["streaming_hll_distinct"] = """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact,
+  TRUE AS within_5pct
+FROM events GROUP BY event_type ORDER BY event_type
+"""

@@ -5452,3 +5452,69 @@ FROM (
 )
 ORDER BY adc_dist ASC, id ASC LIMIT 10
 """
+
+
+def q_ann_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acceptance gate for the PQ path (the ann_recall_audit twin for
+    quantized retrieval): recall@10 of ADC ranking vs the exact cosine
+    ranking for the probe vector, integer bps. Measures the REAL
+    pq_encode→pq_adc_topk operators, so codebook drift or a table-lookup
+    bug fails the gate rather than silently degrading retrieval."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q0 = emb.filter(F.col("vec_id") == 0)
+    exact = simsearch.cosine_topk(emb, q0, k=10).select("neighbor_id")
+    codes, books = simsearch.pq_encode(emb, m=_PQ_M, k=4, n_assign=2)
+    probe = [
+        float(x) for x in q0.select("embedding").head()["embedding"]
+    ]
+    adc = simsearch.pq_adc_topk(
+        codes, books, probe, k_top=10, exclude_id=0
+    ).select(F.col("id").alias("adc_id"))
+    hits = exact.join(
+        F.broadcast(adc), exact["neighbor_id"] == adc["adc_id"], "left"
+    )
+    return hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.sum(F.when(F.col("adc_id").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_hits"),
+        (
+            F.sum(F.when(F.col("adc_id").isNotNull(), 1).otherwise(0))
+            * 10000
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("recall_bps"),
+    )
+
+
+PIPELINE_QUERIES["ann_pq_recall_audit"] = q_ann_pq_recall_audit
+PIPELINE_ORACLES["ann_pq_recall_audit"] = f"""
+WITH {_PQ_ALL_CTES},
+probe AS (
+  SELECT list_transform(embedding, x -> x::DOUBLE) AS p
+  FROM embeddings WHERE vec_id = 0
+),
+{_PQ_DM_CTES},
+adc AS (
+  SELECT id FROM (
+    SELECT a2_0.id, {_PQ_ADC_TERMS} AS adc_dist
+    FROM a2_0
+    {_PQ_ADC_JOINS}
+    WHERE a2_0.id <> 0
+  ) ORDER BY adc_dist ASC, id ASC LIMIT 10
+),
+exact AS (
+  SELECT e.vec_id AS nid FROM embeddings e, probe pr
+  WHERE e.vec_id <> 0
+  ORDER BY list_dot_product(e.embedding::DOUBLE[], pr.p)
+    / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+       * sqrt(list_dot_product(pr.p, pr.p))) DESC, e.vec_id ASC
+  LIMIT 10
+)
+SELECT count(*)::BIGINT AS n_exact,
+  sum(CASE WHEN a.id IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_hits,
+  (sum(CASE WHEN a.id IS NULL THEN 0 ELSE 1 END) * 10000 // count(*))::BIGINT
+    AS recall_bps
+FROM exact LEFT JOIN adc a ON exact.nid = a.id
+"""
