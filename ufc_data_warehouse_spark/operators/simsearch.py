@@ -495,6 +495,133 @@ def pq_adc_topk(
     )
 
 
+def coarse_centroids(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    list_col: str = "label",
+    dims: int = 64,
+) -> DataFrame:
+    """(list_id, centroid array<double>): the exact per-inverted-list mean
+    via fixed-point component sums (order-free integers, so the centroid
+    is bit-identical across engines and partitionings — same trick as
+    :func:`kmeans`). One narrow posexplode + one (list, dim) agg."""
+    q = embeddings.select(
+        F.col(list_col).alias("list_id"), _quantized(F.col(vec_col)).alias("q")
+    )
+    sums = (
+        q.select("list_id", F.posexplode("q").alias("dim", "qx"))
+        .groupBy("list_id", "dim")
+        .agg(F.sum("qx").alias("s"), F.count("*").alias("cnt"))
+    )
+    val = F.col("s").cast("double") / (
+        F.col("cnt").cast("double") * F.lit(float(_KM_SCALE))
+    )
+    return sums.groupBy("list_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("dim"), val.alias("v")))),
+            lambda st: st["v"],
+        ).alias("centroid")
+    )
+
+
+def ivfadc_topk(
+    embeddings: DataFrame,
+    probe_vec: list[float],
+    n_probe: int = 2,
+    k_top: int = 10,
+    m: int = 4,
+    pq_k: int = 4,
+    n_assign: int = 2,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "label",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Residual IVFADC — the FAISS IVFADC shape: PQ codebooks learn on
+    RESIDUALS (vector − its inverted list's centroid), which concentrates
+    the quantizer's budget on within-list variation; query time probes
+    the ``n_probe`` nearest lists by exact L2-to-centroid, builds ONE
+    distance table per (probed list, subspace) from the per-list probe
+    residual, and ADC-scores only those lists' codes.
+
+    Scale shape: centroids and codebooks are driver literals (n_lists×d
+    and m×k×d_sub doubles — KBs); candidate scoring is a map-only CASE of
+    ``element_at`` lookups over n_probe/n_lists of the corpus; no vector
+    floats are read at query time. All arithmetic is deterministic IEEE
+    replayed by the DuckDB oracle (fixed-point centroids + codebooks).
+    """
+    cents = coarse_centroids(embeddings, vec_col=vec_col, list_col=list_col, dims=dims)
+    resid = embeddings.join(
+        F.broadcast(cents), F.col(list_col) == F.col("list_id")
+    ).select(
+        F.col(id_col).alias("rid"),
+        F.col(list_col).alias("rlist"),
+        F.zip_with(
+            F.col(vec_col), F.col("centroid"), lambda x, c: x.cast("double") - c
+        ).alias("residual"),
+    )
+    codes, books = pq_encode(
+        resid, m=m, k=pq_k, n_assign=n_assign, dims=dims,
+        id_col="rid", vec_col="residual",
+    )
+    cent_map = {
+        r["list_id"]: [float(v) for v in r["centroid"]]
+        for r in cents.collect()  # bounded: one row per inverted list
+    }
+    probed = sorted(
+        (sum((p - c) ** 2 for p, c in zip(probe_vec, cvec)), lid)
+        for lid, cvec in cent_map.items()
+    )[:n_probe]
+    probe_lists = [lid for _, lid in probed]
+    d_sub = dims // m
+    # per-(list, subspace) distance tables from the per-list probe residual
+    tables = {
+        lid: [
+            [
+                sum(
+                    (
+                        (probe_vec[mm * d_sub + j] - cent_map[lid][mm * d_sub + j])
+                        - c[j]
+                    )
+                    ** 2
+                    for j in range(d_sub)
+                )
+                for c in books[mm]
+            ]
+            for mm in range(m)
+        ]
+        for lid in probe_lists
+    }
+    labeled = codes.join(  # pq_encode returns codes keyed "id"
+        embeddings.select(
+            F.col(id_col).alias("id"), F.col(list_col).alias("rlist")
+        ),
+        "id",
+    ).filter(F.col("rlist").isin(probe_lists))
+    def list_term(lid: int, mm: int) -> F.Column:
+        arr = F.array(*[F.lit(float(t)) for t in tables[lid][mm]])
+        return F.element_at(arr, F.col(f"code_{mm}") + 1)
+
+    dist = None
+    for mm in range(m):
+        lookup = list_term(probe_lists[-1], mm)
+        for lid in reversed(probe_lists[:-1]):
+            lookup = F.when(F.col("rlist") == lid, list_term(lid, mm)).otherwise(
+                lookup
+            )
+        dist = lookup if dist is None else dist + lookup
+    out = labeled.select("id", dist.alias("adc_dist"))
+    if exclude_id is not None:
+        out = out.filter(F.col("id") != exclude_id)
+    w = Window.orderBy(F.asc("adc_dist"), F.asc("id"))
+    return (
+        out.orderBy(F.asc("adc_dist"), F.asc("id"))
+        .limit(k_top)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
 def semantic_dedup_pairs(
     embeddings: DataFrame,
     assignments: DataFrame,

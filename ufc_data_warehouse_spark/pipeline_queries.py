@@ -5209,19 +5209,24 @@ ORDER BY l_returnflag, l_linestatus
 # ---------------------------------------------------------------------------
 
 
-def _pq_kmeans_ctes(sub: int, lo: int, d: int) -> str:
+def _pq_kmeans_ctes(
+    sub: int, lo: int, d: int,
+    src: str = "embeddings", vec: str = "embedding", id_expr: str = "vec_id",
+) -> str:
     """Unrolled per-subspace k-means CTE chain (k=4, 2 assignment passes)
-    over ``embedding[lo : lo+d-1]`` — the same fixed-point replay as the
-    kmeans_clusters oracle (curation_queries._KMEANS_CTES), parameterized
-    by subspace so DuckDB reproduces every codebook bit-for-bit."""
+    over ``{vec}[lo : lo+d-1]`` of table/CTE ``src`` — the same
+    fixed-point replay as the kmeans_clusters oracle
+    (curation_queries._KMEANS_CTES), parameterized by subspace (and by
+    source for the residual-PQ variant) so DuckDB reproduces every
+    codebook bit-for-bit."""
     hi = lo + d - 1
     s = sub
     return f"""
 e_{s} AS (
-  SELECT vec_id AS id,
-    list_transform(embedding[{lo}:{hi}],
+  SELECT {id_expr} AS id,
+    list_transform({vec}[{lo}:{hi}],
                    x -> floor(x::DOUBLE * 1000000)::BIGINT) AS q
-  FROM embeddings
+  FROM {src}
 ),
 init_{s} AS (
   SELECT row_number() OVER (ORDER BY id) - 1 AS cluster,
@@ -5517,4 +5522,99 @@ SELECT count(*)::BIGINT AS n_exact,
   (sum(CASE WHEN a.id IS NULL THEN 0 ELSE 1 END) * 10000 // count(*))::BIGINT
     AS recall_bps
 FROM exact LEFT JOIN adc a ON exact.nid = a.id
+"""
+
+
+def q_ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVFADC (the FAISS IVFADC shape): PQ codebooks learn on
+    residuals against each inverted list's exact fixed-point centroid;
+    the probe picks 2 lists by L2-to-centroid and ADC-scores only their
+    codes with per-list distance tables (simsearch.ivfadc_topk). Probe =
+    vec_id 0 (one bounded driver fetch); centroids/codebooks are KB-scale
+    driver literals."""
+    emb = _read(spark, sf_dir, "embeddings")
+    probe = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .head()["embedding"]
+    ]
+    return simsearch.ivfadc_topk(
+        emb, probe, n_probe=2, k_top=10, m=_PQ_M, pq_k=4, n_assign=2,
+        exclude_id=0,
+    ).orderBy("rank")
+
+
+_RESID_PQ_CTES = ",\n".join(
+    _pq_kmeans_ctes(
+        s, s * _PQ_DSUB + 1, _PQ_DSUB,
+        src="residuals", vec="resid", id_expr="vec_id",
+    ).strip()
+    for s in range(_PQ_M)
+)
+
+_IVFADC_DM_CTES = ",\n".join(
+    f"""dm_{s} AS (
+  SELECT a.id,
+    list_sum(list_transform(range(1, {_PQ_DSUB + 1}), j ->
+      ((pr.p[{s * _PQ_DSUB} + j] - pl.c[{s * _PQ_DSUB} + j]) - cb.c[j])
+    * ((pr.p[{s * _PQ_DSUB} + j] - pl.c[{s * _PQ_DSUB} + j]) - cb.c[j]))) AS d{s}
+  FROM a2_{s} a
+  JOIN embeddings e ON e.vec_id = a.id
+  JOIN plists pl ON pl.label = e.label
+  JOIN c1_{s} cb ON cb.cluster = a.cluster, probe pr
+)"""
+    for s in range(_PQ_M)
+)
+
+_IVFADC_SUM = " + ".join(f"dm_{s}.d{s}" for s in range(_PQ_M))
+_IVFADC_JOINS = "\n".join(
+    f"JOIN dm_{s} ON dm_{s}.id = dm_0.id" for s in range(1, _PQ_M)
+)
+
+PIPELINE_QUERIES["ann_ivfadc_topk"] = q_ann_ivfadc_topk
+PIPELINE_ORACLES["ann_ivfadc_topk"] = f"""
+WITH qv AS (
+  SELECT vec_id, label,
+    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS q
+  FROM embeddings
+),
+csum AS (
+  SELECT label, t.j AS dim, sum(q[t.j]) AS s, count(*) AS cnt
+  FROM qv, unnest(generate_series(1, 64)) AS t(j)
+  GROUP BY label, t.j
+),
+cent AS (
+  SELECT label, list(s::DOUBLE / (cnt * 1000000.0) ORDER BY dim) AS c
+  FROM csum GROUP BY label
+),
+residuals AS (
+  SELECT e.vec_id, e.label,
+    list_transform(range(1, 65), j -> e.embedding[j]::DOUBLE - ct.c[j]) AS resid
+  FROM embeddings e JOIN cent ct USING (label)
+),
+{_RESID_PQ_CTES},
+probe AS (
+  SELECT list_transform(embedding, x -> x::DOUBLE) AS p
+  FROM embeddings WHERE vec_id = 0
+),
+plists AS (
+  SELECT label, c FROM (
+    SELECT ct.label, ct.c,
+      row_number() OVER (ORDER BY
+        list_sum(list_transform(range(1, 65),
+          j -> (pr.p[j] - ct.c[j]) * (pr.p[j] - ct.c[j]))) ASC,
+        ct.label ASC) AS prn
+    FROM cent ct, probe pr
+  ) WHERE prn <= 2
+),
+{_IVFADC_DM_CTES}
+SELECT id, adc_dist, row_number() OVER (ORDER BY adc_dist ASC, id ASC) AS rank
+FROM (
+  SELECT dm_0.id, {_IVFADC_SUM} AS adc_dist
+  FROM dm_0
+  {_IVFADC_JOINS}
+  WHERE dm_0.id <> 0
+)
+ORDER BY adc_dist ASC, id ASC LIMIT 10
 """
