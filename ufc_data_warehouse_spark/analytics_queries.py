@@ -6291,3 +6291,118 @@ FROM curve ORDER BY bucket
 
 
 ANALYTICS_ORACLES["lsh_design_curve"] = _lsh_design_oracle()
+
+
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING with the learned merges — closes the tokenizer loop
+    (bpe_learn_merges trains; this tokenizes): the corpus vocabulary is
+    char-split, the 3 learned merges apply in order (same in-plan 1-row
+    broadcast crosses as learning — never a driver collect), and each
+    document's token count is the sum of its words' merged-symbol counts.
+    Output (id, n_words, n_bpe_tokens, n_char_tokens) shows the
+    compression the merges bought. Scale shape: merge application runs on
+    the VOCABULARY (unique words — Heaps-law sublinear in corpus size),
+    and documents join the word→token-count table on the word key; the
+    corpus itself is never char-exploded."""
+    base = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+        ).alias("words"),
+    )
+    dtoks = base.select("id", F.explode("words").alias("w")).where(
+        F.col("w") != ""
+    )
+    vocab = dtoks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    cur = vocab.select(
+        "w", F.concat_ws(" ", F.split(F.col("w"), "")).alias("s"), "n"
+    )
+    for _ in range(3):
+        pairs = (
+            cur.select(F.split("s", " ").alias("arr"), "n")
+            .select(
+                F.explode(
+                    F.arrays_zip(
+                        F.expr("slice(arr, 1, size(arr)-1)"),
+                        F.expr("slice(arr, 2, size(arr)-1)"),
+                    )
+                ).alias("z"),
+                "n",
+            )
+            .select(
+                F.concat_ws(" ", F.col("z.0"), F.col("z.1")).alias("pair"), "n"
+            )
+            .groupBy("pair")
+            .agg(F.sum("n").alias("cnt"))
+        )
+        top = pairs.orderBy(F.desc("cnt"), F.asc("pair")).limit(1).select("pair")
+        cur = cur.crossJoin(F.broadcast(top)).select(
+            "w",
+            F.trim(
+                F.expr(
+                    "replace(' ' || s || ' ', ' ' || pair || ' ', "
+                    "' ' || replace(pair, ' ', '') || ' ')"
+                )
+            ).alias("s"),
+            "n",
+        )
+    word_tokens = cur.select(
+        "w", F.size(F.split("s", " ")).cast("long").alias("n_bpe")
+    )
+    return (
+        dtoks.join(word_tokens, "w")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_bpe").cast("long").alias("n_bpe_tokens"),
+            F.sum(F.length("w")).cast("long").alias("n_char_tokens"),
+        )
+        .orderBy("id")
+    )
+
+
+ANALYTICS_QUERIES["text_bpe_encode"] = q_text_bpe_encode
+ANALYTICS_ORACLES["text_bpe_encode"] = """
+WITH dtoks AS (
+  SELECT doc_id AS id,
+    unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+  FROM documents),
+dt AS (SELECT id, w FROM dtoks WHERE w <> ''),
+vocab AS (SELECT w, count(*)::BIGINT AS n FROM dt GROUP BY w),
+w1 AS (SELECT w, array_to_string(string_split(w, ''), ' ') AS s, n FROM vocab),
+p1 AS (
+  SELECT arr[g.i] || ' ' || arr[g.i + 1] AS pair, sum(n)::BIGINT AS cnt
+  FROM (SELECT string_split(s, ' ') AS arr, n FROM w1),
+       unnest(generate_series(1, len(arr) - 1)) AS g(i)
+  GROUP BY 1),
+t1 AS (SELECT pair FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+w2 AS (
+  SELECT w, trim(replace(' ' || s || ' ', ' ' || t.pair || ' ',
+                      ' ' || replace(t.pair, ' ', '') || ' ')) AS s, n
+  FROM w1, t1 t),
+p2 AS (
+  SELECT arr[g.i] || ' ' || arr[g.i + 1] AS pair, sum(n)::BIGINT AS cnt
+  FROM (SELECT string_split(s, ' ') AS arr, n FROM w2),
+       unnest(generate_series(1, len(arr) - 1)) AS g(i)
+  GROUP BY 1),
+t2 AS (SELECT pair FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+w3 AS (
+  SELECT w, trim(replace(' ' || s || ' ', ' ' || t.pair || ' ',
+                      ' ' || replace(t.pair, ' ', '') || ' ')) AS s, n
+  FROM w2, t2 t),
+p3 AS (
+  SELECT arr[g.i] || ' ' || arr[g.i + 1] AS pair, sum(n)::BIGINT AS cnt
+  FROM (SELECT string_split(s, ' ') AS arr, n FROM w3),
+       unnest(generate_series(1, len(arr) - 1)) AS g(i)
+  GROUP BY 1),
+t3 AS (SELECT pair FROM p3 ORDER BY cnt DESC, pair LIMIT 1),
+w4 AS (
+  SELECT w, trim(replace(' ' || s || ' ', ' ' || t.pair || ' ',
+                      ' ' || replace(t.pair, ' ', '') || ' ')) AS s, n
+  FROM w3, t3 t),
+wt AS (SELECT w, len(string_split(s, ' '))::BIGINT AS n_bpe FROM w4)
+SELECT id, count(*)::BIGINT AS n_words, sum(wt.n_bpe)::BIGINT AS n_bpe_tokens,
+  sum(length(dt.w))::BIGINT AS n_char_tokens
+FROM dt JOIN wt USING (w)
+GROUP BY id ORDER BY id
+"""
