@@ -43,6 +43,8 @@ EXPECTED_NLJ = {
     "rrf_hybrid_search",  # 1-row corpus-stats cross + broadcast query-vec cross
     "join_cardinality_estimate",  # 1-row estimated-total broadcast cross
     "bpe_learn_merges",  # 1-row argmax-pair broadcast cross per iteration
+    "text_bpe_encode",  # same 1-row argmax crosses, replayed in the apply lineage
+    "ann_pq_recall_audit",  # composes cosine_topk broadcast query-batch cross
     "global_median_selection",  # 1-row (k, lo, hi) selection state crosses
     "ann_maxsim_multivector",  # quantize stats cross + broadcast query-set cross
     "ann_maxsim_arrow",  # 1-row quantize [min,max] stats broadcast cross
