@@ -3206,8 +3206,8 @@ def q_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     Apache DataSketches HLL (``hll_sketch_agg``, a true mergeable
     aggregate, so it runs as a streaming stateful agg in update mode)
     accumulates user_id sketches; the emitted estimate is then gated
-    against the exact batch distinct — the output pins the within-5%%
-    boolean (lg_k=12 ≈ 1.6%% typical error), so sketch drift FAILS the
+    against the exact batch distinct — the output pins the within-5%
+    boolean (lg_k=12 ≈ 1.6% typical error), so sketch drift FAILS the
     hash gate. This is the streaming half of the batch sketch-rollup
     pattern (operators/scale.py::hll_partial_sketches): bounded state per
     key at any throughput, no raw-row retention."""
