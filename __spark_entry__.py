@@ -35,18 +35,24 @@ def _model_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
-def _driver_verified() -> set[str]:
+def _driver_verified(directory: str | None = None) -> set[str]:
     """Query names already green in a prior round's CORRECTNESS_r*.json.
 
     The driver checks a fixed-size prefix of ``queries()`` per round, so
     rotating already-verified names to the back makes each round's window
     land on fresh queries — cumulative driver-green coverage across
-    rounds instead of re-checking the same 50.
+    rounds instead of re-checking the same 50. The CORRECTNESS_r*.json
+    inputs this depends on are committed to the repo by the driver each
+    round, so the ordering is reproducible from a checkout.
+
+    Verified REQUIRES ``hash_match is True`` — a missing/None hash_match
+    (e.g. a driver-format change) must not silently rotate an unverified
+    query out of the window.
     """
     import glob
     import json
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = directory or os.path.dirname(os.path.abspath(__file__))
     verified: set[str] = set()
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
@@ -60,28 +66,72 @@ def _driver_verified() -> set[str]:
             if (
                 isinstance(row, dict)
                 and row.get("err") is None
-                and row.get("rows_match")
-                and row.get("schema_match")
-                and row.get("hash_match") is not False
+                and row.get("rows_match") is True
+                and row.get("schema_match") is True
+                and row.get("hash_match") is True
             ):
                 verified.add(name)
     return verified
 
 
-# families the judge asked to see driver-verified next, highest priority
-# first; anything unmatched sorts after these, already-verified last.
-_ROTATION_PRIORITY = ("card_", "streaming_", "graph_", "tpch_")
+# Families the judge asked to see driver-verified next (VERDICT r2 task 1:
+# ann_/dedup_/text_/multimodal_/curation_), plus the non-prefixed members
+# of the curation set and the validation/etl surface (task 5). Highest
+# priority first; anything unmatched sorts after these, already-verified
+# last except for a small re-sampled regression window (see _rotated).
+_ROTATION_PRIORITY = ("ann_", "dedup_", "text_", "multimodal_", "curation_")
+_ROTATION_NAMES = (
+    # curation set without the curation_ prefix
+    "decontaminate_ngram_overlap",
+    "quota_top_docs_per_source",
+    "pii_column_scan",
+    "blocklist_domain_filter",
+    "pseudonymize_user_ids",
+    "k_anonymity_audit",
+    # validation + etl surfaces (dbt-generic-test analog, IVM/upsert/SCD)
+    "dq_orders_checks",
+    "scd2_user_status_versions",
+    "cdc_user_state",
+    "incremental_dedup_pairs",
+    "scd2_point_in_time_join",
+    "snapshot_diff_user_state",
+    "incremental_agg_maintenance",
+)
+
+# Already-verified names re-checked per round so a regression in a prior
+# green can still be caught by the driver (not only by the repo's own
+# oracle sweep). Chosen deterministically, rotating with the round index.
+_REGRESSION_RESAMPLE = 4
+_RESAMPLE_AT = 44  # position in the order: inside the driver's 50-window
+
+
+def _resampled(verified: set[str], round_idx: int) -> list[str]:
+    import hashlib
+
+    def key(name: str) -> str:
+        return hashlib.md5(f"{round_idx}:{name}".encode()).hexdigest()
+
+    return sorted(sorted(verified), key=key)[:_REGRESSION_RESAMPLE]
+
+
+def _round_index() -> int:
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    return len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))) + 1
 
 
 def _rotation_key(verified: set[str]):
     def key(item: tuple[int, str]) -> tuple[int, int, int]:
         pos, name = item
         if name in verified:
-            return (2, 0, pos)
+            return (3, 0, pos)
         for i, prefix in enumerate(_ROTATION_PRIORITY):
             if name.startswith(prefix):
                 return (0, i, pos)
-        return (1, 0, pos)
+        if name in _ROTATION_NAMES:
+            return (1, _ROTATION_NAMES.index(name), pos)
+        return (2, 0, pos)
 
     return key
 
@@ -89,7 +139,13 @@ def _rotation_key(verified: set[str]):
 def _rotated(names: list[str]) -> list[str]:
     verified = _driver_verified()
     indexed = sorted(enumerate(names), key=_rotation_key(verified))
-    return [name for _, name in indexed]
+    order = [name for _, name in indexed]
+    resample = [n for n in _resampled(verified, _round_index()) if n in set(order)]
+    if resample:
+        order = [n for n in order if n not in set(resample)]
+        at = min(_RESAMPLE_AT, len(order))
+        order = order[:at] + resample + order[at:]
+    return order
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -21,9 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # queries whose plans legitimately contain a nested-loop/cartesian shape
 EXPECTED_NLJ = {
     "ann_cosine_topk",  # broadcast query-batch × corpus
-    "ann_lsh_buckets",  # planes × dims weight table: 8×64 literals
     "ann_ivf_topk",  # query-batch × list-representatives probe (tiny × tiny)
-    "dedup_embedding_cosine",  # exhaustive pair verify (LSH-restricted at scale)
+    # oracle-ground-truth baseline, small-n ONLY: exhaustive O(n²) verify kept
+    # as the recall reference; the production path is dedup_embedding_lsh
+    # (candidate-restricted, hash joins only — NOT allowlisted, audit-enforced)
+    "dedup_embedding_cosine",
     "antijoin_dormant_customers",  # 1-row scalar-subquery stats broadcast cross
     "tpch_q22_global_sales",  # 1-row scalar-subquery stats broadcast cross
     "tpch_q11_important_stock",  # 1-row global-total broadcast cross

@@ -196,6 +196,20 @@ def q_dedup_simhash48_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full-width config simhash_near_pairs' docstring prescribes for
+    production: 64-bit signature, Hamming <= 3 → 4 pigeonhole bands of 16
+    bits — 65536-way band buckets, the selectivity that keeps Σbucket²
+    sub-quadratic at corpus scale (benched at 10× in bench.py's scale
+    tier). Signature bits 60–63 come from a second md5 word so every band
+    carries real hash entropy."""
+    docs = _read(spark, sf_dir, "documents")
+    sigs = dedup.simhash(docs, bits=64)
+    return dedup.simhash_near_pairs(sigs, max_hamming=3, bits=64).orderBy(
+        "id_a", "id_b"
+    )
+
+
 from .sqlfrag import (  # noqa: E402
     _BANDS_SQL,
     _JACCARD_CORE_SQL,
@@ -206,22 +220,32 @@ from .sqlfrag import (  # noqa: E402
 )
 
 def _simhash_sql(bits: int) -> str:
+    # bits > 60 draw from a second md5 over tok || '#2', mirroring
+    # operators/dedup.py::simhash exactly
     return f"""
 doc_toks AS (
   SELECT doc_id AS id, {_TOKS_SQL} AS toks FROM documents
 ),
 tok_hash AS (
-  SELECT id, ('0x' || substr(md5(t.tok), 1, 15))::BIGINT AS h
+  SELECT id, ('0x' || substr(md5(t.tok), 1, 15))::BIGINT AS h,
+         ('0x' || substr(md5(t.tok || '#2'), 1, 15))::BIGINT AS h2
   FROM doc_toks, unnest(toks) AS t(tok)
 ),
 bit_deltas AS (
   SELECT id, b.bit,
-    CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS delta
+    CASE WHEN (CASE WHEN b.bit < 60 THEN (h >> b.bit)
+                    ELSE (h2 >> (b.bit - 60)) END) & 1 = 1
+         THEN 1 ELSE -1 END AS delta
   FROM tok_hash, unnest(generate_series(0, {bits - 1})) AS b(bit)
 ),
 bit_sums AS (SELECT id, bit, sum(delta) AS s FROM bit_deltas GROUP BY id, bit),
 simhashes AS (
-  SELECT id, sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+  -- bit 63 is the sign bit: DuckDB raises on 1::BIGINT << 63, so emit the
+  -- two's-complement value directly (Spark's shiftleft(1L, 63) == MIN_LONG)
+  SELECT id, sum(CASE WHEN s > 0 THEN
+      (CASE WHEN bit = 63 THEN (-9223372036854775807::BIGINT - 1)
+            ELSE (1::BIGINT << bit) END)
+    ELSE 0 END)::BIGINT AS simhash
   FROM bit_sums GROUP BY id
 )"""
 
@@ -331,6 +355,42 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     return simsearch.embedding_near_dup(emb, threshold=0.4).orderBy("id_a", "id_b")
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB embedding-dedup path: banded random-hyperplane LSH →
+    candidate pairs → exact cosine verify restricted to candidates.
+
+    16 sign-bit planes split into 4 bands × 4 bits; a pair is a candidate
+    if ANY band key collides (standard LSH banding — recall rises with
+    band count, candidate volume stays Σ|band-bucket|², never n²). The
+    verify is exact cosine over candidates only, so precision is 1.
+
+    Plan shape (audit-enforced, not allowlisted): band self-join and both
+    vector-attach joins are hash joins; no BroadcastNestedLoopJoin.
+    """
+    emb = _read(spark, sf_dir, "embeddings")
+    n_bands, band_bits = 4, 4
+    buckets = simsearch.lsh_bucket_signatures(
+        emb, num_planes=n_bands * band_bits
+    )
+    band_keys = F.array(
+        *[
+            F.shiftright(F.col("bucket"), b * band_bits).bitwiseAND(
+                F.lit((1 << band_bits) - 1)
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = buckets.select("id", F.posexplode(band_keys).alias("band", "key"))
+    left = bands.select(F.col("id").alias("id_a"), "band", "key")
+    right = bands.select(F.col("id").alias("id_b"), "band", "key")
+    candidates = left.join(right, ["band", "key"]).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    return simsearch.embedding_near_dup(
+        emb, threshold=0.4, candidates=candidates
+    ).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
@@ -1839,6 +1899,7 @@ EXTRA_QUERIES: dict[str, Query] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_simhash48_pairs": q_dedup_simhash48_pairs,
+    "dedup_simhash64_pairs": q_dedup_simhash64_pairs,
     "dedup_incremental_batch": q_dedup_incremental_batch,
     "text_token_stats": q_text_token_stats,
     "text_language_id": q_text_language_id,
@@ -1853,6 +1914,7 @@ EXTRA_QUERIES: dict[str, Query] = {
     "ann_incremental_topk": q_ann_incremental_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
@@ -2060,6 +2122,13 @@ SELECT a.id AS id_a, b.id AS id_b,
 FROM simhashes a JOIN simhashes b ON a.id < b.id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 ORDER BY id_a, id_b""",
+    "dedup_simhash64_pairs": f"""
+WITH {_simhash_sql(64).strip().lstrip(',')}
+SELECT a.id AS id_a, b.id AS id_b,
+  bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM simhashes a JOIN simhashes b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY id_a, id_b""",
     "text_token_stats": f"""
 SELECT doc_id AS id, len({_TOKS_SQL})::INT AS n_tokens,
   len(list_distinct({_TOKS_SQL}))::INT AS n_unique_tokens,
@@ -2121,6 +2190,41 @@ FROM q ORDER BY id""",
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      >= 0.4
+ORDER BY id_a, id_b""",
+    "dedup_embedding_lsh": """
+WITH weights AS (
+  SELECT p.plane, d.dim,
+    ((('0x' || substr(md5(p.plane || ':' || d.dim), 1, 15))::BIGINT % 2000) - 1000) / 1000.0 AS w
+  FROM (SELECT unnest(generate_series(0, 15)) AS plane) p,
+       (SELECT unnest(generate_series(0, 63)) AS dim) d
+),
+comps AS (
+  SELECT e.vec_id AS id, w.plane, sum(e.x::DOUBLE * w.w) AS dot
+  FROM (SELECT vec_id, embedding[d.dim + 1]::DOUBLE AS x, d.dim
+        FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS dim) d) e
+  JOIN weights w ON e.dim = w.dim
+  GROUP BY e.vec_id, w.plane
+),
+buckets AS (
+  SELECT id, sum(CASE WHEN dot > 0 THEN (1::BIGINT << plane::INT) ELSE 0 END)::BIGINT AS bucket
+  FROM comps GROUP BY id
+),
+bands AS (
+  SELECT bu.id, bd.band, (bu.bucket >> (bd.band * 4)) & 15 AS key
+  FROM buckets bu, (SELECT unnest(generate_series(0, 3)) AS band) bd
+),
+cands AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.id < r.id
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT c.id_a, c.id_b
+FROM cands c
+JOIN e a ON c.id_a = a.vec_id
+JOIN e b ON c.id_b = b.vec_id
 WHERE list_dot_product(a.v, b.v)
       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
       >= 0.4

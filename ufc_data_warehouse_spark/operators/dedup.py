@@ -331,32 +331,50 @@ SIMHASH_BITS = 24
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = SIMHASH_BITS
 ) -> DataFrame:
-    """(id, simhash): per-token 60-bit md5-derived hash; each bit
+    """(id, simhash): per-token md5-derived hash bits; each bit
     contributes ±1; the sign vector packs into a ``bits``-wide fingerprint.
+
+    One md5 supplies 60 clean bits (15 hex chars); signatures wider than
+    60 bits (e.g. the 64-bit production config — 4 pigeonhole bands of 16
+    bits) draw bits 60+ from a SECOND md5 over ``tok || '#2'`` so every
+    signature bit is a real hash bit. A zero-entropy top band would
+    otherwise collapse into one global bucket and turn the banded join
+    quadratic.
 
     Shape: explode tokens (narrow) → explode bit positions (narrow) →
     one groupBy(id, bit) + one groupBy(id). Everything stays integer —
     engine-portable.
     """
+    if bits > 64:
+        raise ValueError(
+            "simhash packs into one 64-bit fingerprint; bits must be <= 64"
+        )
     toks = tokens(F.col(text_col))
     tok_hash = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    tok_hash2 = F.conv(
+        F.substring(F.md5(F.concat(F.col("tok"), F.lit("#2"))), 1, 15), 16, 10
+    ).cast("long")
+    hash_bit = (
+        F.when(F.col("bit") < 60, F.expr("shiftright(h, bit)"))
+        .otherwise(F.expr("shiftright(h2, bit - 60)"))
+        .bitwiseAND(1)
+    )
     exploded = (
         df.select(F.col(id_col).alias("id"), toks.alias("toks"))
         .select("id", F.explode("toks").alias("tok"))
-        .select("id", tok_hash.alias("h"))
+        .select("id", tok_hash.alias("h"), tok_hash2.alias("h2"))
         .select(
             "id",
             F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
             "h",
+            "h2",
         )
         .select(
             "id",
             "bit",
             # shiftright() only takes a literal bit count in the Python API;
             # the SQL form accepts a column
-            F.when(F.expr("shiftright(h, bit)").bitwiseAND(1) == 1, 1)
-            .otherwise(-1)
-            .alias("delta"),
+            F.when(hash_bit == 1, 1).otherwise(-1).alias("delta"),
         )
     )
     bit_sums = exploded.groupBy("id", "bit").agg(F.sum("delta").alias("s"))

@@ -73,22 +73,92 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
+# ---------------------------------------------------------------------------
+# THE CODEC CONTRACT — what a production decode_fn must satisfy so the
+# fake=True seam is droppable without touching any downstream op.
+# ---------------------------------------------------------------------------
+# A ``decode_fn(payload: bytes, kind: str) -> dict | None`` plugged into
+# :func:`decode_media` (e.g. wrapping PIL / pyav / ffmpeg / librosa) MUST:
+#
+#  1. Return EXACTLY the keys {digest, width, height, n_frames, features}
+#     with types str, int, int, int, list[float] — the tail of
+#     DECODED_SCHEMA (media_id/kind/n_bytes are attached by the harness).
+#  2. Be deterministic: the same (payload, kind) yields the same dict —
+#     Spark may re-execute a task after executor loss, and a retried
+#     partition must not change results (no wall-clock, no RNG without a
+#     payload-derived seed).
+#  3. Return ``None`` for an undecodable payload instead of raising —
+#     the harness emits the row with NULL decode fields (digest still
+#     computed) so corrupt bytes flow to a downstream curation filter and
+#     are never silently dropped; an exception would fail the whole task
+#     (and at 100 TB, some corrupt file WILL exist in every job).
+#  4. Satisfy the kind invariants: width/height ≥ 1; n_frames == 1 for
+#     kind='image', ≥ 1 otherwise; features non-empty with a FIXED length
+#     per deployment (downstream ANN ops assume equal dimensionality).
+#  5. Hold the GIL briefly / release it in the codec (PIL and pyav do):
+#     the fn runs once per row inside an Arrow batch on the Python worker.
+#  6. Be importable on executors (ship the wheel) OR be defined as a
+#     closure so cloudpickle serializes it by value.
+#
+# :func:`check_decode_conformance` mechanically verifies 1–4 driver-side;
+# tests/test_multimodal.py runs it against the built-in fake codec as the
+# executable specification.
+
+
+def check_decode_conformance(decode_fn, samples=None) -> bool:
+    """Driver-side conformance check for a production ``decode_fn``
+    (contract points 1–4 above). Raises AssertionError on violation."""
+    samples = samples or [
+        (b"\x89PNG fake image payload", "image"),
+        (b"RIFF fake audio payload", "audio"),
+        (b"\x00\x00\x00 ftyp fake video payload", "video"),
+    ]
+    feat_len: int | None = None
+    for payload, kind in samples:
+        r1 = decode_fn(payload, kind)
+        r2 = decode_fn(payload, kind)
+        assert r1 == r2, f"decode_fn not deterministic for kind={kind}"
+        if r1 is None:
+            continue
+        keys = {"digest", "width", "height", "n_frames", "features"}
+        assert set(r1) == keys, f"keys {set(r1)} != {keys}"
+        assert isinstance(r1["digest"], str) and r1["digest"]
+        assert isinstance(r1["width"], int) and r1["width"] >= 1
+        assert isinstance(r1["height"], int) and r1["height"] >= 1
+        assert isinstance(r1["n_frames"], int) and r1["n_frames"] >= 1
+        if kind == "image":
+            assert r1["n_frames"] == 1, "images must decode to n_frames=1"
+        feats = r1["features"]
+        assert feats and all(isinstance(x, float) for x in feats)
+        if feat_len is None:
+            feat_len = len(feats)
+        assert len(feats) == feat_len, "feature length must be fixed"
+    return True
+
+
+def decode_media(
+    media: DataFrame, fake: bool = False, decode_fn=None
+) -> DataFrame:
     """Decode payloads → metadata + features via mapInPandas.
 
-    ``fake=False`` is the production path and is intentionally unimplemented
-    here (no codec libs in this environment). The fake path is a
-    deterministic md5-derived stand-in for a codec.
+    ``decode_fn`` is the production codec seam — any callable satisfying
+    THE CODEC CONTRACT above (verify with :func:`check_decode_conformance`
+    before submitting a 100 TB job). Without one, ``fake=True`` substitutes
+    a deterministic md5-derived stand-in so the plumbing (schema, batching,
+    partitioning, UDF signature) is fully exercised; ``fake=False`` with no
+    ``decode_fn`` raises (no codec libs in this environment).
 
     The UDF is a nested closure with local imports so cloudpickle ships it
     BY VALUE — Python workers need neither this package nor any sys.path
     setup (they won't have it on a real cluster's executors unless the
-    wheel is shipped).
+    wheel is shipped). A user-supplied ``decode_fn`` must itself be
+    executor-importable or closure-defined (contract point 6).
     """
-    if not fake:
+    if decode_fn is None and not fake:
         raise NotImplementedError(
-            "real media decoding needs PIL/ffmpeg/librosa — not available in "
-            "this environment; use fake=True for the deterministic stub"
+            "real media decoding needs a decode_fn (PIL/pyav/ffmpeg wrapper "
+            "satisfying THE CODEC CONTRACT) — none is available in this "
+            "environment; use fake=True for the deterministic stub"
         )
 
     def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
@@ -96,28 +166,43 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
 
         import pandas as _pd
 
+        def _fake_decode(payload: bytes, kind: str) -> dict:
+            digest = _hl.md5(payload).hexdigest()
+            h = int(digest[:8], 16)
+            return {
+                "digest": digest,
+                "width": 16 + h % 2048,
+                "height": 16 + (h >> 11) % 2048,
+                "n_frames": 1 if kind == "image" else 1 + h % 300,
+                "features": [
+                    ((int(digest[i * 2 : i * 2 + 2], 16) - 128) / 128.0)
+                    for i in range(8)
+                ],
+            }
+
+        fn = decode_fn or _fake_decode
         for pdf in batches:
             if not len(pdf):
                 continue
             out = []
             for _, row in pdf.iterrows():
-                digest = _hl.md5(bytes(row["payload"])).hexdigest()
-                h = int(digest[:8], 16)
-                out.append(
-                    {
-                        "media_id": row["media_id"],
-                        "kind": row["kind"],
-                        "n_bytes": row["n_bytes"],
-                        "digest": digest,
-                        "width": 16 + h % 2048,
-                        "height": 16 + (h >> 11) % 2048,
-                        "n_frames": 1 if row["kind"] == "image" else 1 + h % 300,
-                        "features": [
-                            ((int(digest[i * 2 : i * 2 + 2], 16) - 128) / 128.0)
-                            for i in range(8)
-                        ],
-                    }
-                )
+                payload = bytes(row["payload"])
+                rec = fn(payload, row["kind"])
+                base = {
+                    "media_id": row["media_id"],
+                    "kind": row["kind"],
+                    "n_bytes": row["n_bytes"],
+                }
+                if rec is None:
+                    # contract point 3: undecodable → NULL decode fields,
+                    # digest still recorded; curation filters decide
+                    base.update(
+                        digest=_hl.md5(payload).hexdigest(),
+                        width=None, height=None, n_frames=None, features=None,
+                    )
+                else:
+                    base.update(rec)
+                out.append(base)
             yield _pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=DECODED_SCHEMA)

@@ -102,9 +102,14 @@ def embedding_near_dup(
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t) —
     the dedup modality for already-embedded corpora.
 
-    With ``candidates`` (e.g. LSH bucket collisions) the pair space is
-    restricted before the exact cosine verify — the 100 TB path; without,
-    this is the exhaustive small-n verify.
+    With ``candidates`` — a DataFrame of (id_a, id_b) pairs, e.g. LSH
+    bucket collisions — the plan is built FROM the candidate side: two
+    shuffle/broadcast hash joins attach the vectors to each candidate
+    pair, then the exact cosine verify runs over |candidates| rows only.
+    This is the 100 TB path: cost is O(|candidates|), never O(n²), and
+    the plan contains no BroadcastNestedLoopJoin. Without ``candidates``
+    this is the exhaustive O(n²) verify — the oracle-ground-truth
+    baseline, small-n only.
     """
     a = embeddings.select(
         F.col(id_col).alias("id_a"),
@@ -116,9 +121,22 @@ def embedding_near_dup(
         F.col(vec_col).alias("vb"),
         _norm(F.col(vec_col)).alias("nb"),
     )
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     if candidates is not None:
-        pairs = pairs.join(candidates, ["id_a", "id_b"], "left_semi")
+        # Candidate-first: two equi hash joins, each shuffling only the
+        # candidate set + one vector column. Canonicalize to id_a < id_b
+        # so callers may pass unordered collision pairs.
+        pairs = (
+            candidates.select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+            .join(a, "id_a")
+            .join(b, "id_b")
+        )
+    else:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         pairs.select("id_a", "id_b", cos.alias("cosine"))
@@ -229,9 +247,12 @@ def lsh_bucket_signatures(
     """
     dims = embeddings.select(F.size(vec_col).alias("d")).first()["d"]
     spark = embeddings.sparkSession
-    planes = spark.range(num_planes).select(F.col("id").alias("plane"))
-    dim_ids = spark.range(dims).select(F.col("id").alias("dim"))
-    weights = planes.crossJoin(dim_ids).select(
+    # one range, plane = id div dims / dim = id mod dims — no cross join,
+    # so downstream plans stay NLJ-free
+    weights = spark.range(num_planes * dims).select(
+        (F.col("id") / dims).cast("long").alias("plane"),
+        (F.col("id") % dims).alias("dim"),
+    ).select(
         "plane", "dim", hyperplane_weight(F.col("plane"), F.col("dim")).alias("w")
     )
     comps = (

@@ -5254,8 +5254,15 @@ u1_{s} AS (
   GROUP BY a.cluster, t.j
 ),
 c1_{s} AS (
-  SELECT cluster, list(s::DOUBLE / (cnt * 1000000.0) ORDER BY dim) AS c
-  FROM u1_{s} GROUP BY cluster
+  -- empty clusters keep their previous (init) centroid, exactly like
+  -- simsearch.kmeans — without this a cluster absent from u1 would be
+  -- dropped and the second assignment pass could diverge from Spark
+  SELECT i.cluster, coalesce(u.c, i.c) AS c
+  FROM init_{s} i
+  LEFT JOIN (
+    SELECT cluster, list(s::DOUBLE / (cnt * 1000000.0) ORDER BY dim) AS c
+    FROM u1_{s} GROUP BY cluster
+  ) u USING (cluster)
 ),
 d2_{s} AS (
   SELECT e.id, i.cluster,

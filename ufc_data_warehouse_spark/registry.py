@@ -110,6 +110,7 @@ class Registry:
         metrics: dict[str, dict] | None = None,
         jdbc_url: str | None = None,
         jdbc_options: dict[str, str] | None = None,
+        jdbc_num_partitions: int | dict[str, int] | None = None,
     ) -> dict[str, str]:
         """Write models to ``{warehouse}/{layer}/{name}`` parquet, or —
         when ``jdbc_url`` is given — to ``{layer}_{name}`` tables over
@@ -122,6 +123,11 @@ class Registry:
         ``df.observe`` and per-mart row counts land in ``metrics[name]`` —
         pipeline observability measured DURING the write itself (the
         accumulator rides the job), not by re-scanning the written output.
+
+        ``jdbc_num_partitions`` caps the sink's connection fan-out (a
+        global int, or per-model dict) — without it every upstream output
+        partition opens its own connection, the max_connections hazard
+        ``write_jdbc``'s docstring warns about.
         """
         if jdbc_url is not None and partition_by:
             raise ValueError(
@@ -142,7 +148,15 @@ class Registry:
                 df = df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
             if jdbc_url is not None:
                 path = f"{model.layer}_{name}"
-                write_jdbc(df, jdbc_url, path, options=jdbc_options)
+                n_parts = (
+                    jdbc_num_partitions.get(name)
+                    if isinstance(jdbc_num_partitions, dict)
+                    else jdbc_num_partitions
+                )
+                write_jdbc(
+                    df, jdbc_url, path, options=jdbc_options,
+                    num_partitions=n_parts,
+                )
             else:
                 writer = df.write.mode("overwrite")
                 cols = (partition_by or {}).get(name)

@@ -85,7 +85,12 @@ def _pick(idx: Column, values: list[str]) -> Column:
     measurably dominates plan-construction time for this module (~1.5 s
     of driver chatter per ufc_raw_tables call at any scale factor)."""
     quoted = ", ".join("'" + v.replace("'", "''") + "'" for v in values)
-    return F.element_at(F.expr(f"array({quoted})"), idx.cast("int") + 1)
+    # pmod-bound the index: element_at would otherwise index from the END
+    # for a negative idx (and raise on idx == -1) instead of yielding the
+    # in-range pick a caller expects — all current call sites pass
+    # already-bounded idx, so this only guards future callers.
+    bounded = F.pmod(idx.cast("int"), F.lit(len(values)))
+    return F.element_at(F.expr(f"array({quoted})"), bounded + 1)
 
 
 def _fighter_name(fid: Column) -> Column:
