@@ -39,6 +39,21 @@ RAW_TABLES = [
     "title_status_changes_outside_octagon",
 ]
 
+# the 10×-scale tier (VERDICT r2 tasks 3–4): iterative graph loops, PQ
+# codebook training, lexical/hybrid retrieval, banded SimHash at both
+# production widths, the candidate-restricted embedding dedup, and one
+# AvailableNow streaming pass
+SCALE10_QUERIES = [
+    "dedup_simhash48_pairs",
+    "dedup_simhash64_pairs",
+    "dedup_embedding_lsh90",
+    "graph_pagerank_top100",
+    "ann_pq_adc_topk",
+    "bm25_doc_ranking",
+    "rrf_hybrid_search",
+    "streaming_tumbling_counts",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -104,17 +119,25 @@ def main() -> None:
         # GC pauses that dominate cold single-shot numbers on a fresh JVM.
         # An explicit JVM GC before each query's timing loop keeps garbage
         # from EARLIER queries out of THIS query's pauses — observed ±3×
-        # swings on identical plans without it.
-        RUNS = 5
+        # swings on identical plans without it. Sub-second queries get two
+        # extra runs (best-of-7): at that scale scheduler jitter is a
+        # double-digit percentage and round-over-round comparisons were
+        # flagging noise as regressions.
+        RUNS, EXTRA_RUNS_SUB_SECOND = 5, 2
 
-        def timed(name: str, run) -> None:
+        def timed(name: str, run, runs: int | None = None) -> None:
             spark.sparkContext._jvm.System.gc()
             best, rows = None, 0
-            for _ in range(RUNS):
+            n_runs = runs or RUNS
+            done = 0
+            while done < n_runs:
                 t0 = time.perf_counter()
                 rows = run()
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
+                done += 1
+                if runs is None and done == RUNS and best < 1.0:
+                    n_runs = RUNS + EXTRA_RUNS_SUB_SECOND
             timings[name] = round(best, 4)
             print(f"# {name}: {rows} rows in {timings[name]}s", file=sys.stderr)
 
@@ -155,19 +178,53 @@ def main() -> None:
             sum(v for k, v in timings.items() if k not in untimed), 4
         )
 
-        sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-        print(
-            json.dumps(
-                {
-                    "metric": "headline-query steady-state wall time "
-                    f"(best of {RUNS} runs per query, excl. one-time ingest)",
-                    "value": total,
-                    "unit": "sec",
-                    "queries": timings,
-                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                }
+        # ---- scale tier: the same iterative/ANN/dedup queries at 10× ----
+        # (synthetic sf1 derived from sf0.1 — see scalegen.py). These are
+        # the operators whose 100 TB story hinges on sub-quadratic growth;
+        # a 10× input should cost ≈10× wall, never ≈100×.
+        scale10: dict = {}
+        if os.environ.get("SPARK_GRAFT_SCALE_TIER", "1") != "0":
+            from ufc_data_warehouse_spark.scalegen import ensure_scale_dir
+
+            scale_dir = os.environ.get(
+                "SPARK_GRAFT_SCALE10_DIR",
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".bench_scale10"),
             )
-        )
+            t0 = time.perf_counter()
+            ensure_scale_dir(spark, sf_dir, scale_dir, factor=10)
+            scale10["generate_or_reuse"] = round(time.perf_counter() - t0, 4)
+            scale_timings: dict[str, float] = {}
+            base_timings, timings = timings, scale_timings
+            try:
+                for name in SCALE10_QUERIES:
+                    timed(
+                        name,
+                        lambda n=name: all_queries[n](spark, scale_dir).count(),
+                        runs=2,
+                    )
+            finally:
+                timings = base_timings
+            scale10["queries"] = scale_timings
+            scale10["ratio_vs_base"] = {
+                n: round(scale_timings[n] / timings[n], 2)
+                for n in scale_timings
+                if n in timings and timings[n] > 0
+            }
+            scale10["value"] = round(sum(scale_timings.values()), 4)
+
+        sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        result = {
+            "metric": "headline-query steady-state wall time "
+            f"(best of {RUNS} runs per query, excl. one-time ingest)",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
+        if scale10:
+            result["scale10"] = scale10
+        print(json.dumps(result))
     finally:
         spark.stop()
         shutil.rmtree(warehouse, ignore_errors=True)

@@ -1,0 +1,142 @@
+"""Scale-up generator invariants (scalegen.py): within-replica structure
+must replay the base corpus exactly; across replicas it must decorrelate —
+otherwise the bench's 10× scale tier measures the generator, not the
+operator under test."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+from ufc_data_warehouse_spark import scalegen
+
+
+FACTOR = 3  # small factor keeps the test fast; invariants are per-replica
+
+
+@pytest.fixture(scope="module")
+def base_docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def base_emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_documents_replica_zero_is_identity_and_ids_are_disjoint(base_docs):
+    scaled = scalegen.scale_documents(base_docs, FACTOR)
+    n = base_docs.count()
+    assert scaled.count() == n * FACTOR
+    assert scaled.select("doc_id").distinct().count() == n * FACTOR
+    rep0 = scaled.filter(F.col("doc_id") % FACTOR == 0).select(
+        (F.col("doc_id") / FACTOR).cast("long").alias("doc_id"), "text"
+    )
+    diffs = (
+        rep0.alias("s")
+        .join(base_docs.alias("b"), "doc_id")
+        .filter(F.col("s.text") != F.col("b.text"))
+        .count()
+    )
+    assert diffs == 0
+
+
+def test_documents_replicas_share_no_tokens(base_docs, spark):
+    """The Caesar rotation must make replica token sets disjoint (rotation
+    by r≠0 maps every letter), so shingle/minhash/simhash collisions never
+    straddle replicas by construction."""
+    scaled = scalegen.scale_documents(base_docs.limit(50), FACTOR)
+    toks = scaled.select(
+        (F.col("doc_id") % FACTOR).alias("rep"),
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("tok"),
+    ).filter(F.length("tok") >= 3)
+    cross = (
+        toks.alias("a")
+        .join(toks.alias("b"), "tok")
+        .filter(F.col("a.rep") < F.col("b.rep"))
+        .count()
+    )
+    assert cross == 0
+
+
+def test_embeddings_within_replica_cosines_exact(base_emb):
+    """dot(s⊙v, s⊙w) == dot(v, w): each replica's pairwise geometry is the
+    base corpus's, bit-for-bit (±1 multiplication is exact in floats)."""
+    scaled = scalegen.scale_embeddings(base_emb, FACTOR)
+
+    def pair_dots(df, id_col):
+        a = df.select(F.col(id_col).alias("ia"), F.col("embedding").alias("va"))
+        b = df.select(F.col(id_col).alias("ib"), F.col("embedding").alias("vb"))
+        return (
+            a.join(b, F.col("ia") < F.col("ib"))
+            .select(
+                "ia",
+                "ib",
+                F.aggregate(
+                    F.zip_with(
+                        "va", "vb", lambda x, y: x.cast("double") * y.cast("double")
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dot"),
+            )
+        )
+
+    base_sample = base_emb.filter(F.col("vec_id") < 30)
+    for rep in range(FACTOR):
+        rep_sample = scaled.filter(
+            (F.col("vec_id") % FACTOR == rep) & (F.col("vec_id") < 30 * FACTOR)
+        ).select(
+            (F.col("vec_id") / FACTOR).cast("long").alias("vec_id"), "embedding"
+        )
+        base_d = {
+            (r["ia"], r["ib"]): r["dot"]
+            for r in pair_dots(base_sample, "vec_id").collect()
+        }
+        rep_d = {
+            (r["ia"], r["ib"]): r["dot"]
+            for r in pair_dots(rep_sample, "vec_id").collect()
+        }
+        assert base_d.keys() == rep_d.keys()
+        for k in base_d:
+            assert math.isclose(base_d[k], rep_d[k], rel_tol=0, abs_tol=0.0), (
+                rep,
+                k,
+            )
+
+
+def test_embeddings_norms_and_labels(base_emb):
+    scaled = scalegen.scale_embeddings(base_emb, FACTOR)
+    n_labels = base_emb.select(F.max("label")).first()[0] + 1
+    assert (
+        scaled.select(F.countDistinct("label")).first()[0]
+        == base_emb.select(F.countDistinct("label")).first()[0] * FACTOR
+    )
+    assert scaled.filter(
+        (F.col("label") < 0) | (F.col("label") >= n_labels * FACTOR)
+    ).count() == 0
+
+
+def test_events_graph_copies_are_disjoint(spark):
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    scaled = scalegen.scale_events(events, FACTOR)
+    n_users = events.select(F.max("user_id")).first()[0] + 1
+    assert scaled.count() == events.count() * FACTOR
+    # replica r's users live in [r*n_users, (r+1)*n_users) — disjoint graphs
+    bad = scaled.filter(
+        (F.col("event_id") % FACTOR) * n_users > F.col("user_id")
+    ).count()
+    assert bad == 0
+
+
+def test_ensure_scale_dir_idempotent(spark, tmp_path):
+    out = str(tmp_path / "scaled")
+    scalegen.ensure_scale_dir(spark, SF_DIR, out, factor=2)
+    docs1 = spark.read.parquet(f"{out}/documents.parquet").count()
+    # second call must be a no-op (marker present)
+    scalegen.ensure_scale_dir(spark, SF_DIR, out, factor=2)
+    assert spark.read.parquet(f"{out}/documents.parquet").count() == docs1

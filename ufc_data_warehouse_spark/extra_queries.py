@@ -219,6 +219,54 @@ from .sqlfrag import (  # noqa: E402
     _TOKS_SQL,
 )
 
+def _embedding_lsh_oracle(n_bands: int, band_bits: int, threshold: float) -> str:
+    """DuckDB replay of _embedding_lsh_near_dup: hyperplane sign buckets →
+    band-key collision candidates → exact cosine verify. Bit 63 of the
+    packed bucket needs its two's-complement value spelled out (DuckDB
+    raises on 1::BIGINT << 63); the band extraction's arithmetic shift is
+    corrected by the mask, same as the Spark side."""
+    n_planes = n_bands * band_bits
+    mask = (1 << band_bits) - 1
+    return f"""
+WITH weights AS (
+  SELECT p.plane, d.dim,
+    ((('0x' || substr(md5(p.plane || ':' || d.dim), 1, 15))::BIGINT % 2000) - 1000) / 1000.0 AS w
+  FROM (SELECT unnest(generate_series(0, {n_planes - 1})) AS plane) p,
+       (SELECT unnest(generate_series(0, 63)) AS dim) d
+),
+comps AS (
+  SELECT e.vec_id AS id, w.plane, sum(e.x::DOUBLE * w.w) AS dot
+  FROM (SELECT vec_id, embedding[d.dim + 1]::DOUBLE AS x, d.dim
+        FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS dim) d) e
+  JOIN weights w ON e.dim = w.dim
+  GROUP BY e.vec_id, w.plane
+),
+buckets AS (
+  SELECT id, sum(CASE WHEN dot > 0 THEN
+      (CASE WHEN plane = 63 THEN (-9223372036854775807::BIGINT - 1)
+            ELSE (1::BIGINT << plane::INT) END)
+    ELSE 0 END)::BIGINT AS bucket
+  FROM comps GROUP BY id
+),
+bands AS (
+  SELECT bu.id, bd.band, (bu.bucket >> (bd.band * {band_bits})) & {mask} AS key
+  FROM buckets bu, (SELECT unnest(generate_series(0, {n_bands - 1})) AS band) bd
+),
+cands AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.id < r.id
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT c.id_a, c.id_b
+FROM cands c
+JOIN e a ON c.id_a = a.vec_id
+JOIN e b ON c.id_b = b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      >= {threshold}
+ORDER BY id_a, id_b"""
+
+
 def _simhash_sql(bits: int) -> str:
     # bits > 60 draw from a second md5 over tok || '#2', mirroring
     # operators/dedup.py::simhash exactly
@@ -369,11 +417,24 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape (audit-enforced, not allowlisted): band self-join and both
     vector-attach joins are hash joins; no BroadcastNestedLoopJoin.
     """
+    return _embedding_lsh_near_dup(
+        spark, sf_dir, n_bands=4, band_bits=4, threshold=0.4
+    )
+
+
+def _embedding_lsh_near_dup(
+    spark: SparkSession,
+    sf_dir: str,
+    n_bands: int,
+    band_bits: int,
+    threshold: float,
+) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
-    n_bands, band_bits = 4, 4
     buckets = simsearch.lsh_bucket_signatures(
         emb, num_planes=n_bands * band_bits
     )
+    # arithmetic shift + mask extracts the band bits correctly even when
+    # plane 63 set the sign bit (the fill bits are masked away)
     band_keys = F.array(
         *[
             F.shiftright(F.col("bucket"), b * band_bits).bitwiseAND(
@@ -389,8 +450,23 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a") < F.col("id_b")
     )
     return simsearch.embedding_near_dup(
-        emb, threshold=0.4, candidates=candidates
+        emb, threshold=threshold, candidates=candidates
     ).orderBy("id_a", "id_b")
+
+
+def q_dedup_embedding_lsh90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-selectivity embedding dedup: 64 hyperplanes in 4
+    bands × 16 bits (65536-way band buckets), verify threshold 0.9 — the
+    regime a real near-dup pass runs at (0.9+ cosine ≈ same document
+    re-encoded; 0.4 is topical similarity, not duplication). Cost profile
+    at scale: signature computation is linear in corpus size and
+    dominates; candidates ≈ 4·n²/65536 stay sub-quadratic until n
+    approaches the bucket count, at which point add planes per band —
+    bucket count must grow with the corpus (benched at 10× in bench.py's
+    scale tier)."""
+    return _embedding_lsh_near_dup(
+        spark, sf_dir, n_bands=4, band_bits=16, threshold=0.9
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1915,6 +1991,7 @@ EXTRA_QUERIES: dict[str, Query] = {
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "dedup_embedding_lsh90": q_dedup_embedding_lsh90,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
@@ -2194,41 +2271,12 @@ WHERE list_dot_product(a.v, b.v)
       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
       >= 0.4
 ORDER BY id_a, id_b""",
-    "dedup_embedding_lsh": """
-WITH weights AS (
-  SELECT p.plane, d.dim,
-    ((('0x' || substr(md5(p.plane || ':' || d.dim), 1, 15))::BIGINT % 2000) - 1000) / 1000.0 AS w
-  FROM (SELECT unnest(generate_series(0, 15)) AS plane) p,
-       (SELECT unnest(generate_series(0, 63)) AS dim) d
-),
-comps AS (
-  SELECT e.vec_id AS id, w.plane, sum(e.x::DOUBLE * w.w) AS dot
-  FROM (SELECT vec_id, embedding[d.dim + 1]::DOUBLE AS x, d.dim
-        FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS dim) d) e
-  JOIN weights w ON e.dim = w.dim
-  GROUP BY e.vec_id, w.plane
-),
-buckets AS (
-  SELECT id, sum(CASE WHEN dot > 0 THEN (1::BIGINT << plane::INT) ELSE 0 END)::BIGINT AS bucket
-  FROM comps GROUP BY id
-),
-bands AS (
-  SELECT bu.id, bd.band, (bu.bucket >> (bd.band * 4)) & 15 AS key
-  FROM buckets bu, (SELECT unnest(generate_series(0, 3)) AS band) bd
-),
-cands AS (
-  SELECT DISTINCT l.id AS id_a, r.id AS id_b
-  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.id < r.id
-),
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT c.id_a, c.id_b
-FROM cands c
-JOIN e a ON c.id_a = a.vec_id
-JOIN e b ON c.id_b = b.vec_id
-WHERE list_dot_product(a.v, b.v)
-      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-      >= 0.4
-ORDER BY id_a, id_b""",
+    "dedup_embedding_lsh": _embedding_lsh_oracle(
+        n_bands=4, band_bits=4, threshold=0.4
+    ),
+    "dedup_embedding_lsh90": _embedding_lsh_oracle(
+        n_bands=4, band_bits=16, threshold=0.9
+    ),
     "ann_ivf_topk": """
 WITH reps AS (
   SELECT label AS rep_list, embedding::DOUBLE[] AS rep_vec
@@ -2981,6 +3029,15 @@ BENCH_EXTRA = [
     "dedup_simhash48_pairs",
     "dedup_incremental_batch",
     "ann_pq_adc_topk",
+    # round-3 scale paths, base-scale rows so the 10× scale tier has
+    # same-session ratios: full-width 64-bit simhash (16-bit bands), the
+    # candidate-restricted embedding dedup (banded hyperplane LSH → two
+    # hash joins → exact cosine verify), and one AvailableNow streaming
+    # pass (fresh checkpoint per run, so each timing re-processes all
+    # input files — the replayable-batch cost, not a warm no-op)
+    "dedup_simhash64_pairs",
+    "dedup_embedding_lsh90",
+    "streaming_tumbling_counts",
 ]
 # NOT benchmarked: dedup_prefix_filter / graph_triangle_census — on this
 # synthetic corpus (5000 near-identical docs; a 91%-dense co-purchase

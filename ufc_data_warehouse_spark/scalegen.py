@@ -1,0 +1,200 @@
+"""Synthetic scale-up generator for the bench's scale tier.
+
+Derives a ``factor``× corpus from an existing testdata SF dir (default
+10× of sf0.1 ≈ sf1) — deterministically, entirely in Spark, written once
+and cached on disk. The point is scaling MEASUREMENT for the iterative /
+ANN / dedup families (VERDICT r2 tasks 3–4): at 10× data a sub-quadratic
+operator's wall time should grow ≈10×, a quadratic one ≈100×.
+
+Replicas must be DECORRELATED, not copied: naive duplication makes every
+doc an exact dup of 9 others, so dedup outputs (and band buckets) would
+blow up quadratically in the replica count and measure the data
+generator, not the operator. Instead each replica applies a
+structure-preserving, cross-replica-decorrelating transform:
+
+- documents: per-replica Caesar rotation of the letters (``F.translate``)
+  — within a replica the near-dup structure is EXACTLY the original's
+  (token identity is preserved under a character bijection, so shingles,
+  minhash, simhash collisions replay 1:1); across replicas tokens share
+  no hash.
+- embeddings: per-replica deterministic ±1 sign pattern over the dims —
+  dot(s⊙v, s⊙w) = dot(v, w), so norms, pairwise cosines, and cluster
+  geometry inside a replica are EXACTLY the original's; across replicas
+  the mixed pattern s_r⊙s_q has zero mean, so cross-replica dots
+  decorrelate even though the corpus has nonzero-mean components (a
+  plain dim rotation does NOT decorrelate such a corpus — measured 115×
+  pair growth at 10×, i.e. quadratic; signs bring it to ≈10×). Labels
+  offset per replica so IVF list count grows 10× at constant list size
+  (the right disk shape for a 10× corpus).
+- events: per-replica user-id offset — 10 disjoint copies of the
+  interaction graph; iterative graph ops see 10× nodes and edges at the
+  original degree distribution.
+- orders + lineitem: order keys remapped consistently on both sides
+  (``key * factor + replica``) and customer/supplier/part keys offset
+  per replica — the customer→supplier purchase graph the graph_* family
+  iterates over becomes 10 disjoint copies, again 10× nodes and edges at
+  the original degrees.
+
+All ids are remapped ``id * factor + replica`` (collision-free, keeps
+id-derived query selections like ``vec_id % 50`` statistically similar).
+"""
+
+from __future__ import annotations
+
+import os
+import string
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SCALE_TABLES = ("documents", "embeddings", "events", "orders", "lineitem")
+
+
+def _replicate(df: DataFrame, factor: int) -> DataFrame:
+    """Cross df with replica ids 0..factor-1 via explode (no cartesian
+    join node; stays a map-side operator)."""
+    return df.withColumn(
+        "_rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+    )
+
+
+def _rot_alphabet(rot: int) -> str:
+    letters = string.ascii_lowercase
+    return letters[rot:] + letters[:rot]
+
+
+def scale_documents(docs: DataFrame, factor: int) -> DataFrame:
+    rep = _replicate(docs, factor)
+    # branch per replica on the (tiny) rotation table — a CASE ladder of
+    # factor translate() calls, all codegen'd JVM-side
+    text = F.col("text")
+    rotated = None
+    for r in range(factor):
+        src = string.ascii_lowercase + string.ascii_uppercase
+        dst = _rot_alphabet(r % 26) + _rot_alphabet(r % 26).upper()
+        branch = F.translate(text, src, dst)
+        rotated = (
+            F.when(F.col("_rep") == r, branch)
+            if rotated is None
+            else rotated.when(F.col("_rep") == r, branch)
+        )
+    return rep.select(
+        (F.col("doc_id") * factor + F.col("_rep")).alias("doc_id"),
+        rotated.alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+
+
+def scale_embeddings(emb: DataFrame, factor: int) -> DataFrame:
+    rep = _replicate(emb, factor)
+    n_labels = emb.select((F.max("label") + 1).alias("n")).first()["n"]
+    # per-(replica, dim) sign from xxhash64 — F.transform's two-arg lambda
+    # receives (element, array_index); replica 0 keeps the originals
+    signed = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(
+            (F.col("_rep") == 0)
+            | (F.pmod(F.xxhash64(F.concat_ws(":", F.col("_rep"), i)), 2) == 0),
+            x,
+        ).otherwise(-x),
+    )
+    return rep.select(
+        (F.col("vec_id") * factor + F.col("_rep")).alias("vec_id"),
+        signed.alias("embedding"),
+        (F.col("label") + F.col("_rep") * n_labels).cast("int").alias("label"),
+    )
+
+
+def scale_events(events: DataFrame, factor: int) -> DataFrame:
+    rep = _replicate(events, factor)
+    n_users = events.select((F.max("user_id") + 1).alias("n")).first()["n"]
+    return rep.select(
+        (F.col("event_id") * factor + F.col("_rep")).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("_rep") * n_users).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def scale_orders(orders: DataFrame, factor: int) -> DataFrame:
+    rep = _replicate(orders, factor)
+    n_cust = orders.select((F.max("o_custkey") + 1).alias("n")).first()["n"]
+    return rep.select(
+        (F.col("o_orderkey") * factor + F.col("_rep")).alias("o_orderkey"),
+        (F.col("o_custkey") + F.col("_rep") * n_cust).alias("o_custkey"),
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+
+
+def scale_lineitem(li: DataFrame, factor: int) -> DataFrame:
+    rep = _replicate(li, factor)
+    n_supp = li.select((F.max("l_suppkey") + 1).alias("n")).first()["n"]
+    n_part = li.select((F.max("l_partkey") + 1).alias("n")).first()["n"]
+    return rep.select(
+        (F.col("l_orderkey") * factor + F.col("_rep")).alias("l_orderkey"),
+        (F.col("l_partkey") + F.col("_rep") * n_part).alias("l_partkey"),
+        (F.col("l_suppkey") + F.col("_rep") * n_supp).alias("l_suppkey"),
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    )
+
+
+_SCALERS = {
+    "documents": scale_documents,
+    "embeddings": scale_embeddings,
+    "events": scale_events,
+    "orders": scale_orders,
+    "lineitem": scale_lineitem,
+}
+
+
+def ensure_scale_dir(
+    spark: SparkSession, sf_dir: str, out_dir: str, factor: int = 10
+) -> str:
+    """Materialize the scaled tables into ``out_dir`` (skipped when the
+    marker file for this (sf_dir, factor) already exists). Returns
+    out_dir, usable as an ``sf_dir`` for any registered query."""
+    marker = os.path.join(
+        out_dir,
+        f"_SCALE_{factor}x_OF_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{len(SCALE_TABLES)}tables",
+    )
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    import glob
+    import shutil
+
+    for table in SCALE_TABLES:
+        src = os.path.join(sf_dir, f"{table}.parquet")
+        scaled = _SCALERS[table](spark.read.parquet(src), factor)
+        # one bare parquet FILE per table, matching the testdata layout —
+        # the streaming sources symlink "{sf_dir}/{table}.parquet" as a
+        # file, and parquet is row-group-splittable so a single file does
+        # not cost read parallelism
+        tmp = os.path.join(out_dir, f"_tmp_{table}")
+        scaled.repartition(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(out_dir, f"{table}.parquet")
+        if os.path.isdir(dest):
+            shutil.rmtree(dest)
+        elif os.path.exists(dest):
+            os.remove(dest)
+        shutil.move(part, dest)
+        shutil.rmtree(tmp)
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+    return out_dir
