@@ -86,12 +86,14 @@ _ROTATION_NAMES = (
     "quota_top_docs_per_source",
     "pii_column_scan",
     "blocklist_domain_filter",
-    "pseudonymize_user_ids",
-    "k_anonymity_audit",
     # validation + etl surfaces (dbt-generic-test analog, IVM/upsert/SCD)
+    # interleaved here so they land inside the driver's 50-query window
     "dq_orders_checks",
     "scd2_user_status_versions",
     "cdc_user_state",
+    # remaining curation + etl names (next window if this round's is full)
+    "pseudonymize_user_ids",
+    "k_anonymity_audit",
     "incremental_dedup_pairs",
     "scd2_point_in_time_join",
     "snapshot_diff_user_state",
