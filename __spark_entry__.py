@@ -85,13 +85,13 @@ _ROTATION_NAMES = (
     "decontaminate_ngram_overlap",
     "quota_top_docs_per_source",
     "pii_column_scan",
-    "blocklist_domain_filter",
     # validation + etl surfaces (dbt-generic-test analog, IVM/upsert/SCD)
     # interleaved here so they land inside the driver's 50-query window
     "dq_orders_checks",
     "scd2_user_status_versions",
-    "cdc_user_state",
     # remaining curation + etl names (next window if this round's is full)
+    "blocklist_domain_filter",
+    "cdc_user_state",
     "pseudonymize_user_ids",
     "k_anonymity_audit",
     "incremental_dedup_pairs",

@@ -430,20 +430,9 @@ def _embedding_lsh_near_dup(
     threshold: float,
 ) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
-    buckets = simsearch.lsh_bucket_signatures(
-        emb, num_planes=n_bands * band_bits
-    )
     # arithmetic shift + mask extracts the band bits correctly even when
     # plane 63 set the sign bit (the fill bits are masked away)
-    band_keys = F.array(
-        *[
-            F.shiftright(F.col("bucket"), b * band_bits).bitwiseAND(
-                F.lit((1 << band_bits) - 1)
-            )
-            for b in range(n_bands)
-        ]
-    )
-    bands = buckets.select("id", F.posexplode(band_keys).alias("band", "key"))
+    bands = _embedding_band_keys(emb, n_bands, band_bits)
     left = bands.select(F.col("id").alias("id_a"), "band", "key")
     right = bands.select(F.col("id").alias("id_b"), "band", "key")
     candidates = left.join(right, ["band", "key"]).filter(
@@ -452,6 +441,72 @@ def _embedding_lsh_near_dup(
     return simsearch.embedding_near_dup(
         emb, threshold=threshold, candidates=candidates
     ).orderBy("id_a", "id_b")
+
+
+def _embedding_band_keys(emb: DataFrame, n_bands: int, band_bits: int) -> DataFrame:
+    """(id, band, key) banded hyperplane sign keys — the stored index
+    row format for the append-only embedding-dedup scenario."""
+    buckets = simsearch.lsh_bucket_signatures(emb, num_planes=n_bands * band_bits)
+    keys = F.array(
+        *[
+            F.shiftright(F.col("bucket"), b * band_bits).bitwiseAND(
+                F.lit((1 << band_bits) - 1)
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return buckets.select("id", F.posexplode(keys).alias("band", "key"))
+
+
+def q_dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding dedup — the production append-only scenario,
+    the embedding-space sibling of ``dedup_incremental_batch``: vectors
+    with vec_id % 10 == 0 arrive as today's batch; the rest are the
+    indexed corpus whose banded hyperplane keys are already stored. The
+    batch's band keys are BROADCAST (a daily increment is MBs even when
+    the corpus index is TBs), the corpus index streams map-side through
+    the equi-join and is never shuffled, and only collision candidates
+    pay the exact-cosine verify — batch cost independent of corpus size.
+    Hyperplanes derive deterministically from (plane, dim), so index rows
+    written yesterday and probe keys computed today agree by construction.
+    """
+    emb = _read(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    n_bands, band_bits = 4, 4
+    cands = (
+        _embedding_band_keys(corpus, n_bands, band_bits)
+        .select(F.col("id").alias("corpus_id"), "band", "key")
+        .join(
+            F.broadcast(
+                _embedding_band_keys(batch, n_bands, band_bits).select(
+                    F.col("id").alias("batch_id"), "band", "key"
+                )
+            ),
+            ["band", "key"],
+        )
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    bv = batch.select(
+        F.col("vec_id").alias("batch_id"),
+        F.col("embedding").alias("vb"),
+        simsearch._norm(F.col("embedding")).alias("nb"),
+    )
+    cv = corpus.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("vc"),
+        simsearch._norm(F.col("embedding")).alias("nc"),
+    )
+    cos = simsearch._dot(F.col("vb"), F.col("vc")) / (F.col("nb") * F.col("nc"))
+    return (
+        cands.join(bv, "batch_id")
+        .join(cv, "corpus_id")
+        .select("batch_id", "corpus_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.4)
+        .select("batch_id", "corpus_id")
+        .orderBy("batch_id", "corpus_id")
+    )
 
 
 def q_dedup_embedding_lsh90(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1992,6 +2047,7 @@ EXTRA_QUERIES: dict[str, Query] = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "dedup_embedding_lsh90": q_dedup_embedding_lsh90,
+    "dedup_embedding_incremental": q_dedup_embedding_incremental,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
@@ -2277,6 +2333,42 @@ ORDER BY id_a, id_b""",
     "dedup_embedding_lsh90": _embedding_lsh_oracle(
         n_bands=4, band_bits=16, threshold=0.9
     ),
+    "dedup_embedding_incremental": """
+WITH weights AS (
+  SELECT p.plane, d.dim,
+    ((('0x' || substr(md5(p.plane || ':' || d.dim), 1, 15))::BIGINT % 2000) - 1000) / 1000.0 AS w
+  FROM (SELECT unnest(generate_series(0, 15)) AS plane) p,
+       (SELECT unnest(generate_series(0, 63)) AS dim) d
+),
+comps AS (
+  SELECT e.vec_id AS id, w.plane, sum(e.x::DOUBLE * w.w) AS dot
+  FROM (SELECT vec_id, embedding[d.dim + 1]::DOUBLE AS x, d.dim
+        FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS dim) d) e
+  JOIN weights w ON e.dim = w.dim
+  GROUP BY e.vec_id, w.plane
+),
+buckets AS (
+  SELECT id, sum(CASE WHEN dot > 0 THEN (1::BIGINT << plane::INT) ELSE 0 END)::BIGINT AS bucket
+  FROM comps GROUP BY id
+),
+bands AS (
+  SELECT bu.id, bd.band, (bu.bucket >> (bd.band * 4)) & 15 AS key
+  FROM buckets bu, (SELECT unnest(generate_series(0, 3)) AS band) bd
+),
+cands AS (
+  SELECT DISTINCT b.id AS batch_id, c.id AS corpus_id
+  FROM bands b JOIN bands c ON b.band = c.band AND b.key = c.key
+  WHERE b.id % 10 = 0 AND c.id % 10 <> 0
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT cd.batch_id, cd.corpus_id
+FROM cands cd
+JOIN e a ON cd.batch_id = a.vec_id
+JOIN e b ON cd.corpus_id = b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      >= 0.4
+ORDER BY batch_id, corpus_id""",
     "ann_ivf_topk": """
 WITH reps AS (
   SELECT label AS rep_list, embedding::DOUBLE[] AS rep_vec
