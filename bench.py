@@ -184,34 +184,46 @@ def main() -> None:
         # a 10× input should cost ≈10× wall, never ≈100×.
         scale10: dict = {}
         if os.environ.get("SPARK_GRAFT_SCALE_TIER", "1") != "0":
-            from ufc_data_warehouse_spark.scalegen import ensure_scale_dir
-
-            scale_dir = os.environ.get(
-                "SPARK_GRAFT_SCALE10_DIR",
-                os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".bench_scale10"),
-            )
-            t0 = time.perf_counter()
-            ensure_scale_dir(spark, sf_dir, scale_dir, factor=10)
-            scale10["generate_or_reuse"] = round(time.perf_counter() - t0, 4)
-            scale_timings: dict[str, float] = {}
-            base_timings, timings = timings, scale_timings
+            # fail-soft: a scale-tier problem (disk, generation, one query)
+            # must never cost the headline JSON line
             try:
-                for name in SCALE10_QUERIES:
-                    timed(
-                        name,
-                        lambda n=name: all_queries[n](spark, scale_dir).count(),
-                        runs=2,
-                    )
-            finally:
-                timings = base_timings
-            scale10["queries"] = scale_timings
-            scale10["ratio_vs_base"] = {
-                n: round(scale_timings[n] / timings[n], 2)
-                for n in scale_timings
-                if n in timings and timings[n] > 0
-            }
-            scale10["value"] = round(sum(scale_timings.values()), 4)
+                from ufc_data_warehouse_spark.scalegen import ensure_scale_dir
+
+                scale_dir = os.environ.get(
+                    "SPARK_GRAFT_SCALE10_DIR",
+                    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".bench_scale10"),
+                )
+                t0 = time.perf_counter()
+                ensure_scale_dir(spark, sf_dir, scale_dir, factor=10)
+                scale10["generate_or_reuse"] = round(time.perf_counter() - t0, 4)
+                scale_timings: dict[str, float] = {}
+                base_timings, timings = timings, scale_timings
+                try:
+                    for name in SCALE10_QUERIES:
+                        try:
+                            timed(
+                                name,
+                                lambda n=name: all_queries[n](
+                                    spark, scale_dir
+                                ).count(),
+                                runs=2,
+                            )
+                        except Exception as ex:  # noqa: BLE001
+                            scale10.setdefault("errors", {})[name] = (
+                                f"{type(ex).__name__}: {str(ex)[:120]}"
+                            )
+                finally:
+                    timings = base_timings
+                scale10["queries"] = scale_timings
+                scale10["ratio_vs_base"] = {
+                    n: round(scale_timings[n] / timings[n], 2)
+                    for n in scale_timings
+                    if n in timings and timings[n] > 0
+                }
+                scale10["value"] = round(sum(scale_timings.values()), 4)
+            except Exception as ex:  # noqa: BLE001
+                scale10 = {"error": f"{type(ex).__name__}: {str(ex)[:200]}"}
 
         sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
         result = {
