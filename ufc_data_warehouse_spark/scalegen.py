@@ -49,6 +49,11 @@ from pyspark.sql import functions as F
 
 SCALE_TABLES = ("documents", "embeddings", "events", "orders", "lineitem")
 
+# bump when any scaler's logic changes — part of the on-disk cache marker,
+# so a stale .bench_scale10 from an older generator is regenerated instead
+# of silently reused
+GENERATOR_VERSION = 2
+
 
 def _replicate(df: DataFrame, factor: int) -> DataFrame:
     """Cross df with replica ids 0..factor-1 via explode (no cartesian
@@ -64,6 +69,11 @@ def _rot_alphabet(rot: int) -> str:
 
 
 def scale_documents(docs: DataFrame, factor: int) -> DataFrame:
+    if factor > 26:
+        # rotation r and r+26 would map tokens identically → exact dups
+        # across those replicas → quadratic pair growth, the failure mode
+        # this module exists to avoid
+        raise ValueError("scale_documents supports factor <= 26")
     rep = _replicate(docs, factor)
     # branch per replica on the (tiny) rotation table — a CASE ladder of
     # factor translate() calls, all codegen'd JVM-side
@@ -170,7 +180,7 @@ def ensure_scale_dir(
     marker = os.path.join(
         out_dir,
         f"_SCALE_{factor}x_OF_{os.path.basename(sf_dir.rstrip('/'))}"
-        f"_{len(SCALE_TABLES)}tables",
+        f"_{len(SCALE_TABLES)}tables_v{GENERATOR_VERSION}",
     )
     if os.path.exists(marker):
         return out_dir
