@@ -441,28 +441,98 @@ def pq_encode(
 
     Returns (codes (id, code_0..code_{m-1}), codebooks[m][k][dims/m]).
 
-    Scale shape: per-subspace k-means is the same zero-shuffle
-    assign / map-side-combined update as :func:`kmeans` (codebooks are
-    k×d driver literals); the code join chain re-joins on ``id`` so AQE
-    reuses one hash partitioning across all m joins. PQ is the memory
-    lever brute/IVF search sits on at 100 TB: 64 float32 dims (256 B)
-    → m log2(k) bits (1 B here), so candidate scoring reads 256× less.
+    Scale shape: ALL ``m`` subspace k-means train in ONE melted plan —
+    the corpus explodes to (id, sub, subvector) rows once, assignment is
+    a per-sub CASE ladder over driver-literal centroids (zero shuffle),
+    and each update pass is a single groupBy(sub, cluster, dim) job whose
+    map-side-combined exchange carries m×k×d partial rows per task. Job
+    count is therefore 1 init + (n_assign−1) updates regardless of m —
+    the sequential per-subspace form pays m× corpus scans per pass, which
+    at 100 TB is the difference between 2 and 2m full reads. The final
+    codes pivot is one hash agg on ``id`` (the m-way join chain it
+    replaces was m−1 exchanges). Every number is identical to the
+    per-subspace form: same lowest-k-id init, same fixed-point sums, same
+    tie-breaks — the unrolled DuckDB oracle replays it bit-for-bit. PQ is
+    the memory lever brute/IVF search sits on at 100 TB: 64 float32 dims
+    (256 B) → m log2(k) bits (1 B here), so candidate scoring reads 256×
+    less.
     """
     d_sub = dims // m
-    codes: DataFrame | None = None
-    books: list[list[list[float]]] = []
-    for mm in range(m):
-        sub = embeddings.select(
-            F.col(id_col).alias("id"),
-            F.slice(F.col(vec_col), mm * d_sub + 1, d_sub).alias("embedding"),
+    sub_slices = F.array(
+        *[F.slice(F.col(vec_col), mm * d_sub + 1, d_sub) for mm in range(m)]
+    )
+    melted = embeddings.select(
+        F.col(id_col).alias("id"), F.posexplode(sub_slices).alias("sub", "v")
+    ).select("id", "sub", _quantized(F.col("v")).alias("q"))
+
+    # one init job: the k lowest-id vectors, sliced driver-side into every
+    # subspace's initial centroids (floor-quantization commutes with the
+    # slice, so these equal the per-subspace init exactly)
+    init_rows = (
+        embeddings.select(
+            F.col(id_col).alias("id"), _quantized(F.col(vec_col)).alias("q")
         )
-        assigned, cents = kmeans(
-            sub, k=k, n_assign=n_assign, id_col="id", vec_col="embedding"
+        .orderBy("id")
+        .limit(k)
+        .collect()
+    )
+    books: list[list[list[float]]] = [
+        [
+            [qv / _KM_SCALE for qv in r["q"][mm * d_sub : (mm + 1) * d_sub]]
+            for r in init_rows
+        ]
+        for mm in range(m)
+    ]
+
+    def assign(frame: DataFrame) -> DataFrame:
+        per_sub = []
+        for mm in range(m):
+            dists = [_sq_dist_to(F.col("q"), c) for c in books[mm]]
+            best_d, best_j = dists[0], F.lit(0)
+            for j in range(1, k):
+                cond = dists[j] < best_d
+                best_j = F.when(cond, j).otherwise(best_j)
+                best_d = F.when(cond, dists[j]).otherwise(best_d)
+            per_sub.append(best_j)
+        expr = F.when(F.col("sub") == 0, per_sub[0])
+        for mm in range(1, m):
+            expr = expr.when(F.col("sub") == mm, per_sub[mm])
+        return frame.withColumn("cluster", expr.cast("int"))
+
+    assigned = assign(melted)
+    for _ in range(n_assign - 1):
+        sums = (
+            assigned.select("sub", "cluster", F.posexplode("q").alias("dim", "qx"))
+            .groupBy("sub", "cluster", "dim")
+            .agg(F.sum("qx").alias("s"), F.count("*").alias("cnt"))
+            .collect()
         )
-        books.append(cents)
-        part = assigned.select("id", F.col("cluster").alias(f"code_{mm}"))
-        codes = part if codes is None else codes.join(part, "id")
-    assert codes is not None
+        by_key = {
+            (r["sub"], r["cluster"], r["dim"]): (r["s"], r["cnt"]) for r in sums
+        }
+        books = [
+            [
+                [
+                    float(by_key[(mm, j, i)][0])
+                    / (by_key[(mm, j, i)][1] * float(_KM_SCALE))
+                    for i in range(d_sub)
+                ]
+                if (mm, j, 0) in by_key
+                else books[mm][j]  # empty cluster keeps its previous centroid
+                for j in range(k)
+            ]
+            for mm in range(m)
+        ]
+        assigned = assign(melted)
+
+    codes = assigned.groupBy("id").agg(
+        *[
+            F.max(F.when(F.col("sub") == mm, F.col("cluster")))
+            .cast("int")
+            .alias(f"code_{mm}")
+            for mm in range(m)
+        ]
+    )
     return codes, books
 
 
