@@ -168,3 +168,37 @@ def test_ivf_partitioned_probe_prunes_partitions(spark):
 
     m = re.search(r"PartitionFilters: \[[^\]]*label[^\]]*IN?\b", plan, re.I)
     assert m, f"no label partition filter in plan:\n{plan[:2000]}"
+
+
+def test_embedding_lsh_dedup_is_candidate_first_hash_joins(spark):
+    """The 100 TB embedding-dedup path must never materialize the n² pair
+    space: with candidates supplied, embedding_near_dup builds FROM the
+    candidate side — hash joins only, no BroadcastNestedLoopJoin /
+    CartesianProduct anywhere in the plan (VERDICT r2 item 2)."""
+    for name in ("dedup_embedding_lsh", "dedup_embedding_lsh90",
+                 "dedup_embedding_incremental"):
+        plan = _plan(EXTRA_QUERIES[name](spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_embedding_incremental_broadcasts_the_batch(spark):
+    """The batch side (daily increment) must broadcast so the stored
+    corpus index streams map-side and is never shuffled for the probe."""
+    plan = _plan(EXTRA_QUERIES["dedup_embedding_incremental"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_pq_training_is_one_melted_plan(spark):
+    """pq_encode's code assembly is one hash aggregation on id, not an
+    m-way join chain (m−1 exchanges) — and assignment stays JVM-side."""
+    from ufc_data_warehouse_spark.operators import simsearch
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    codes, books = simsearch.pq_encode(emb, m=4, k=4, n_assign=2)
+    plan = _plan(codes)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan  # no join chain at all
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert len(books) == 4 and all(len(b) == 4 for b in books)
