@@ -378,7 +378,9 @@ def temporal_earliest_arrival(
     return dist
 
 
-def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
+def label_propagation(
+    edges: DataFrame, rounds: int = 2, checkpoint_every: int = 5
+) -> DataFrame:
     """Deterministic label-propagation communities → ``(node, label)``.
 
     Synchronous LPA with a total-order tie rule: each round every node
@@ -388,11 +390,15 @@ def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
     engine can replay the rounds as unrolled CTEs.
 
     Each round is one hash join (labels ⋈ undirected edges) + one count
-    agg + one per-node top-1 window — all order-free. ``localCheckpoint``
-    per round truncates lineage exactly like :func:`sssp_bounded`. Fixed
-    round count keeps the plan finite; communities stabilize in a few
-    rounds on short-diameter graphs, and a real deployment loops until
-    the label-change count hits zero (one extra count per round).
+    agg + a per-node ``max(struct(n, -label))`` top-1 — a second hash agg
+    rather than a rank window, so no per-round SORT exists anywhere
+    (labels are node ids ≥ 0, making the negation a safe total-order
+    inversion). Lineage is truncated with ``localCheckpoint`` every
+    ``checkpoint_every`` rounds (same knob as :func:`pagerank`): eager
+    per-round checkpoints are one extra full job each round, wasteful at
+    small fixed round counts. Communities stabilize in a few rounds on
+    short-diameter graphs; a real deployment loops until the label-change
+    count hits zero (one extra count per round).
     """
     e0 = edges.select(
         F.col(edges.columns[0]).cast("long").alias("src"),
@@ -412,17 +418,17 @@ def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    w = Window.partitionBy("node").orderBy(F.desc("n"), F.asc("label"))
-    for _ in range(rounds):
+    for i in range(rounds):
         nbr = und.join(
             labels.withColumnRenamed("node", "dst"), "dst"
         ).select(F.col("src").alias("node"), "label")
         labels = (
             nbr.groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("n"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
-            .localCheckpoint(eager=True)
+            .groupBy("node")
+            .agg(F.max(F.struct(F.col("n"), (-F.col("label")).alias("neg"))).alias("top"))
+            .select("node", (-F.col("top.neg")).alias("label"))
         )
-    return labels
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < rounds:
+            labels = labels.localCheckpoint(eager=True)
+    return labels.localCheckpoint(eager=True)
