@@ -247,8 +247,13 @@ def bfs_hops(
     keeps BFS feasible when the visited set grows to 10⁸ nodes.
     Fixed round count ⇒ deterministic and SQL-replayable (unrolled
     CTEs); min() is order-free so results are partitioning-invariant.
-    Per-round ``localCheckpoint`` truncates lineage as in ``pagerank``.
-    Edges are symmetrized (undirected reachability).
+    Only the FRONTIER is eagerly checkpointed each round (it is consumed
+    twice — by the visited-set union and by the next expansion); the
+    visited set itself is a union chain over those checkpointed leaves,
+    so its lineage grows linearly and needs no per-round job of its own
+    (unlike ``sssp_bounded``, whose carried frame references itself twice
+    per round and must be truncated). Edges are symmetrized (undirected
+    reachability).
     """
     u, v = F.col(src).cast("long"), F.col(dst).cast("long")
     half = edges.select(u.alias("u"), v.alias("v")).where(F.col("u") != F.col("v"))
@@ -271,7 +276,7 @@ def bfs_hops(
             .select("node", F.lit(i).alias("hops"))
             .localCheckpoint(eager=True)
         )
-        dist = dist.unionByName(reached).localCheckpoint(eager=True)
+        dist = dist.unionByName(reached)
         frontier = reached
     return dist
 
