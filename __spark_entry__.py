@@ -81,16 +81,17 @@ def _driver_verified(directory: str | None = None) -> set[str]:
 # last except for a small re-sampled regression window (see _rotated).
 _ROTATION_PRIORITY = ("ann_", "dedup_", "text_", "multimodal_", "curation_")
 _ROTATION_NAMES = (
+    # validation + etl surfaces first (dbt-generic-test analog, SCD) so
+    # they stay inside the driver's 50-query window as the prefix
+    # families grow
+    "dq_orders_checks",
+    "scd2_user_status_versions",
     # curation set without the curation_ prefix
     "decontaminate_ngram_overlap",
     "quota_top_docs_per_source",
     "pii_column_scan",
-    # validation + etl surfaces (dbt-generic-test analog, IVM/upsert/SCD)
-    # interleaved here so they land inside the driver's 50-query window
-    "dq_orders_checks",
-    "scd2_user_status_versions",
-    # remaining curation + etl names (next window if this round's is full)
     "blocklist_domain_filter",
+    # remaining curation + etl names (next window if this round's is full)
     "cdc_user_state",
     "pseudonymize_user_ids",
     "k_anonymity_audit",

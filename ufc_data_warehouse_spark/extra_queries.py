@@ -196,6 +196,15 @@ def q_dedup_simhash48_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document verbatim-span coverage (substring-dedup /
+    memorization-risk audit): per doc, the fraction of tokens inside
+    5-gram spans that also appear verbatim in at least one other
+    document (operators/dedup.py::repeated_span_coverage)."""
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.repeated_span_coverage(docs, n=5).orderBy("id")
+
+
 def q_dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full-width config simhash_near_pairs' docstring prescribes for
     production: 64-bit signature, Hamming <= 3 → 4 pigeonhole bands of 16
@@ -2031,6 +2040,7 @@ EXTRA_QUERIES: dict[str, Query] = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_simhash48_pairs": q_dedup_simhash48_pairs,
     "dedup_simhash64_pairs": q_dedup_simhash64_pairs,
+    "dedup_repeated_spans": q_dedup_repeated_spans,
     "dedup_incremental_batch": q_dedup_incremental_batch,
     "text_token_stats": q_text_token_stats,
     "text_language_id": q_text_language_id,
@@ -2255,6 +2265,41 @@ SELECT a.id AS id_a, b.id AS id_b,
 FROM simhashes a JOIN simhashes b ON a.id < b.id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 ORDER BY id_a, id_b""",
+    "dedup_repeated_spans": f"""
+WITH doc_toks AS (
+  SELECT doc_id AS id, {_TOKS_SQL} AS toks FROM documents
+),
+pos AS (
+  SELECT id, len(toks) AS n_tokens, t.p - 1 AS pos,
+    array_to_string(toks[t.p:t.p+4], ' ') AS gram
+  FROM doc_toks, unnest(generate_series(1, len(toks) - 4)) AS t(p)
+  WHERE len(toks) >= 5
+),
+gram_docs AS (
+  SELECT gram FROM (SELECT DISTINCT id, gram FROM pos)
+  GROUP BY gram HAVING count(*) >= 2
+),
+dup AS (SELECT p.id, p.pos FROM pos p JOIN gram_docs g USING (gram)),
+cov AS (
+  SELECT id,
+    CASE WHEN lag(pos) OVER (PARTITION BY id ORDER BY pos) IS NULL THEN 5
+         ELSE least(5, pos - lag(pos) OVER (PARTITION BY id ORDER BY pos))
+    END AS c
+  FROM dup
+),
+per_doc AS (
+  SELECT id, max(n_tokens) AS n_tokens, count(*) AS n_positions
+  FROM pos GROUP BY id
+),
+agg AS (
+  SELECT id, count(*) AS dup_positions, sum(c) AS covered FROM cov GROUP BY id
+)
+SELECT b.id, b.n_tokens::BIGINT AS n_tokens,
+  b.n_positions::BIGINT AS n_positions,
+  coalesce(a.dup_positions, 0)::BIGINT AS dup_positions,
+  coalesce(a.covered, 0)::BIGINT AS covered_tokens,
+  (coalesce(a.covered, 0) * 10000 // b.n_tokens)::BIGINT AS coverage_bps
+FROM per_doc b LEFT JOIN agg a USING (id) ORDER BY id""",
     "dedup_simhash64_pairs": f"""
 WITH {_simhash_sql(64).strip().lstrip(',')}
 SELECT a.id AS id_a, b.id AS id_b,

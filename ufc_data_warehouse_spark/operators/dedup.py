@@ -515,6 +515,74 @@ def simhash_near_pairs(
     )
 
 
+def repeated_span_coverage(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5
+) -> DataFrame:
+    """Per-document coverage by CROSS-document verbatim ``n``-gram spans →
+    ``(id, n_tokens, n_positions, dup_positions, covered_tokens,
+    coverage_bps)`` — the substring-dedup / memorization-risk signal
+    (the "how much of this doc is verbatim elsewhere in the corpus"
+    metric behind suffix-array training-data dedup): a position is
+    duplicated when its n-gram also appears in at least one OTHER
+    document; ``covered_tokens`` is the size of the union of all
+    duplicated spans (overlaps merged), so boilerplate that repeats
+    across the corpus is measured once per token, not once per n-gram.
+
+    Shape: positions explode flatMap-style (narrow); the n-gram document
+    count is one exchange keyed on the gram (at corpus scale hash grams
+    to 64-bit first so the shuffle carries 8 B keys — kept as the raw
+    string here for oracle parity); duplicated positions re-join the
+    gram counts (both sides already partitioned by gram), and the span
+    union is a per-document lag window — ``least(n, pos − prev_pos)``
+    summed, one partition per doc, no global sort. Within-document
+    repeats do NOT count (distinct-doc count ≥ 2), so self-repetitive
+    text is ``text.ngram_repetition``'s job, not this one's.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") >= n)
+    gram = F.array_join(F.slice(F.col("toks"), F.col("pos") + 1, n), " ")
+    pos = base.select(
+        "id",
+        F.size("toks").alias("n_tokens"),
+        F.explode(F.sequence(F.lit(0), F.size("toks") - n)).alias("pos"),
+        F.col("toks"),
+    ).select("id", "n_tokens", "pos", gram.alias("gram"))
+    gram_docs = (
+        pos.select("id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+    )
+    dup = pos.join(gram_docs, "gram").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    cov = dup.select(
+        "id",
+        F.when(F.lag("pos").over(w).isNull(), F.lit(n))
+        .otherwise(F.least(F.lit(n), F.col("pos") - F.lag("pos").over(w)))
+        .alias("c"),
+    )
+    per_doc = pos.groupBy("id").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_positions"),
+    )
+    agg = cov.groupBy("id").agg(
+        F.count(F.lit(1)).alias("dup_positions"),
+        F.sum("c").alias("covered"),
+    )
+    return per_doc.join(agg, "id", "left").select(
+        "id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_positions").cast("long").alias("n_positions"),
+        F.coalesce("dup_positions", F.lit(0)).cast("long").alias("dup_positions"),
+        F.coalesce("covered", F.lit(0)).cast("long").alias("covered_tokens"),
+        F.expr(
+            "CAST(coalesce(covered, 0) * 10000 DIV n_tokens AS BIGINT)"
+        ).alias("coverage_bps"),
+    )
+
+
 def contamination_pairs(
     train_shingles: DataFrame,
     eval_shingles: DataFrame,
