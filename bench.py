@@ -47,6 +47,7 @@ SCALE10_QUERIES = [
     "dedup_simhash48_pairs",
     "dedup_simhash64_pairs",
     "dedup_embedding_lsh90",
+    "dedup_repeated_spans",
     "graph_pagerank_top100",
     "ann_pq_adc_topk",
     "bm25_doc_ranking",

@@ -26,6 +26,9 @@ EXPECTED_NLJ = {
     # as the recall reference; the production path is dedup_embedding_lsh
     # (candidate-restricted, hash joins only — NOT allowlisted, audit-enforced)
     "dedup_embedding_cosine",
+    # composes that same exhaustive baseline as its ground truth (small-n
+    # audit by design) + a 1-row × 1-row count cross for the recall ratio
+    "ann_lsh_recall_audit",
     "antijoin_dormant_customers",  # 1-row scalar-subquery stats broadcast cross
     "tpch_q22_global_sales",  # 1-row scalar-subquery stats broadcast cross
     "tpch_q11_important_stock",  # 1-row global-total broadcast cross

@@ -518,6 +518,33 @@ def q_dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_ann_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the banded-LSH dedup against the exhaustive
+    ground truth — the audit that justifies (n_bands, band_bits) before
+    trusting the candidate restriction at scale: one row (n_true,
+    n_found, recall_bps). Found pairs are a SUBSET of true pairs by
+    construction (the verify is exact), so precision is always 1 and
+    only recall needs measuring. Composes the exhaustive baseline, so
+    this is a small-n audit — at production scale recall is estimated on
+    a sampled slice instead.
+    """
+    emb = _read(spark, sf_dir, "embeddings")
+    true_pairs = simsearch.embedding_near_dup(emb, threshold=0.4)
+    found = _embedding_lsh_near_dup(
+        spark, sf_dir, n_bands=4, band_bits=4, threshold=0.4
+    )
+    n_true = true_pairs.agg(F.count(F.lit(1)).alias("n_true"))
+    n_found = found.agg(F.count(F.lit(1)).alias("n_found"))
+    return n_true.crossJoin(n_found).select(
+        "n_true",
+        "n_found",
+        F.expr(
+            "CASE WHEN n_true = 0 THEN 10000 "
+            "ELSE CAST(n_found * 10000 DIV n_true AS BIGINT) END"
+        ).alias("recall_bps"),
+    )
+
+
 def q_dedup_embedding_lsh90(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production-selectivity embedding dedup: 64 hyperplanes in 4
     bands × 16 bits (65536-way band buckets), verify threshold 0.9 — the
@@ -2058,6 +2085,7 @@ EXTRA_QUERIES: dict[str, Query] = {
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "dedup_embedding_lsh90": q_dedup_embedding_lsh90,
     "dedup_embedding_incremental": q_dedup_embedding_incremental,
+    "ann_lsh_recall_audit": q_ann_lsh_recall_audit,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
@@ -2375,6 +2403,25 @@ ORDER BY id_a, id_b""",
     "dedup_embedding_lsh": _embedding_lsh_oracle(
         n_bands=4, band_bits=4, threshold=0.4
     ),
+    "ann_lsh_recall_audit": f"""
+WITH truth AS (
+  SELECT count(*) AS n_true FROM (
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+          >= 0.4
+  )
+),
+found AS (
+  SELECT count(*) AS n_found FROM (
+    {_embedding_lsh_oracle(n_bands=4, band_bits=4, threshold=0.4)}
+  )
+)
+SELECT n_true::BIGINT AS n_true, n_found::BIGINT AS n_found,
+  CASE WHEN n_true = 0 THEN 10000
+       ELSE (n_found * 10000 // n_true) END::BIGINT AS recall_bps
+FROM truth, found""",
     "dedup_embedding_lsh90": _embedding_lsh_oracle(
         n_bands=4, band_bits=16, threshold=0.9
     ),
@@ -3175,6 +3222,9 @@ BENCH_EXTRA = [
     "dedup_simhash64_pairs",
     "dedup_embedding_lsh90",
     "streaming_tumbling_counts",
+    # cross-doc verbatim-span coverage: one gram-keyed exchange + per-doc
+    # window — the substring-dedup audit, linear in corpus size
+    "dedup_repeated_spans",
 ]
 # NOT benchmarked: dedup_prefix_filter / graph_triangle_census — on this
 # synthetic corpus (5000 near-identical docs; a 91%-dense co-purchase
