@@ -3381,15 +3381,21 @@ import math as _math
 # discounts computed ONCE driver-side with glibc log (same trick as the
 # TF-IDF idf table: JVM Math.log and glibc disagree in the last ulp for
 # some inputs, so neither engine computes a log at query time)
-_NDCG_DISCOUNTS = [1.0 / _math.log2(i + 1) for i in range(1, 11)]
+# log2 rank discounts quantized to integer 1e-9 units: DCG becomes an
+# exact BIGINT sum (order-free, no float accumulation) and NDCG is ONE
+# division of two exact integers -- bit-identical across engines, where
+# summing double discounts diverged by 1 ulp depending on add order.
+_NDCG_W_E9 = [round(1e9 / _math.log2(i + 1)) for i in range(1, 11)]
 
 
 def q_ann_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-quality audit #3 (after recall and MRR): NDCG@10 of the IVF
     path with binary same-label relevance. The log2 discounts are
-    embedded as literals computed driver-side, so no engine evaluates a
-    logarithm and DCG is bit-identical double math on both sides; IDCG
-    follows from the per-query relevant count. One audit row per query.
+    embedded as INTEGER 1e-9-unit literals computed driver-side, so no
+    engine evaluates a logarithm, DCG is an exact order-free BIGINT sum,
+    and NDCG is a single integer/integer division -- bit-identical
+    across engines; IDCG follows from the per-query relevant count. One
+    audit row per query.
     """
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
@@ -3401,7 +3407,7 @@ def q_ann_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nlab = labels.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
     )
-    disc = F.array(*[F.lit(d) for d in _NDCG_DISCOUNTS])
+    disc = F.array(*[F.lit(int(w)) for w in _NDCG_W_E9])
     rel = (
         ivf.join(F.broadcast(qlab), "query_id")
         .join(nlab, "neighbor_id")
@@ -3414,13 +3420,13 @@ def q_ann_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_q = rel.groupBy("query_id").agg(
-        F.sum(F.col("rel") * F.col("disc")).alias("dcg"),
+        F.sum(F.col("rel") * F.col("disc")).cast("long").alias("dcg_e9"),
         F.sum("rel").cast("int").alias("n_rel"),
     )
-    # ideal DCG for r relevant items = sum of the first r discounts
-    idcg_prefix = [0.0]
-    for d in _NDCG_DISCOUNTS:
-        idcg_prefix.append(idcg_prefix[-1] + d)
+    # ideal DCG for r relevant items = sum of the first r integer weights
+    idcg_prefix = [0]
+    for w in _NDCG_W_E9:
+        idcg_prefix.append(idcg_prefix[-1] + int(w))
     idcg = F.array(*[F.lit(v) for v in idcg_prefix])
     return (
         per_q.select(
@@ -3428,7 +3434,8 @@ def q_ann_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rel",
             F.when(F.col("n_rel") == 0, F.lit(0.0))
             .otherwise(
-                F.col("dcg") / F.element_at(idcg, F.col("n_rel") + 1)
+                F.col("dcg_e9").cast("double")
+                / F.element_at(idcg, F.col("n_rel") + 1).cast("double")
             )
             .alias("ndcg"),
         )
@@ -3440,28 +3447,28 @@ def _ndcg_oracle() -> str:
     from .extra_queries import EXTRA_ORACLES
 
     ivf = EXTRA_ORACLES["ann_ivf_topk"].strip()
-    disc = ", ".join(repr(d) for d in _NDCG_DISCOUNTS)
-    idcg_prefix = [0.0]
-    for d in _NDCG_DISCOUNTS:
-        idcg_prefix.append(idcg_prefix[-1] + d)
-    idcg = ", ".join(repr(v) for v in idcg_prefix)
+    disc = ", ".join(str(int(w)) for w in _NDCG_W_E9)
+    idcg_prefix = [0]
+    for w in _NDCG_W_E9:
+        idcg_prefix.append(idcg_prefix[-1] + int(w))
+    idcg = ", ".join(str(v) for v in idcg_prefix)
     return f"""
 WITH ivf_t AS ({ivf}),
 rel AS (
   SELECT i.query_id,
     CASE WHEN q.label = n.label THEN 1 ELSE 0 END AS rel,
-    ([{disc}])[i.rank] AS disc
+    ([{disc}]::BIGINT[])[i.rank] AS disc
   FROM ivf_t i
   JOIN embeddings q ON i.query_id = q.vec_id
   JOIN embeddings n ON i.neighbor_id = n.vec_id
 ),
 per_q AS (
-  SELECT query_id, sum(rel * disc) AS dcg, sum(rel)::INT AS n_rel
+  SELECT query_id, sum(rel * disc)::BIGINT AS dcg_e9, sum(rel)::INT AS n_rel
   FROM rel GROUP BY query_id
 )
 SELECT query_id, n_rel,
   CASE WHEN n_rel = 0 THEN 0.0
-       ELSE dcg / ([{idcg}])[n_rel + 1] END AS ndcg
+       ELSE dcg_e9::DOUBLE / (([{idcg}]::BIGINT[])[n_rel + 1])::DOUBLE END AS ndcg
 FROM per_q ORDER BY query_id
 """
 
