@@ -139,11 +139,26 @@ def _rotation_key(verified: set[str]):
     return key
 
 
-def _rotated(names: list[str]) -> list[str]:
-    verified = _driver_verified()
+def _rotated(
+    names: list[str],
+    verified: set[str] | None = None,
+    round_idx: int | None = None,
+) -> list[str]:
+    """Order ``names`` so the driver's fixed 50-prefix lands on fresh work.
+
+    ``verified``/``round_idx`` default to the live repo's committed
+    CORRECTNESS_r*.json state; tests inject synthetic values so the suite
+    stays green regardless of what the driver has committed (VERDICT r3
+    task 1 — the previous window-composition test asserted the mutable
+    repo state and went stale every round).
+    """
+    if verified is None:
+        verified = _driver_verified()
+    if round_idx is None:
+        round_idx = _round_index()
     indexed = sorted(enumerate(names), key=_rotation_key(verified))
     order = [name for _, name in indexed]
-    resample = [n for n in _resampled(verified, _round_index()) if n in set(order)]
+    resample = [n for n in _resampled(verified, round_idx) if n in set(order)]
     if resample:
         order = [n for n in order if n not in set(resample)]
         at = min(_RESAMPLE_AT, len(order))

@@ -67,6 +67,7 @@ def main() -> None:
     spark.range(1).count()  # JVM/scheduler warm-up is not ingest cost
     warehouse = tempfile.mkdtemp(prefix="ufc_wh_")
     timings: dict[str, float] = {}
+    line: str | None = None
     from concurrent.futures import ThreadPoolExecutor
 
     try:
@@ -228,19 +229,42 @@ def main() -> None:
 
         sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
         result = {
-            "metric": "headline-query steady-state wall time "
-            f"(best of {RUNS} runs per query, excl. one-time ingest)",
+            "metric": "headline-query steady-state wall time (best of "
+            f"{RUNS} runs per query, {RUNS + EXTRA_RUNS_SUB_SECOND} if "
+            "sub-second, scale tier best of 2; excl. one-time ingest)",
             "value": total,
             "unit": "sec",
             "queries": timings,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         }
         if scale10:
-            result["scale10"] = scale10
-        print(json.dumps(result))
+            # full scale-tier detail goes to a sibling file; the stdout
+            # line carries only the slim growth-rate summary so it stays
+            # compact and parseable (VERDICT r3: BENCH_r03 "parsed": null
+            # because the line outgrew the driver's capture)
+            full = dict(result)
+            full["scale10"] = scale10
+            local_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH.local.json"
+            )
+            with open(local_path, "w") as f:
+                json.dump(full, f, indent=1)
+            slim = {
+                k: scale10[k]
+                for k in ("value", "ratio_vs_base", "error", "errors")
+                if k in scale10
+            }
+            result["scale10"] = slim
+        line = json.dumps(result, separators=(",", ":"))
     finally:
         spark.stop()
         shutil.rmtree(warehouse, ignore_errors=True)
+    # printed AFTER spark.stop() so no shutdown WARN can trail the JSON —
+    # the driver parses the LAST stdout line
+    if line is not None:
+        sys.stdout.flush()
+        print(line)
+        sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -102,25 +102,83 @@ def test_resample_is_deterministic_and_rotates_with_round():
     assert r3 != entry._resampled(verified, 4)
 
 
-def test_rotation_window_prioritizes_target_families():
-    """Verified names sort last, except the re-sampled regression window
-    which is re-inserted inside the driver's 50-query prefix."""
-    names = entry.queries()
-    order = list(names)
-    verified = entry._driver_verified()
+def test_rotation_window_prioritizes_target_families_synthetic():
+    """Structural invariants of _rotated() on SYNTHETIC inputs only.
+
+    The previous version of this test asserted the composition of the
+    *live* window computed from the repo's committed CORRECTNESS_r*.json
+    files, so it went stale the moment the driver committed a new round's
+    artifacts (VERDICT r3 task 1). This version injects a synthetic
+    verified set and round index, so it is green on any checkout.
+    """
+    prio = [f"ann_q{i}" for i in range(20)] + [f"dedup_q{i}" for i in range(20)]
+    named = ["dq_orders_checks", "cdc_user_state"]
+    other = [f"tpch_x{i}" for i in range(30)]
+    done = [f"old_q{i}" for i in range(40)]
+    names = done + other + prio + named  # deliberately scrambled input order
+    verified = set(done)
+    order = entry._rotated(names, verified=verified, round_idx=7)
+
     window = order[:50]
     fresh = [n for n in window if n not in verified]
     resampled = [n for n in window if n in verified]
-    # the driver's window should be almost entirely fresh names from the
-    # priority families, plus the small regression re-sample
+    # exactly the regression re-sample's worth of verified names in-window
     assert len(resampled) == entry._REGRESSION_RESAMPLE
-    priority = tuple(entry._ROTATION_PRIORITY)
+    # all fresh priority-family names sort ahead of generic fresh names
     family = [
-        n for n in fresh if n.startswith(priority) or n in entry._ROTATION_NAMES
+        n
+        for n in fresh
+        if n.startswith(tuple(entry._ROTATION_PRIORITY))
+        or n in entry._ROTATION_NAMES
     ]
-    assert len(family) >= 40, f"only {len(family)} priority names in window"
-    # everything after the unverified tail is previously-verified
+    assert len(family) == len(prio) + len(named)
+    # everything after the last unverified name is previously-verified
     tail_start = next(
         i for i in range(len(order) - 1, -1, -1) if order[i] not in verified
     )
     assert all(n in verified for n in order[tail_start + 1 :])
+    # same inputs -> same order (determinism), different round -> resample moves
+    assert order == entry._rotated(names, verified=verified, round_idx=7)
+    assert order != entry._rotated(names, verified=verified, round_idx=8)
+
+
+def test_rotation_survives_future_driver_commits(tmp_path, monkeypatch):
+    """Simulate the driver committing a NEW CORRECTNESS_r04.json: the
+    live queries()/oracle_sql() ordering must still satisfy the driver
+    contract (same keys, oracle order mirrors queries order)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import glob
+    import shutil
+
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        shutil.copy(path, tmp_path / os.path.basename(path))
+    # a fake future round verifying a handful of currently-live names
+    sample = list(entry.queries())[:5]
+    (tmp_path / "CORRECTNESS_r99.json").write_text(
+        json.dumps(
+            {
+                n: {
+                    "rows_match": True,
+                    "schema_match": True,
+                    "hash_match": True,
+                    "err": None,
+                }
+                for n in sample
+            }
+        )
+    )
+    real_verified = entry._driver_verified
+    monkeypatch.setattr(
+        entry, "_driver_verified", lambda d=None: real_verified(str(tmp_path))
+    )
+    monkeypatch.setattr(entry, "_round_index", lambda: 99)
+    q = entry.queries()
+    o = entry.oracle_sql()
+    assert set(q) <= set(o)
+    # oracle iteration order mirrors queries() for the shared prefix
+    shared = [n for n in o if n in q]
+    assert shared == list(q)
+    # the fake-verified names rotated out of the fresh prefix
+    verified_now = entry._driver_verified()
+    window_fresh = [n for n in list(q)[:50] if n not in verified_now]
+    assert all(n not in sample for n in window_fresh)

@@ -47,13 +47,20 @@ def test_documents_replica_zero_is_identity_and_ids_are_disjoint(base_docs):
 
 def test_documents_replicas_share_no_tokens(base_docs, spark):
     """The Caesar rotation must make replica token sets disjoint (rotation
-    by r≠0 maps every letter), so shingle/minhash/simhash collisions never
-    straddle replicas by construction."""
-    scaled = scalegen.scale_documents(base_docs.limit(50), FACTOR)
+    by r≠0 maps every letter AND digit), so shingle/minhash/simhash
+    collisions never straddle replicas by construction. The tokenizer here
+    matches operators/text.tokens' whitespace split (r3 ADVICE: an
+    [^a-z]+ split couldn't detect digit-token collisions)."""
+    # salt the corpus with digit-bearing tokens so the digit rotation is
+    # actually exercised (the synthetic corpus is pure lowercase words)
+    salted = base_docs.limit(50).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" 2024 v2 100 42x"))
+    )
+    scaled = scalegen.scale_documents(salted, FACTOR)
     toks = scaled.select(
         (F.col("doc_id") % FACTOR).alias("rep"),
-        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("tok"),
-    ).filter(F.length("tok") >= 3)
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") >= 2)
     cross = (
         toks.alias("a")
         .join(toks.alias("b"), "tok")

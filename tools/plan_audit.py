@@ -7,7 +7,10 @@ Red flags surfaced per query:
 - CartesianProduct / BroadcastNestedLoopJoin where not expected (the two
   intentional ones: simhash pair-join and cosine top-k query×corpus);
 - SortMergeJoin on a path where a dim should broadcast;
-- parquet scans without PushedFilters when the query filters a scanned col.
+- parquet scans without PushedFilters when the query filters a scanned col;
+- GLOBAL-WINDOW: a Window whose input is Exchange SinglePartition (a
+  partition-less window = one task sorts the world at 100 TB) on a query
+  not allowlisted as riding a bounded frame (VERDICT r3 task 2).
 """
 
 from __future__ import annotations
@@ -87,6 +90,74 @@ EXPECTED_NLJ = {
 }
 
 
+# queries whose plans legitimately window over a SinglePartition exchange —
+# every entry must name the BOUNDED frame the window rides (the audit exists
+# to stop UNBOUNDED global windows, the 100 TB single-task sort)
+_OFFSETS_FRAME = (
+    "two-phase global_order_rank/global_prefix_sum: the only SinglePartition"
+    " window rides the <=n_buckets bucket-totals offsets frame"
+)
+_KB_FRAME = (
+    "row_number over the title-status KB table (bounded: championship"
+    " lineage events, models/title_reigns.py:16)"
+)
+EXPECTED_GLOBAL_WIN: dict[str, str] = {
+    "calibration_reliability_bins": _OFFSETS_FRAME,
+    "equidepth_histogram_price": _OFFSETS_FRAME,
+    "rfm_customer_segments": _OFFSETS_FRAME,
+    "pareto_abc_customers": _OFFSETS_FRAME,
+    "text_token_rarity": _OFFSETS_FRAME,
+    "ks_two_sample_drift": _OFFSETS_FRAME,
+    "pps_systematic_sample": _OFFSETS_FRAME,
+    "epoch_shuffle_orders": _OFFSETS_FRAME + " (training.shuffled)",
+    "shuffle_order": _OFFSETS_FRAME + " (training.shuffled)",
+    "orderkey_gap_audit": (
+        "boundary-stitch lead() over <=keyspace/4096 per-bucket summaries"
+        " (gap_audit)"
+    ),
+    "vocab_growth_curve": "cumsum over the 10-row decile frame",
+    "neyman_allocation_counts": (
+        "largest-remainder rank over <=|event_type| strata rows"
+    ),
+    "global_median_selection": (
+        "selection-state windows over 1-row/bounded bucket frames"
+        " (distributed_kth_smallest)"
+    ),
+    "ann_probe_sweep": (
+        "IVF probe ranking over the <=n_lists representatives frame +"
+        " post-limit top-k rerank (bounded |queries|*k)"
+    ),
+    "skyline_price_size": (
+        "prefix-min over <=|distinct p_size| candidate rows (skyline_2d"
+        " collapse)"
+    ),
+    "title_reigns": _KB_FRAME,
+    "fct_title_reigns": _KB_FRAME,
+    "total_champ_days": _KB_FRAME,
+    "card_title_reigns_days_top200": _KB_FRAME,
+    "card_total_champ_days_top50": _KB_FRAME,
+}
+
+
+def count_global_windows(plan: str) -> int:
+    """Window physical nodes whose nearest downstream Exchange is
+    SinglePartition — the partition-less global-window shape. Tree-text
+    heuristic: scan forward from each Window line to the first Exchange
+    line (1-row aggs also produce SinglePartition exchanges, but without
+    a Window above them they don't match)."""
+    lines = plan.splitlines()
+    hits = 0
+    for i, line in enumerate(lines):
+        if re.search(r"\bWindow(?:GroupLimit)?\b", line) is None:
+            continue
+        for nxt in lines[i + 1 :]:
+            if "Exchange" in nxt:
+                if "SinglePartition" in nxt:
+                    hits += 1
+                break
+    return hits
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     import __spark_entry__ as entry
@@ -117,6 +188,8 @@ def main() -> None:
             flags = []
             if stats["nlj"] and name not in EXPECTED_NLJ:
                 flags.append("UNEXPECTED-NLJ")
+            if count_global_windows(plan) and name not in EXPECTED_GLOBAL_WIN:
+                flags.append("GLOBAL-WINDOW")
             summary = (
                 f"exch={stats['exch']} bhj={stats['bhj']} smj={stats['smj']} "
                 f"nlj={stats['nlj']} win={stats['win']}"

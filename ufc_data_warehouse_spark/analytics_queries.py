@@ -705,11 +705,15 @@ def q_text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     rarest = highest) is averaged per document as an exact integer-sum /
     count pair — the float-log-free stand-in for unigram surprisal
     (cross-engine ln differs in the last ulp, integer ranks don't).
-    Shape: one vocab agg + rank window, vocab broadcast back to the
-    exploded tokens, one doc-keyed agg. The rank window is global over
-    the VOCABULARY (not the corpus) — fine to ~1e7 terms; past that,
-    drop the rank and use raw n_occ (or its bit_length bucket) as the
-    rarity signal, which needs no global ordering at all."""
+    Shape: one vocab agg + rank, vocab broadcast back to the exploded
+    tokens, one doc-keyed agg. Scale (VERDICT r3 task 2): vocab terms
+    are UNIQUE after the groupBy, so dense_rank over (n_occ DESC, term)
+    ≡ row_number over the same total order — computed by the two-phase
+    operators/scale.py::global_order_rank (range-bucketed on -n_occ,
+    parallel per-bucket windows + broadcast offsets), never a global
+    single-task window, so the vocabulary can grow past 1e7 terms
+    without a single-partition sort."""
+    from .operators.scale import global_order_rank
     from .operators.text import tokens
 
     docs = _read(spark, sf_dir, "documents")
@@ -718,8 +722,10 @@ def q_text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(tokens(F.col("text"))).alias("term"),
     ).filter(F.col("term") != "")
     vocab = toks.groupBy("term").agg(F.count("*").alias("n_occ"))
-    w = Window.orderBy(F.desc("n_occ"), F.asc("term"))
-    ranked = vocab.select("term", F.dense_rank().over(w).alias("rarity_rank"))
+    ranked = global_order_rank(
+        vocab.withColumn("_neg", -F.col("n_occ")), "_neg", ["term"],
+        n_buckets=64, rn_col="rarity_rank",
+    ).select("term", "rarity_rank")
     scored = toks.join(F.broadcast(ranked), "term")
     return (
         scored.groupBy("id")
@@ -2500,11 +2506,12 @@ def q_rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the query stays deterministic; X9's pinned-as-of discipline),
     Frequency (order count), Monetary (exact DECIMAL total as cents),
     each quintiled with a custkey tiebreak. One groupBy over orders; the
-    three ntile windows all ride the ≤customers aggregated frame; the
-    1-row as-of maximum broadcasts. Scale hazard, documented: a global
-    ntile is a single-task sort — at billions of customers swap it for
-    approx_percentile quintile boundaries broadcast into a CASE
-    bucketing (same scores up to boundary-tie placement)."""
+    1-row as-of maximum broadcasts. Scale (VERDICT r3 task 2): each
+    quintile is EXACT ntile semantics computed by the two-phase
+    operators/scale.py::global_order_rank + exact_ntile_expr — never a
+    single-task global sort, so the shape survives billions of
+    customers. Descending orders (F, M) rank on the negated integer key;
+    the custkey tiebreak rides the within-bucket window."""
     orders = _read(spark, sf_dir, "orders")
     od = F.col("o_orderdate").cast("timestamp").cast("date")
     per_cust = orders.groupBy("o_custkey").agg(
@@ -2521,19 +2528,31 @@ def q_rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         (F.col("total_price") * 100).cast("long").alias("monetary_cents"),
     )
-    tile = lambda col, asc: F.ntile(5).over(  # noqa: E731
-        Window.orderBy(
-            F.asc(col) if asc else F.desc(col), F.asc("o_custkey")
-        )
-    )
-    return base.select(
+    from .operators.scale import exact_ntile_expr, global_order_rank
+
+    scored = base.withColumn(
+        "_neg_f", -F.col("frequency").cast("long")
+    ).withColumn("_neg_m", -F.col("monetary_cents"))
+    scored = global_order_rank(
+        scored, "recency_days", ["o_custkey"],
+        n_buckets=64, rn_col="_rn_r", total_col="_n_r",
+    ).withColumn("r_score", exact_ntile_expr(5, "_rn_r", "_n_r"))
+    scored = global_order_rank(
+        scored, "_neg_f", ["o_custkey"],
+        n_buckets=64, rn_col="_rn_f", total_col="_n_f",
+    ).withColumn("f_score", exact_ntile_expr(5, "_rn_f", "_n_f"))
+    scored = global_order_rank(
+        scored, "_neg_m", ["o_custkey"],
+        n_buckets=64, rn_col="_rn_m", total_col="_n_m",
+    ).withColumn("m_score", exact_ntile_expr(5, "_rn_m", "_n_m"))
+    return scored.select(
         "o_custkey",
         "recency_days",
         "frequency",
         "monetary_cents",
-        tile("recency_days", True).alias("r_score"),
-        tile("frequency", False).alias("f_score"),
-        tile("monetary_cents", False).alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     ).orderBy("o_custkey")
 
 
@@ -2630,10 +2649,14 @@ def q_pareto_abc_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto / ABC inventory-style classification: customers ranked by
     revenue with their RUNNING cumulative share, classed A (first 80% of
     revenue), B (next 15%), C (tail) — all threshold compares in exact
-    integer cents (``100·cum ≤ 80·total``), never a float share. The
-    running-sum window rides the ≤customers aggregated frame (same
-    documented single-task hazard + quantile-boundary scale path as the
-    RFM ntiles); the 1-row grand total broadcasts."""
+    integer cents (``100·cum ≤ 80·total``), never a float share. Scale
+    (VERDICT r3 task 2): the running sum in (cents DESC, custkey) order
+    is the two-phase operators/scale.py::global_order_rank prefix sum
+    (range-bucketed on the negated key, parallel per-bucket cumsums +
+    broadcast offsets) — never a single-task global window; the 1-row
+    grand total broadcasts."""
+    from .operators.scale import global_order_rank
+
     orders = _read(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         (F.sum(F.col("o_totalprice").cast("decimal(18,4)")) * 100)
@@ -2641,13 +2664,18 @@ def q_pareto_abc_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents")
     )
     total = per_cust.agg(F.sum("cents").alias("total_cents"))
-    w = (
-        Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = (
+        global_order_rank(
+            per_cust.withColumn("_neg_c", -F.col("cents")),
+            "_neg_c",
+            ["o_custkey"],
+            n_buckets=64,
+            value_col="cents",
+            cum_col="cum_cents",
+        )
+        .select("o_custkey", "cents", "cum_cents")
+        .crossJoin(F.broadcast(total))
     )
-    ranked = per_cust.select(
-        "o_custkey", "cents", F.sum("cents").over(w).alias("cum_cents")
-    ).crossJoin(F.broadcast(total))
     cls = (
         F.when(F.lit(100) * F.col("cum_cents") <= F.lit(80) * F.col("total_cents"), "A")
         .when(F.lit(100) * F.col("cum_cents") <= F.lit(95) * F.col("total_cents"), "B")
@@ -4562,20 +4590,21 @@ def q_equidepth_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     optimizer-statistics primitive equi-width histograms can't replace
     on skewed data. ntile(10) over the TOTAL order (cents, orderkey) is
     deterministic across engines: ties can't straddle a boundary
-    ambiguously because the sort key is unique. Scale note: a global
-    ntile is a single-partition window — at 100 TB swap the ranking for
-    `approx_percentile` boundaries (the `value_percentiles` scale path)
-    or a two-phase rank (partition rank + broadcast offsets, see
-    operators/scale.py); at dashboard cardinalities this exact form is
-    the right default. Money stays integer cents (floor-pinned — Spark
-    truncates, DuckDB rounds)."""
+    ambiguously because the sort key is unique. Scale (VERDICT r3 task
+    2): exact ntile semantics WITHOUT the single-partition window — a
+    two-phase global row_number (operators/scale.py::global_order_rank,
+    range-bucketed parallel windows + broadcast offsets) feeds the
+    closed-form tile expression (exact_ntile_expr). Money stays integer
+    cents (floor-pinned — Spark truncates, DuckDB rounds)."""
+    from .operators.scale import exact_ntile_expr, global_order_rank
+
     cents = F.floor(F.col("o_totalprice").cast("decimal(18,4)") * 100).cast(
         "long"
     )
     o = _read(spark, sf_dir, "orders").select(cents.alias("c"), "o_orderkey")
-    w = Window.orderBy("c", "o_orderkey")
+    ranked = global_order_rank(o, "c", ["o_orderkey"], n_buckets=64)
     return (
-        o.withColumn("decile", F.ntile(10).over(w))
+        ranked.withColumn("decile", exact_ntile_expr(10))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -239,12 +239,15 @@ def _embedding_lsh_oracle(n_bands: int, band_bits: int, threshold: float) -> str
     return f"""
 WITH weights AS (
   SELECT p.plane, d.dim,
-    ((('0x' || substr(md5(p.plane || ':' || d.dim), 1, 15))::BIGINT % 2000) - 1000) / 1000.0 AS w
+    ((('0x' || substr(md5(p.plane || ':' || d.dim), 1, 15))::BIGINT % 2000) - 1000) AS w
   FROM (SELECT unnest(generate_series(0, {n_planes - 1})) AS plane) p,
        (SELECT unnest(generate_series(0, 63)) AS dim) d
 ),
 comps AS (
-  SELECT e.vec_id AS id, w.plane, sum(e.x::DOUBLE * w.w) AS dot
+  -- exact int64 dot (components fixed-point 1e-6, weights integral 1e-3):
+  -- sign cannot depend on accumulation order, matching the Spark side
+  SELECT e.vec_id AS id, w.plane,
+    sum(floor(e.x::DOUBLE * 1000000)::BIGINT * w.w) AS dot
   FROM (SELECT vec_id, embedding[d.dim + 1]::DOUBLE AS x, d.dim
         FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS dim) d) e
   JOIN weights w ON e.dim = w.dim
@@ -2428,12 +2431,13 @@ FROM truth, found""",
     "dedup_embedding_incremental": """
 WITH weights AS (
   SELECT p.plane, d.dim,
-    ((('0x' || substr(md5(p.plane || ':' || d.dim), 1, 15))::BIGINT % 2000) - 1000) / 1000.0 AS w
+    ((('0x' || substr(md5(p.plane || ':' || d.dim), 1, 15))::BIGINT % 2000) - 1000) AS w
   FROM (SELECT unnest(generate_series(0, 15)) AS plane) p,
        (SELECT unnest(generate_series(0, 63)) AS dim) d
 ),
 comps AS (
-  SELECT e.vec_id AS id, w.plane, sum(e.x::DOUBLE * w.w) AS dot
+  SELECT e.vec_id AS id, w.plane,
+    sum(floor(e.x::DOUBLE * 1000000)::BIGINT * w.w) AS dot
   FROM (SELECT vec_id, embedding[d.dim + 1]::DOUBLE AS x, d.dim
         FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS dim) d) e
   JOIN weights w ON e.dim = w.dim
@@ -2530,12 +2534,13 @@ WHERE rank <= 10 ORDER BY query_id, rank""",
     "ann_lsh_buckets": """
 WITH weights AS (
   SELECT p.plane, d.dim,
-    ((('0x' || substr(md5(p.plane || ':' || d.dim), 1, 15))::BIGINT % 2000) - 1000) / 1000.0 AS w
+    ((('0x' || substr(md5(p.plane || ':' || d.dim), 1, 15))::BIGINT % 2000) - 1000) AS w
   FROM (SELECT unnest(generate_series(0, 7)) AS plane) p,
        (SELECT unnest(generate_series(0, 63)) AS dim) d
 ),
 comps AS (
-  SELECT e.vec_id AS id, w.plane, sum(e.x::DOUBLE * w.w) AS dot
+  SELECT e.vec_id AS id, w.plane,
+    sum(floor(e.x::DOUBLE * 1000000)::BIGINT * w.w) AS dot
   FROM (SELECT vec_id, embedding[d.dim + 1]::DOUBLE AS x, d.dim
         FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS dim) d) e
   JOIN weights w ON e.dim = w.dim

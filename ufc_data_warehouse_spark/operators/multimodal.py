@@ -133,6 +133,9 @@ def check_decode_conformance(decode_fn, samples=None) -> bool:
         if feat_len is None:
             feat_len = len(feats)
         assert len(feats) == feat_len, "feature length must be fixed"
+    # a codec that rejects EVERY sample must not pass conformance — None
+    # rows are skipped above, so require at least one successful decode
+    assert feat_len is not None, "decode_fn decoded none of the samples"
     return True
 
 

@@ -478,6 +478,133 @@ def global_prefix_sum(
     )
 
 
+def global_order_rank(
+    df: DataFrame,
+    sort_col: str,
+    tiebreak_cols: list[str] | tuple[str, ...] = (),
+    n_buckets: int = 256,
+    value_col: str | None = None,
+    rn_col: str = "rn",
+    cum_col: str = "cum",
+    total_col: str = "n_total",
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Global row_number — and optionally a global prefix sum — over the
+    total order ``(sort_col, *tiebreak_cols)`` WITHOUT the
+    single-partition window that ``Window.orderBy`` with no partitionBy
+    degenerates to (the 100 TB killer: one task sorts the world).
+
+    Generalizes ``global_prefix_sum`` to composite order keys and to
+    ranking (the primitive behind exact distributed ntile/dense_rank):
+
+    1. range-bucket on the INTEGER ``sort_col`` (integer arithmetic off a
+       1-row broadcast bounds cross). The bucket is a function of
+       ``sort_col`` alone, so rows tied on ``sort_col`` can never
+       straddle a bucket boundary — within-bucket order + bucket order
+       is the global order;
+    2. ``row_number()`` (and, if ``value_col`` is given, a running sum)
+       WITHIN each bucket — a hashpartitioning(bucket) window, parallel
+       across buckets;
+    3. per-bucket counts/totals (≤ ``n_buckets`` rows) get an EXCLUSIVE
+       prefix on that driver-sized frame, then broadcast-join back as
+       offsets. The grand total rides the same tiny frame, so exact
+       ntile needs no extra pass.
+
+    Descending order: negate the sort column into a helper col first
+    (callers do ``withColumn("_neg", -col)``); tiebreaks may be any
+    orderable type (they never feed bucket arithmetic).
+
+    ``bucket_col``: when ``sort_col`` itself isn't integer (e.g. an md5
+    shuffle key), pass an integer column that is a MONOTONE
+    NON-DECREASING function of ``sort_col`` (rows equal on ``sort_col``
+    must get equal ``bucket_col``) — e.g. ``conv(substr(key,1,15),16,10)``
+    for a hex key: prefix order equals string order on fixed-width hex,
+    so (bucket, sort_col, tiebreaks) is still the global order. The
+    helper column is dropped from the output.
+
+    Bucket arithmetic runs in DOUBLE — only monotonicity matters for
+    correctness (×, ÷ by positive constants and floor are monotone in
+    IEEE, and the bucket id is internal to this plan), and it cannot
+    overflow for full-range int64 keys the way ``(x-lo)*n`` in int64 can.
+
+    Output columns: ``rn_col`` (1-based global row number, long),
+    ``total_col`` (global row count, long), and ``cum_col`` (inclusive
+    prefix sum of ``value_col``) when ``value_col`` is given.
+    """
+    bkt_src = bucket_col or sort_col
+    lo_hi = df.agg(F.min(bkt_src).alias("_lo"), F.max(bkt_src).alias("_hi"))
+    b = (
+        df.crossJoin(F.broadcast(lo_hi))
+        .withColumn(
+            "_bkt",
+            F.expr(
+                f"cast(least(cast({n_buckets - 1} as double), "
+                f"floor((cast({bkt_src} as double) - cast(_lo as double)) "
+                f"* {n_buckets} "
+                f"/ (cast(_hi as double) - cast(_lo as double) + 1.0d))) "
+                "as int)"
+            ),
+        )
+        .drop("_lo", "_hi")
+    )
+    order = [F.asc(sort_col)] + [F.asc(c) for c in tiebreak_cols]
+    w_in = Window.partitionBy("_bkt").orderBy(*order)
+    local = b.withColumn("_local_rn", F.row_number().over(w_in).cast("long"))
+    if value_col is not None:
+        w_run = w_in.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        local = local.withColumn("_local_cum", F.sum(value_col).over(w_run))
+    aggs = [F.count(F.lit(1)).alias("_cnt")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("_tot"))
+    totals = b.groupBy("_bkt").agg(*aggs)
+    w_off = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    off_cols = [
+        F.col("_bkt"),
+        (F.sum("_cnt").over(w_off) - F.col("_cnt")).alias("_rn_off"),
+        F.sum("_cnt").over(w_all).alias(total_col),
+    ]
+    if value_col is not None:
+        off_cols.append(
+            (F.sum("_tot").over(w_off) - F.col("_tot")).alias("_cum_off")
+        )
+    offsets = totals.select(*off_cols)
+    out = local.join(F.broadcast(offsets), "_bkt").withColumn(
+        rn_col, F.col("_local_rn") + F.col("_rn_off")
+    )
+    drop = ["_bkt", "_local_rn", "_rn_off"]
+    if bucket_col is not None:
+        drop.append(bucket_col)
+    if value_col is not None:
+        out = out.withColumn(cum_col, F.col("_local_cum") + F.col("_cum_off"))
+        drop += ["_local_cum", "_cum_off"]
+    return out.drop(*drop)
+
+
+def exact_ntile_expr(
+    k: int, rn_col: str = "rn", total_col: str = "n_total"
+) -> Column:
+    """``ntile(k)`` in CLOSED FORM from a global row number + total count
+    (both from ``global_order_rank``) — bit-identical to the SQL window
+    function without any global sort: with q = n div k and r = n mod k,
+    the first r tiles hold q+1 rows and the rest hold q, so the tile of
+    row rn (1-based) is pure integer arithmetic. Integer div-by-zero
+    (q = 0 when n < k) nulls the ELSE arm, which is unreachable then
+    (rn ≤ n = r·(q+1) always takes the THEN arm)."""
+    q = f"({total_col} div {k})"
+    r = f"({total_col} % {k})"
+    big = f"({r} * ({q} + 1))"
+    return F.expr(
+        f"cast(CASE WHEN {rn_col} <= {big} "
+        f"THEN ({rn_col} - 1) div ({q} + 1) + 1 "
+        f"ELSE {r} + 1 + ({rn_col} - {big} - 1) div {q} END as int)"
+    )
+
+
 def salted_replicate_join(
     fact: DataFrame,
     dim: DataFrame,

@@ -221,14 +221,24 @@ def ivf_topk(
 
 
 def hyperplane_weight(plane: F.Column, dim: F.Column) -> F.Column:
-    """Deterministic pseudo-random weight in [-1, 1): derived from
-    md5(plane:dim) — identical in any engine with md5 + hex→int."""
+    """Deterministic pseudo-random INTEGER weight in [-1000, 1000):
+    derived from md5(plane:dim) — identical in any engine with md5 +
+    hex→int. Kept integral (the conceptual weight is this / 1000) so the
+    plane dot can be an exact int64 sum: float accumulation order differs
+    between engines, and a dot within 1 ulp of 0 would otherwise flip a
+    sign bit and silently change the candidate set (r3 ADVICE)."""
     h = F.conv(
         F.substring(F.md5(F.concat(plane.cast("string"), F.lit(":"), dim.cast("string"))), 1, 15),
         16,
         10,
     ).cast("long")
-    return ((h % 2000) - 1000).cast("double") / 1000.0
+    return (h % 2000) - 1000
+
+
+# fixed-point scale for embedding components in the LSH sign test: the
+# per-plane dot becomes Σ floor(x·1e6)·w over int64 — order-free exact on
+# any engine. |x|≲10, |w|<1000, d=64 → |dot| < 1e12, far inside int64.
+_LSH_XSCALE = 1_000_000
 
 
 def lsh_bucket_signatures(
@@ -244,6 +254,11 @@ def lsh_bucket_signatures(
     generated per (plane, dim) once and joined via a broadcast range table,
     then one groupBy(id, plane) + one groupBy(id). At corpus scale the
     bucket key becomes the shuffle/partition key for candidate lookup.
+
+    The sign test is EXACT integer arithmetic (components fixed-point
+    quantized to 1e-6 units, weights integral 1e-3 units): the dot is an
+    int64 sum, so its sign cannot depend on accumulation order — Spark
+    and the DuckDB oracle agree bit-for-bit even for dots near 0.
     """
     dims = embeddings.select(F.size(vec_col).alias("d")).first()["d"]
     spark = embeddings.sparkSession
@@ -262,7 +277,12 @@ def lsh_bucket_signatures(
         )
         .join(F.broadcast(weights), "dim")
         .groupBy("id", "plane")
-        .agg(F.sum(F.col("x").cast("double") * F.col("w")).alias("dot"))
+        .agg(
+            F.sum(
+                F.floor(F.col("x").cast("double") * _LSH_XSCALE).cast("long")
+                * F.col("w")
+            ).alias("dot")
+        )
     )
     return comps.groupBy("id").agg(
         F.sum(

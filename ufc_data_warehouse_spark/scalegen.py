@@ -52,7 +52,7 @@ SCALE_TABLES = ("documents", "embeddings", "events", "orders", "lineitem")
 # bump when any scaler's logic changes — part of the on-disk cache marker,
 # so a stale .bench_scale10 from an older generator is regenerated instead
 # of silently reused
-GENERATOR_VERSION = 2
+GENERATOR_VERSION = 3
 
 
 def _replicate(df: DataFrame, factor: int) -> DataFrame:
@@ -69,19 +69,29 @@ def _rot_alphabet(rot: int) -> str:
 
 
 def scale_documents(docs: DataFrame, factor: int) -> DataFrame:
-    if factor > 26:
-        # rotation r and r+26 would map tokens identically → exact dups
-        # across those replicas → quadratic pair growth, the failure mode
-        # this module exists to avoid
-        raise ValueError("scale_documents supports factor <= 26")
+    if factor > 10:
+        # letter rotations repeat at 26, digit rotations at 10: replicas r
+        # and r+10 would map digit-ONLY tokens identically → exact dups
+        # across replicas → quadratic pair growth, the failure mode this
+        # module exists to avoid. 10 replicas is the bench's scale tier.
+        raise ValueError("scale_documents supports factor <= 10")
     rep = _replicate(docs, factor)
     # branch per replica on the (tiny) rotation table — a CASE ladder of
-    # factor translate() calls, all codegen'd JVM-side
+    # factor translate() calls, all codegen'd JVM-side. Digits rotate too
+    # (r3 ADVICE): a letters-only rotation would pass digit-bearing tokens
+    # through unchanged, so replicas of a numeric-token corpus would share
+    # grams and the 10× bench would re-measure generator duplication.
+    digits = string.digits
     text = F.col("text")
     rotated = None
     for r in range(factor):
-        src = string.ascii_lowercase + string.ascii_uppercase
-        dst = _rot_alphabet(r % 26) + _rot_alphabet(r % 26).upper()
+        src = string.ascii_lowercase + string.ascii_uppercase + digits
+        dst = (
+            _rot_alphabet(r % 26)
+            + _rot_alphabet(r % 26).upper()
+            + digits[r % 10 :]
+            + digits[: r % 10]
+        )
         branch = F.translate(text, src, dst)
         rotated = (
             F.when(F.col("_rep") == r, branch)
