@@ -938,3 +938,95 @@ def test_scan_budget_guard_blocks_and_passes(spark):
         scale.scan_budget_guard(df, max_bytes=10)
     out = scale.scan_budget_guard(df, max_bytes=1 << 40)
     assert out.count() > 0
+
+
+def test_global_order_rank_matches_single_window(spark):
+    """Two-phase global row_number / prefix sum / closed-form ntile ≡
+    their single-partition window equivalents (including ties, descending
+    via negated keys, n<k tiles), and the heavy window must ride
+    hashpartitioning(bucket)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ufc_data_warehouse_spark.operators.scale import (
+        exact_ntile_expr,
+        global_order_rank,
+    )
+
+    rows = [(i, (i * 37) % 50 - 25, (i * 13) % 7) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, v long, w long")
+    wref = Window.orderBy(F.asc("v"), F.asc("id"))
+    ref = df.select(
+        "id",
+        F.row_number().over(wref).cast("long").alias("rn_ref"),
+        F.sum("w")
+        .over(wref.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_ref"),
+        F.ntile(7).over(wref).alias("t7_ref"),
+    )
+    g = global_order_rank(df, "v", ["id"], n_buckets=16, value_col="w")
+    got = g.select("id", "rn", "cum", exact_ntile_expr(7).alias("t7"))
+    j = got.join(ref, "id")
+    assert (
+        j.filter(
+            "rn != rn_ref or cum != cum_ref or t7 != t7_ref"
+        ).count()
+        == 0
+    )
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(_bkt" in plan
+
+
+def test_global_order_rank_ntile_small_n_and_constant_key(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ufc_data_warehouse_spark.operators.scale import (
+        exact_ntile_expr,
+        global_order_rank,
+    )
+
+    # n < k: every tile has one row; ELSE arm (div by q=0) unreachable
+    small = spark.createDataFrame([(i, i) for i in range(4)], "id long, v long")
+    got = global_order_rank(small, "v", ["id"], n_buckets=16).select(
+        "id", exact_ntile_expr(10).alias("t")
+    )
+    ref = small.select(
+        "id", F.ntile(10).over(Window.orderBy("v", "id")).alias("t_ref")
+    )
+    assert got.join(ref, "id").filter("t != t_ref").count() == 0
+    # lo == hi (all rows share the sort key): one bucket, still exact
+    eq = spark.createDataFrame([(i, 5) for i in range(20)], "id long, v long")
+    ge = global_order_rank(eq, "v", ["id"], n_buckets=16)
+    refe = eq.select(
+        "id",
+        F.row_number().over(Window.orderBy("v", "id")).cast("long").alias("r"),
+    )
+    assert ge.join(refe, "id").filter("rn != r").count() == 0
+
+
+def test_global_order_rank_bucket_col_proxy_for_string_key(spark):
+    """bucket_col: an integer monotone proxy (hex prefix) for a string
+    sort key gives the same total order as the direct global window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ufc_data_warehouse_spark.operators.scale import global_order_rank
+
+    df = (
+        spark.range(500)
+        .select(F.col("id"), F.md5(F.col("id").cast("string")).alias("k"))
+        .withColumn(
+            "_bk", F.conv(F.substring("k", 1, 15), 16, 10).cast("long")
+        )
+    )
+    got = global_order_rank(df, "k", ["id"], n_buckets=16, bucket_col="_bk")
+    assert "_bk" not in got.columns
+    ref = df.select(
+        "id",
+        F.row_number()
+        .over(Window.orderBy("k", "id"))
+        .cast("long")
+        .alias("rn_ref"),
+    )
+    assert got.join(ref, "id").filter("rn != rn_ref").count() == 0

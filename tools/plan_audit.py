@@ -47,6 +47,13 @@ EXPECTED_NLJ = {
     "benford_price_audit",  # 1-row order-total broadcast cross
     "vocab_growth_curve",  # 1-row doc_id-bounds broadcast cross
     "pps_systematic_sample",  # 1-row bounds + 1-row grand-total broadcast crosses
+    # 1-row [lo,hi] bounds broadcast crosses from global_order_rank's
+    # range bucketing (operators/scale.py) — one per two-phase rank pass
+    "calibration_reliability_bins",
+    "equidepth_histogram_price",
+    "text_token_rarity",
+    "shuffle_order",
+    "epoch_shuffle_orders",  # two shuffled() epochs → two bounds crosses each
     "bm25_doc_ranking",  # 1-row corpus-stats (Σdl, N) broadcast cross
     "rrf_hybrid_search",  # 1-row corpus-stats cross + broadcast query-vec cross
     "join_cardinality_estimate",  # 1-row estimated-total broadcast cross
