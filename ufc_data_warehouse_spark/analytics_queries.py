@@ -2530,30 +2530,31 @@ def q_rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .operators.scale import exact_ntile_expr, global_order_rank
 
-    scored = base.withColumn(
-        "_neg_f", -F.col("frequency").cast("long")
-    ).withColumn("_neg_m", -F.col("monetary_cents"))
-    scored = global_order_rank(
-        scored, "recency_days", ["o_custkey"],
-        n_buckets=64, rn_col="_rn_r", total_col="_n_r",
-    ).withColumn("r_score", exact_ntile_expr(5, "_rn_r", "_n_r"))
-    scored = global_order_rank(
-        scored, "_neg_f", ["o_custkey"],
-        n_buckets=64, rn_col="_rn_f", total_col="_n_f",
-    ).withColumn("f_score", exact_ntile_expr(5, "_rn_f", "_n_f"))
-    scored = global_order_rank(
-        scored, "_neg_m", ["o_custkey"],
-        n_buckets=64, rn_col="_rn_m", total_col="_n_m",
-    ).withColumn("m_score", exact_ntile_expr(5, "_rn_m", "_n_m"))
-    return scored.select(
-        "o_custkey",
-        "recency_days",
-        "frequency",
-        "monetary_cents",
-        "r_score",
-        "f_score",
-        "m_score",
-    ).orderBy("o_custkey")
+    # three INDEPENDENT rank lineages joined on the unique customer key —
+    # never chained: each global_order_rank pass references its input 3×
+    # (bounds, rows, totals), so chaining would cube the upstream lineage
+    def quintile(sort_expr, alias):
+        keyed = base.select(
+            "o_custkey", sort_expr.cast("long").alias("_sk")
+        )
+        return global_order_rank(keyed, "_sk", ["o_custkey"], n_buckets=64)\
+            .select("o_custkey", exact_ntile_expr(5).alias(alias))
+
+    return (
+        base.join(quintile(F.col("recency_days"), "r_score"), "o_custkey")
+        .join(quintile(-F.col("frequency"), "f_score"), "o_custkey")
+        .join(quintile(-F.col("monetary_cents"), "m_score"), "o_custkey")
+        .select(
+            "o_custkey",
+            "recency_days",
+            "frequency",
+            "monetary_cents",
+            "r_score",
+            "f_score",
+            "m_score",
+        )
+        .orderBy("o_custkey")
+    )
 
 
 ANALYTICS_QUERIES["rfm_customer_segments"] = q_rfm_customer_segments

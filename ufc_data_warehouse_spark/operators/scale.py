@@ -483,9 +483,9 @@ def global_order_rank(
     sort_col: str,
     tiebreak_cols: list[str] | tuple[str, ...] = (),
     n_buckets: int = 256,
-    value_col: str | None = None,
+    value_col: str | list[str] | None = None,
     rn_col: str = "rn",
-    cum_col: str = "cum",
+    cum_col: str | list[str] = "cum",
     total_col: str = "n_total",
     bucket_col: str | None = None,
 ) -> DataFrame:
@@ -530,7 +530,19 @@ def global_order_rank(
     Output columns: ``rn_col`` (1-based global row number, long),
     ``total_col`` (global row count, long), and ``cum_col`` (inclusive
     prefix sum of ``value_col``) when ``value_col`` is given.
+    ``value_col``/``cum_col`` also accept LISTS to carry several prefix
+    sums through ONE pass — chaining passes multiplies lineage
+    re-evaluation (each pass references its input 3×: bounds, rows,
+    totals), so co-ordered sums should always share a pass. For
+    DIFFERENTLY-ordered ranks over the same frame, run independent
+    passes and join on the row key rather than chaining.
     """
+    value_cols = (
+        [value_col] if isinstance(value_col, str) else list(value_col or [])
+    )
+    cum_cols = [cum_col] if isinstance(cum_col, str) else list(cum_col)
+    if value_cols and len(cum_cols) < len(value_cols):
+        raise ValueError("need one cum_col per value_col")
     bkt_src = bucket_col or sort_col
     lo_hi = df.agg(F.min(bkt_src).alias("_lo"), F.max(bkt_src).alias("_hi"))
     b = (
@@ -550,12 +562,12 @@ def global_order_rank(
     order = [F.asc(sort_col)] + [F.asc(c) for c in tiebreak_cols]
     w_in = Window.partitionBy("_bkt").orderBy(*order)
     local = b.withColumn("_local_rn", F.row_number().over(w_in).cast("long"))
-    if value_col is not None:
-        w_run = w_in.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        local = local.withColumn("_local_cum", F.sum(value_col).over(w_run))
-    aggs = [F.count(F.lit(1)).alias("_cnt")]
-    if value_col is not None:
-        aggs.append(F.sum(value_col).alias("_tot"))
+    w_run = w_in.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    for i, vc in enumerate(value_cols):
+        local = local.withColumn(f"_local_cum{i}", F.sum(vc).over(w_run))
+    aggs = [F.count(F.lit(1)).alias("_cnt")] + [
+        F.sum(vc).alias(f"_tot{i}") for i, vc in enumerate(value_cols)
+    ]
     totals = b.groupBy("_bkt").agg(*aggs)
     w_off = Window.orderBy("_bkt").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -567,11 +579,10 @@ def global_order_rank(
         F.col("_bkt"),
         (F.sum("_cnt").over(w_off) - F.col("_cnt")).alias("_rn_off"),
         F.sum("_cnt").over(w_all).alias(total_col),
+    ] + [
+        (F.sum(f"_tot{i}").over(w_off) - F.col(f"_tot{i}")).alias(f"_cum_off{i}")
+        for i in range(len(value_cols))
     ]
-    if value_col is not None:
-        off_cols.append(
-            (F.sum("_tot").over(w_off) - F.col("_tot")).alias("_cum_off")
-        )
     offsets = totals.select(*off_cols)
     out = local.join(F.broadcast(offsets), "_bkt").withColumn(
         rn_col, F.col("_local_rn") + F.col("_rn_off")
@@ -579,9 +590,11 @@ def global_order_rank(
     drop = ["_bkt", "_local_rn", "_rn_off"]
     if bucket_col is not None:
         drop.append(bucket_col)
-    if value_col is not None:
-        out = out.withColumn(cum_col, F.col("_local_cum") + F.col("_cum_off"))
-        drop += ["_local_cum", "_cum_off"]
+    for i in range(len(value_cols)):
+        out = out.withColumn(
+            cum_cols[i], F.col(f"_local_cum{i}") + F.col(f"_cum_off{i}")
+        )
+        drop += [f"_local_cum{i}", f"_cum_off{i}"]
     return out.drop(*drop)
 
 

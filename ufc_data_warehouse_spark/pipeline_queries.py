@@ -480,12 +480,8 @@ def q_ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.lit(1) - F.col("is_a")).alias("cb"),
     )
     cum = global_order_rank(
-        global_order_rank(
-            per_v, "v", n_buckets=64, value_col="ca", cum_col="cum_a",
-            rn_col="_rn1", total_col="_n1",
-        ),
-        "v", n_buckets=64, value_col="cb", cum_col="cum_b",
-        rn_col="_rn2", total_col="_n2",
+        per_v, "v", n_buckets=64,
+        value_col=["ca", "cb"], cum_col=["cum_a", "cum_b"],
     ).select("v", "cum_a", "cum_b")
     totals = ev.agg(
         F.sum("is_a").alias("n_a"),
