@@ -202,3 +202,31 @@ def test_pq_training_is_one_melted_plan(spark):
     assert "BroadcastHashJoin" not in plan  # no join chain at all
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert len(books) == 4 and all(len(b) == 4 for b in books)
+
+
+def test_bloom_probe_is_map_side_only(spark):
+    """The bloom membership test on the fact must be pure map-side: one
+    1-row bitmap broadcast (BroadcastNestedLoopJoin of a single row) and
+    one broadcast dim join for the exact flag — never an explode, a
+    per-row shuffle, or a sort-merge join on the probe side."""
+    plan = _plan(EXTRA_QUERIES["bloom_join_prune"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    # the probe never explodes (only the tiny build side does, pre-agg)
+    probe_side = plan.split("BroadcastNestedLoopJoin")[0]
+    assert "Generate explode" not in probe_side
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_bloom_filter_has_no_false_negatives_and_bounded_fp(spark):
+    """Bloom invariants at query scale: zero false negatives (structural)
+    and an observed FP rate within 3x the analytic expectation
+    (1 - e^{-kn/m})^k for k=3 hashes, m=16384 bits."""
+    import math
+
+    row = EXTRA_QUERIES["bloom_join_prune"](spark, SF_DIR).collect()[0]
+    assert row["n_false_neg"] == 0
+    assert row["n_bloom_pass"] >= row["n_exact"]
+    n = 302  # BUILDING-segment keys at sf0.01
+    expected = (1 - math.exp(-3 * n / 16384)) ** 3
+    if row["fp_ppm"] is not None:
+        assert row["fp_ppm"] <= max(3 * expected * 1e6, 500)

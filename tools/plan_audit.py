@@ -47,6 +47,9 @@ EXPECTED_NLJ = {
     "benford_price_audit",  # 1-row order-total broadcast cross
     "vocab_growth_curve",  # 1-row doc_id-bounds broadcast cross
     "pps_systematic_sample",  # 1-row bounds + 1-row grand-total broadcast crosses
+    # 1-row broadcast of the ≤2 KiB packed bloom bitmap (map<long,long>);
+    # the probe-side membership test itself is pure map-side expressions
+    "bloom_join_prune",
     # 1-row [lo,hi] bounds broadcast crosses from global_order_rank's
     # range bucketing (operators/scale.py) — one per two-phase rank pass
     "calibration_reliability_bins",

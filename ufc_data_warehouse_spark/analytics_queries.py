@@ -6436,3 +6436,100 @@ SELECT id, count(*)::BIGINT AS n_words, sum(wt.n_bpe)::BIGINT AS n_bpe_tokens,
 FROM dt JOIN wt USING (w)
 GROUP BY id ORDER BY id
 """
+
+
+def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime join pruning, made explicit and auditable
+    (operators/bloomjoin.py): the BUILDING-segment customer keys are
+    packed into a 16 Ki-bit / 3-hash bloom bitmap (≤512 packed words —
+    a ≤2 KiB broadcast however big the dimension's table is on disk),
+    and the orders fact probes it with pure map-side expressions: no
+    explode, no shuffle, no Python — the membership test rides the
+    scan inside codegen, which is exactly how a 100 TB fact gets pruned
+    BEFORE its first shuffle. The output is the audit a production
+    runtime filter needs: n_false_neg MUST be 0 (bloom filters cannot
+    miss — the oracle hash-gates that invariant every run) and fp_ppm
+    is the observed false-positive rate in exact integer ppm. In
+    production m_bits scales with |dim| (m/n≈10 bits/key ⇒ ~1.7% fp at
+    k=3); it is pinned here so the bitmap — and thus the candidate
+    set — is bit-identical on both engines."""
+    from .operators.bloomjoin import bloom_filter_map, with_bloom_membership
+
+    dim = (
+        _read(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    filt = bloom_filter_map(dim, "c_custkey", m_bits=16384, n_hashes=3)
+    probe = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    flagged = with_bloom_membership(
+        probe, "o_custkey", filt, m_bits=16384, n_hashes=3
+    )
+    dimk = dim.distinct().withColumnRenamed("c_custkey", "_dk")
+    flagged = flagged.join(
+        F.broadcast(dimk), flagged.o_custkey == dimk._dk, "left"
+    ).withColumn("exact", F.col("_dk").isNotNull())
+    fp = F.when(F.col("bloom_pass") & ~F.col("exact"), 1).otherwise(0)
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).alias(
+            "n_bloom_pass"
+        ),
+        F.sum(F.when(F.col("exact"), 1).otherwise(0)).alias("n_exact"),
+        F.sum(fp).alias("n_false_pos"),
+        F.sum(
+            F.when(F.col("exact") & ~F.col("bloom_pass"), 1).otherwise(0)
+        ).alias("n_false_neg"),
+    ).select(
+        "n_probe",
+        "n_bloom_pass",
+        "n_exact",
+        "n_false_pos",
+        "n_false_neg",
+        F.expr(
+            "n_false_pos * 1000000 div nullif(n_probe - n_exact, 0)"
+        ).alias("fp_ppm"),
+    )
+
+
+ANALYTICS_QUERIES["bloom_join_prune"] = q_bloom_join_prune
+ANALYTICS_ORACLES["bloom_join_prune"] = """
+WITH dim AS (
+  SELECT DISTINCT c_custkey AS k FROM customer
+  WHERE c_mktsegment = 'BUILDING'),
+pos AS (
+  SELECT ('0x' || substr(md5('bf' || s || ':' || k), 1, 7))::BIGINT
+         % 16384 AS h
+  FROM dim, (SELECT unnest([0, 1, 2]) AS s)),
+words AS (
+  SELECT h // 32 AS w, bit_or(1::BIGINT << (h % 32)::INT) AS bits
+  FROM pos GROUP BY 1),
+probe AS (
+  SELECT o_orderkey, o_custkey,
+    ('0x' || substr(md5('bf0:' || o_custkey), 1, 7))::BIGINT % 16384 AS h0,
+    ('0x' || substr(md5('bf1:' || o_custkey), 1, 7))::BIGINT % 16384 AS h1,
+    ('0x' || substr(md5('bf2:' || o_custkey), 1, 7))::BIGINT % 16384 AS h2
+  FROM orders),
+flags AS (
+  SELECT
+    (coalesce(w0.bits, 0) & (1::BIGINT << (h0 % 32)::INT)) <> 0
+    AND (coalesce(w1.bits, 0) & (1::BIGINT << (h1 % 32)::INT)) <> 0
+    AND (coalesce(w2.bits, 0) & (1::BIGINT << (h2 % 32)::INT)) <> 0 AS pass,
+    d.k IS NOT NULL AS exact
+  FROM probe p
+  LEFT JOIN words w0 ON w0.w = p.h0 // 32
+  LEFT JOIN words w1 ON w1.w = p.h1 // 32
+  LEFT JOIN words w2 ON w2.w = p.h2 // 32
+  LEFT JOIN dim d ON d.k = p.o_custkey)
+SELECT count(*)::BIGINT AS n_probe,
+  sum(CASE WHEN pass THEN 1 ELSE 0 END)::BIGINT AS n_bloom_pass,
+  sum(CASE WHEN exact THEN 1 ELSE 0 END)::BIGINT AS n_exact,
+  sum(CASE WHEN pass AND NOT exact THEN 1 ELSE 0 END)::BIGINT
+    AS n_false_pos,
+  sum(CASE WHEN exact AND NOT pass THEN 1 ELSE 0 END)::BIGINT
+    AS n_false_neg,
+  (sum(CASE WHEN pass AND NOT exact THEN 1 ELSE 0 END) * 1000000
+     // nullif(count(*) - sum(CASE WHEN exact THEN 1 ELSE 0 END), 0)
+  )::BIGINT AS fp_ppm
+FROM flags
+"""
