@@ -70,6 +70,8 @@ SCALE10_OWN_BASE = [
     "text_token_rarity",
     "ks_two_sample_drift",
     "shuffle_order",
+    # r4: bloom probe must grow linearly (map-side only — no shuffle to blow up)
+    "bloom_join_prune",
 ]
 
 

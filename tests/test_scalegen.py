@@ -147,3 +147,23 @@ def test_ensure_scale_dir_idempotent(spark, tmp_path):
     # second call must be a no-op (marker present)
     scalegen.ensure_scale_dir(spark, SF_DIR, out, factor=2)
     assert spark.read.parquet(f"{out}/documents.parquet").count() == docs1
+
+
+def test_customer_orders_referential_integrity_at_scale(spark):
+    """scale_customer and scale_orders offset their custkeys independently
+    (each computes n from its own table), which stays consistent only
+    because the synthetic testdata has identical contiguous key ranges on
+    both sides. Pin that: every scaled o_custkey must resolve to a scaled
+    customer, and per-replica segment mix must replay the base."""
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    sc = scalegen.scale_customer(cust, FACTOR)
+    so = scalegen.scale_orders(orders, FACTOR)
+    assert sc.count() == cust.count() * FACTOR
+    orphans = so.join(
+        sc, so.o_custkey == sc.c_custkey, "left_anti"
+    ).count()
+    assert orphans == 0
+    base_building = cust.filter(F.col("c_mktsegment") == "BUILDING").count()
+    scaled_building = sc.filter(F.col("c_mktsegment") == "BUILDING").count()
+    assert scaled_building == base_building * FACTOR

@@ -47,12 +47,14 @@ import string
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-SCALE_TABLES = ("documents", "embeddings", "events", "orders", "lineitem")
+SCALE_TABLES = (
+    "documents", "embeddings", "events", "customer", "orders", "lineitem"
+)
 
 # bump when any scaler's logic changes — part of the on-disk cache marker,
 # so a stale .bench_scale10 from an older generator is regenerated instead
 # of silently reused
-GENERATOR_VERSION = 3
+GENERATOR_VERSION = 4
 
 
 def _replicate(df: DataFrame, factor: int) -> DataFrame:
@@ -140,6 +142,22 @@ def scale_events(events: DataFrame, factor: int) -> DataFrame:
     )
 
 
+def scale_customer(cust: DataFrame, factor: int) -> DataFrame:
+    """Replica r's customers get ``c_custkey + r * n_cust`` — the SAME
+    offset scale_orders applies to o_custkey, so the customer→orders
+    join graph stays referentially intact at every factor (each replica
+    is a disjoint customer population with the base's segment mix)."""
+    rep = _replicate(cust, factor)
+    n_cust = cust.select((F.max("c_custkey") + 1).alias("n")).first()["n"]
+    return rep.select(
+        (F.col("c_custkey") + F.col("_rep") * n_cust).alias("c_custkey"),
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+
+
 def scale_orders(orders: DataFrame, factor: int) -> DataFrame:
     rep = _replicate(orders, factor)
     n_cust = orders.select((F.max("o_custkey") + 1).alias("n")).first()["n"]
@@ -176,6 +194,7 @@ _SCALERS = {
     "documents": scale_documents,
     "embeddings": scale_embeddings,
     "events": scale_events,
+    "customer": scale_customer,
     "orders": scale_orders,
     "lineitem": scale_lineitem,
 }
