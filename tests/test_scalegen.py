@@ -167,3 +167,17 @@ def test_customer_orders_referential_integrity_at_scale(spark):
     base_building = cust.filter(F.col("c_mktsegment") == "BUILDING").count()
     scaled_building = sc.filter(F.col("c_mktsegment") == "BUILDING").count()
     assert scaled_building == base_building * FACTOR
+
+
+def test_ensure_scale_dir_evicts_stale_markers(spark, tmp_path):
+    """Alternating (sf_dir, factor) configs sharing one out_dir must never
+    reuse the other config's data: regeneration drops every other marker."""
+    import os
+
+    out = str(tmp_path / "scaled")
+    scalegen.ensure_scale_dir(spark, SF_DIR, out, factor=2)
+    markers = [m for m in os.listdir(out) if m.startswith("_SCALE_")]
+    assert len(markers) == 1
+    scalegen.ensure_scale_dir(spark, SF_DIR, out, factor=3)
+    markers = [m for m in os.listdir(out) if m.startswith("_SCALE_")]
+    assert len(markers) == 1 and "_3x_" in markers[0]

@@ -217,6 +217,13 @@ def ensure_scale_dir(
     import glob
     import shutil
 
+    # drop every OTHER marker before regenerating: markers are named per
+    # (factor, sf_dir, table-set, generator version), and a stale one left
+    # behind would make a later run with THAT config silently reuse THIS
+    # config's data (e.g. alternating sf0.01/sf0.1 runs sharing the dir)
+    for stale in glob.glob(os.path.join(out_dir, "_SCALE_*")):
+        os.remove(stale)
+
     for table in SCALE_TABLES:
         src = os.path.join(sf_dir, f"{table}.parquet")
         scaled = _SCALERS[table](spark.read.parquet(src), factor)
