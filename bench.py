@@ -284,8 +284,14 @@ def main() -> None:
             local_path = os.path.join(
                 os.path.dirname(os.path.abspath(__file__)), "BENCH.local.json"
             )
-            with open(local_path, "w") as f:
-                json.dump(full, f, indent=1)
+            try:
+                with open(local_path, "w") as f:
+                    json.dump(full, f, indent=1)
+            except OSError:
+                # the sibling detail file is best-effort (read-only
+                # checkout, full disk) — it must never cost the headline
+                # stdout line
+                pass
             slim = {
                 k: scale10[k]
                 for k in ("value", "ratio_vs_base", "error", "errors")
@@ -294,7 +300,12 @@ def main() -> None:
             result["scale10"] = slim
         line = json.dumps(result, separators=(",", ":"))
     finally:
-        spark.stop()
+        # a stop-time py4j hiccup must not discard fully computed timings —
+        # `line` is already built, the print below is all that matters
+        try:
+            spark.stop()
+        except Exception:  # noqa: BLE001
+            pass
         shutil.rmtree(warehouse, ignore_errors=True)
     # printed AFTER spark.stop() so no shutdown WARN can trail the JSON —
     # the driver parses the LAST stdout line

@@ -1030,3 +1030,60 @@ def test_global_order_rank_bucket_col_proxy_for_string_key(spark):
         .alias("rn_ref"),
     )
     assert got.join(ref, "id").filter("rn != rn_ref").count() == 0
+
+
+def test_global_order_rank_equi_depth_matches_and_splits_ties(spark):
+    """equi_depth=True: identical ranks/cums/tiles to the value-bucket
+    mode AND to the single-window reference — including on an ALL-TIED
+    sort key, where the value-bucket mode degenerates to one bucket but
+    range sampling splits the tie group across buckets by tiebreak."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ufc_data_warehouse_spark.operators.scale import (
+        exact_ntile_expr,
+        global_order_rank,
+    )
+
+    rows = [(i, (i * 37) % 50 - 25, (i * 13) % 7) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, v long, w long")
+    wref = Window.orderBy(F.asc("v"), F.asc("id"))
+    ref = df.select(
+        "id",
+        F.row_number().over(wref).cast("long").alias("rn_ref"),
+        F.sum("w")
+        .over(wref.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_ref"),
+        F.ntile(7).over(wref).alias("t7_ref"),
+    )
+    g = global_order_rank(
+        df, "v", ["id"], n_buckets=16, value_col="w", equi_depth=True
+    )
+    got = g.select("id", "rn", "cum", exact_ntile_expr(7).alias("t7"))
+    j = got.join(ref, "id")
+    assert (
+        j.filter("rn != rn_ref or cum != cum_ref or t7 != t7_ref").count()
+        == 0
+    )
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan
+
+    # the degenerate case the mode exists for: every row ties on sort_col
+    eq = spark.createDataFrame(
+        [(i, 5) for i in range(2000)], "id long, v long"
+    )
+    ge = global_order_rank(eq, "v", ["id"], n_buckets=16, equi_depth=True)
+    refe = eq.select(
+        "id",
+        F.row_number().over(Window.orderBy("v", "id")).cast("long").alias("r"),
+    )
+    assert ge.join(refe, "id").filter("rn != r").count() == 0
+    # ties actually SPREAD: more than one bucket carries rows (the
+    # value-bucket mode would put all 2000 in one)
+    n_buckets_used = (
+        eq.repartitionByRange(16, F.col("v"), F.col("id"))
+        .select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert n_buckets_used > 1

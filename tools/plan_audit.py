@@ -111,41 +111,45 @@ _KB_FRAME = (
     "row_number over the title-status KB table (bounded: championship"
     " lineage events, models/title_reigns.py:16)"
 )
-EXPECTED_GLOBAL_WIN: dict[str, str] = {
-    "calibration_reliability_bins": _OFFSETS_FRAME,
-    "equidepth_histogram_price": _OFFSETS_FRAME,
-    "rfm_customer_segments": _OFFSETS_FRAME,
-    "pareto_abc_customers": _OFFSETS_FRAME,
-    "text_token_rarity": _OFFSETS_FRAME,
-    "ks_two_sample_drift": _OFFSETS_FRAME,
-    "pps_systematic_sample": _OFFSETS_FRAME,
-    "epoch_shuffle_orders": _OFFSETS_FRAME + " (training.shuffled)",
-    "shuffle_order": _OFFSETS_FRAME + " (training.shuffled)",
-    "orderkey_gap_audit": (
+# name -> (max expected count, bounded-frame justification): the audit
+# flags when the plan carries MORE SinglePartition windows than the pinned
+# bounded ones — a boolean allowlist would let a converted query silently
+# regrow an unbounded global window behind its legitimate offsets frame
+EXPECTED_GLOBAL_WIN: dict[str, tuple[int, str]] = {
+    "calibration_reliability_bins": (1, _OFFSETS_FRAME),
+    "equidepth_histogram_price": (1, _OFFSETS_FRAME),
+    "rfm_customer_segments": (3, _OFFSETS_FRAME + " (x3 quintile lineages)"),
+    "pareto_abc_customers": (1, _OFFSETS_FRAME),
+    "text_token_rarity": (1, _OFFSETS_FRAME),
+    "ks_two_sample_drift": (1, _OFFSETS_FRAME),
+    "pps_systematic_sample": (2, _OFFSETS_FRAME),
+    "epoch_shuffle_orders": (2, _OFFSETS_FRAME + " (training.shuffled)"),
+    "shuffle_order": (1, _OFFSETS_FRAME + " (training.shuffled)"),
+    "orderkey_gap_audit": (1, (
         "boundary-stitch lead() over <=keyspace/4096 per-bucket summaries"
         " (gap_audit)"
-    ),
-    "vocab_growth_curve": "cumsum over the 10-row decile frame",
-    "neyman_allocation_counts": (
+    )),
+    "vocab_growth_curve": (1, "cumsum over the 10-row decile frame"),
+    "neyman_allocation_counts": (1, (
         "largest-remainder rank over <=|event_type| strata rows"
-    ),
-    "global_median_selection": (
+    )),
+    "global_median_selection": (5, (
         "selection-state windows over 1-row/bounded bucket frames"
         " (distributed_kth_smallest)"
-    ),
-    "ann_probe_sweep": (
+    )),
+    "ann_probe_sweep": (2, (
         "IVF probe ranking over the <=n_lists representatives frame +"
         " post-limit top-k rerank (bounded |queries|*k)"
-    ),
-    "skyline_price_size": (
+    )),
+    "skyline_price_size": (1, (
         "prefix-min over <=|distinct p_size| candidate rows (skyline_2d"
         " collapse)"
-    ),
-    "title_reigns": _KB_FRAME,
-    "fct_title_reigns": _KB_FRAME,
-    "total_champ_days": _KB_FRAME,
-    "card_title_reigns_days_top200": _KB_FRAME,
-    "card_total_champ_days_top50": _KB_FRAME,
+    )),
+    "title_reigns": (4, _KB_FRAME),
+    "fct_title_reigns": (4, _KB_FRAME),
+    "total_champ_days": (4, _KB_FRAME),
+    "card_title_reigns_days_top200": (4, _KB_FRAME),
+    "card_total_champ_days_top50": (4, _KB_FRAME),
 }
 
 
@@ -198,7 +202,8 @@ def main() -> None:
             flags = []
             if stats["nlj"] and name not in EXPECTED_NLJ:
                 flags.append("UNEXPECTED-NLJ")
-            if count_global_windows(plan) and name not in EXPECTED_GLOBAL_WIN:
+            n_gw = count_global_windows(plan)
+            if n_gw > EXPECTED_GLOBAL_WIN.get(name, (0,))[0]:
                 flags.append("GLOBAL-WINDOW")
             summary = (
                 f"exch={stats['exch']} bhj={stats['bhj']} smj={stats['smj']} "

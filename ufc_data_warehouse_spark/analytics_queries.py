@@ -722,9 +722,13 @@ def q_text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(tokens(F.col("text"))).alias("term"),
     ).filter(F.col("term") != "")
     vocab = toks.groupBy("term").agg(F.count("*").alias("n_occ"))
+    # equi_depth: n_occ is Zipf — the n_occ=1 tie group alone is a large
+    # share of any real vocabulary, so a value-function bucket would sort
+    # most of the vocab in one task; range sampling splits that tie group
+    # across buckets by term
     ranked = global_order_rank(
         vocab.withColumn("_neg", -F.col("n_occ")), "_neg", ["term"],
-        n_buckets=64, rn_col="rarity_rank",
+        n_buckets=64, rn_col="rarity_rank", equi_depth=True,
     ).select("term", "rarity_rank")
     scored = toks.join(F.broadcast(ranked), "term")
     return (
@@ -2530,19 +2534,33 @@ def q_rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .operators.scale import exact_ntile_expr, global_order_rank
 
+    # the three quintile lineages + the final joins would re-evaluate the
+    # per-customer groupBy ~12× (each global_order_rank pass references
+    # its input 3×: bounds/rows/totals) — materialize it ONCE; the
+    # eager localCheckpoint also truncates the lineage so the three rank
+    # passes start from the compact (custkey, r, f, m) frame
+    base = base.localCheckpoint(eager=True)
+
     # three INDEPENDENT rank lineages joined on the unique customer key —
     # never chained: each global_order_rank pass references its input 3×
     # (bounds, rows, totals), so chaining would cube the upstream lineage
-    def quintile(sort_expr, alias):
+    def quintile(sort_expr, alias, equi_depth=False):
         keyed = base.select(
             "o_custkey", sort_expr.cast("long").alias("_sk")
         )
-        return global_order_rank(keyed, "_sk", ["o_custkey"], n_buckets=64)\
-            .select("o_custkey", exact_ntile_expr(5).alias(alias))
+        return global_order_rank(
+            keyed, "_sk", ["o_custkey"], n_buckets=64, equi_depth=equi_depth
+        ).select("o_custkey", exact_ntile_expr(5).alias(alias))
 
     return (
+        # frequency has ~dozens of distinct counts however many customers
+        # exist (tie-heavy) → equi_depth splits the tie groups; recency
+        # (days) and monetary (cents) are near-unique → value buckets
         base.join(quintile(F.col("recency_days"), "r_score"), "o_custkey")
-        .join(quintile(-F.col("frequency"), "f_score"), "o_custkey")
+        .join(
+            quintile(-F.col("frequency"), "f_score", equi_depth=True),
+            "o_custkey",
+        )
         .join(quintile(-F.col("monetary_cents"), "m_score"), "o_custkey")
         .select(
             "o_custkey",

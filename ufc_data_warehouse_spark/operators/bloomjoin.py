@@ -94,8 +94,7 @@ def bloom_filter_map(
     positions = dim.select(
         F.explode(
             F.array(*[_position(k, i, salt, m_bits) for i in range(n_hashes)])
-        ).alias("h"),
-        k.alias("_k"),
+        ).alias("h")
     )
     words = positions.groupBy(
         F.shiftright(F.col("h"), 5).alias("w")

@@ -488,6 +488,7 @@ def global_order_rank(
     cum_col: str | list[str] = "cum",
     total_col: str = "n_total",
     bucket_col: str | None = None,
+    equi_depth: bool = False,
 ) -> DataFrame:
     """Global row_number — and optionally a global prefix sum — over the
     total order ``(sort_col, *tiebreak_cols)`` WITHOUT the
@@ -527,6 +528,14 @@ def global_order_rank(
     IEEE, and the bucket id is internal to this plan), and it cannot
     overflow for full-range int64 keys the way ``(x-lo)*n`` in int64 can.
 
+    ``equi_depth=True`` swaps step 1 for sampling-based range
+    partitioning over the FULL composite key: buckets become equi-depth
+    AND ties on ``sort_col`` split across buckets by tiebreak — the mode
+    for tie-heavy/skewed keys (Zipf counts, low-cardinality scores),
+    where a value-function bucket caps parallelism at the number of
+    distinct values. Costs one extra full shuffle; the default
+    value-arithmetic mode stays right for near-unique keys.
+
     Output columns: ``rn_col`` (1-based global row number, long),
     ``total_col`` (global row count, long), and ``cum_col`` (inclusive
     prefix sum of ``value_col``) when ``value_col`` is given.
@@ -543,22 +552,45 @@ def global_order_rank(
     cum_cols = [cum_col] if isinstance(cum_col, str) else list(cum_col)
     if value_cols and len(cum_cols) < len(value_cols):
         raise ValueError("need one cum_col per value_col")
-    bkt_src = bucket_col or sort_col
-    lo_hi = df.agg(F.min(bkt_src).alias("_lo"), F.max(bkt_src).alias("_hi"))
-    b = (
-        df.crossJoin(F.broadcast(lo_hi))
-        .withColumn(
-            "_bkt",
-            F.expr(
-                f"cast(least(cast({n_buckets - 1} as double), "
-                f"floor((cast({bkt_src} as double) - cast(_lo as double)) "
-                f"* {n_buckets} "
-                f"/ (cast(_hi as double) - cast(_lo as double) + 1.0d))) "
-                "as int)"
-            ),
+    if equi_depth:
+        # Sampling-based equi-depth bucketing over the FULL composite key
+        # (sort_col, *tiebreak_cols) via repartitionByRange: boundaries
+        # respect the composite order, so — unlike the value-arithmetic
+        # bucket below — rows TIED on sort_col can split across adjacent
+        # buckets by tiebreak and the global order still holds
+        # (bucket order + within-bucket order = composite order). This is
+        # the skew-proof mode: a dominant sort value (Zipf n_occ = 1 over
+        # half a vocabulary, 101 distinct calibration scores over a whole
+        # events table) caps the value-bucket mode's parallelism at the
+        # number of distinct values and can put O(table) rows in ONE
+        # bucket's sort; range sampling splits those ties evenly instead.
+        # Cost: one extra full shuffle (the range exchange feeds the
+        # window's hash(_bkt) exchange) — pay it when the key's tie
+        # structure is data-dependent; skip it for near-unique keys.
+        # spark_partition_id() is marked nondeterministic, which pins its
+        # projection onto the range-partitioned scan (no reorder past it);
+        # task retries recompute the same partition index.
+        order_cols = [F.col(sort_col)] + [F.col(c) for c in tiebreak_cols]
+        b = df.repartitionByRange(n_buckets, *order_cols).withColumn(
+            "_bkt", F.spark_partition_id()
         )
-        .drop("_lo", "_hi")
-    )
+    else:
+        bkt_src = bucket_col or sort_col
+        lo_hi = df.agg(F.min(bkt_src).alias("_lo"), F.max(bkt_src).alias("_hi"))
+        b = (
+            df.crossJoin(F.broadcast(lo_hi))
+            .withColumn(
+                "_bkt",
+                F.expr(
+                    f"cast(least(cast({n_buckets - 1} as double), "
+                    f"floor((cast({bkt_src} as double) - cast(_lo as double)) "
+                    f"* {n_buckets} "
+                    f"/ (cast(_hi as double) - cast(_lo as double) + 1.0d))) "
+                    "as int)"
+                ),
+            )
+            .drop("_lo", "_hi")
+        )
     order = [F.asc(sort_col)] + [F.asc(c) for c in tiebreak_cols]
     w_in = Window.partitionBy("_bkt").orderBy(*order)
     local = b.withColumn("_local_rn", F.row_number().over(w_in).cast("long"))

@@ -558,7 +558,13 @@ def q_calibration_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFram
         F.floor(F.col("value") * 100).cast("long").alias("score"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
     )
-    ranked = global_order_rank(ev, "score", ["event_id"], n_buckets=64)
+    # equi_depth: only ~101 distinct floor(value*100) scores exist over
+    # the WHOLE events table — a value-function bucket would put O(1%) of
+    # the table in ONE task's sort; range sampling splits the score ties
+    # across buckets by event_id instead
+    ranked = global_order_rank(
+        ev, "score", ["event_id"], n_buckets=64, equi_depth=True
+    )
     return (
         ranked.withColumn("bin", exact_ntile_expr(10))
         .groupBy("bin")

@@ -142,13 +142,22 @@ def scale_events(events: DataFrame, factor: int) -> DataFrame:
     )
 
 
-def scale_customer(cust: DataFrame, factor: int) -> DataFrame:
+def scale_customer(
+    cust: DataFrame, factor: int, n_cust: int | None = None
+) -> DataFrame:
     """Replica r's customers get ``c_custkey + r * n_cust`` — the SAME
     offset scale_orders applies to o_custkey, so the customer→orders
     join graph stays referentially intact at every factor (each replica
-    is a disjoint customer population with the base's segment mix)."""
+    is a disjoint customer population with the base's segment mix).
+
+    ``n_cust`` MUST be the same value scale_orders uses; ensure_scale_dir
+    computes it ONCE from the customer table and passes it to both —
+    deriving it independently (customer from max(c_custkey), orders from
+    max(o_custkey)) silently corrupts the scaled join graph whenever the
+    max-key customer happens to place no orders."""
     rep = _replicate(cust, factor)
-    n_cust = cust.select((F.max("c_custkey") + 1).alias("n")).first()["n"]
+    if n_cust is None:
+        n_cust = cust.select((F.max("c_custkey") + 1).alias("n")).first()["n"]
     return rep.select(
         (F.col("c_custkey") + F.col("_rep") * n_cust).alias("c_custkey"),
         "c_name",
@@ -158,9 +167,17 @@ def scale_customer(cust: DataFrame, factor: int) -> DataFrame:
     )
 
 
-def scale_orders(orders: DataFrame, factor: int) -> DataFrame:
+def scale_orders(
+    orders: DataFrame, factor: int, n_cust: int | None = None
+) -> DataFrame:
+    """o_orderkey remapped ``key*factor + replica``; o_custkey offset by
+    ``replica * n_cust`` (see scale_customer for why n_cust must be the
+    shared customer-table constant, not max(o_custkey)+1)."""
     rep = _replicate(orders, factor)
-    n_cust = orders.select((F.max("o_custkey") + 1).alias("n")).first()["n"]
+    if n_cust is None:
+        n_cust = orders.select(
+            (F.max("o_custkey") + 1).alias("n")
+        ).first()["n"]
     return rep.select(
         (F.col("o_orderkey") * factor + F.col("_rep")).alias("o_orderkey"),
         (F.col("o_custkey") + F.col("_rep") * n_cust).alias("o_custkey"),
@@ -224,9 +241,20 @@ def ensure_scale_dir(
     for stale in glob.glob(os.path.join(out_dir, "_SCALE_*")):
         os.remove(stale)
 
+    # the customer/orders scalers must share ONE custkey offset (see
+    # scale_customer's docstring) — compute it from the customer table
+    n_cust = (
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        .select((F.max("c_custkey") + 1).alias("n"))
+        .first()["n"]
+    )
     for table in SCALE_TABLES:
         src = os.path.join(sf_dir, f"{table}.parquet")
-        scaled = _SCALERS[table](spark.read.parquet(src), factor)
+        df = spark.read.parquet(src)
+        if table in ("customer", "orders"):
+            scaled = _SCALERS[table](df, factor, n_cust=n_cust)
+        else:
+            scaled = _SCALERS[table](df, factor)
         # one bare parquet FILE per table, matching the testdata layout —
         # the streaming sources symlink "{sf_dir}/{table}.parquet" as a
         # file, and parquet is row-group-splittable so a single file does
