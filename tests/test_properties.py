@@ -1529,3 +1529,65 @@ def test_rowlocal_minhash_matches_grouped(spark):
     assert sorted(map(tuple, grouped.collect())) == sorted(
         map(tuple, rowlocal.collect())
     )
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    dim_keys=st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    ),
+    probe_keys=st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_bloom_membership_matches_python_reference(spark, dim_keys, probe_keys):
+    """operators/bloomjoin.py's seeded-md5 bitmap must agree bit-for-bit
+    with an independent pure-Python construction on arbitrary int64 keys
+    (the cross-engine idiom's ground truth): every dim key passes (FN=0
+    structurally) and every probe flag equals the reference bitmap test."""
+    import hashlib
+
+    from ufc_data_warehouse_spark.operators.bloomjoin import (
+        bloom_filter_map,
+        with_bloom_membership,
+    )
+
+    M, K = 16384, 3
+
+    def pos(key: int, seed: int) -> int:
+        h = hashlib.md5(f"bf{seed}:{key}".encode()).hexdigest()
+        return int(h[:7], 16) % M
+
+    bits = set()
+    for k in dim_keys:
+        for s in range(K):
+            bits.add(pos(k, s))
+
+    def ref_pass(key: int) -> bool:
+        return all(pos(key, s) in bits for s in range(K))
+
+    dim = spark.createDataFrame([(k,) for k in dim_keys], "k long")
+    probe = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(probe_keys)], "i long, k long"
+    )
+    filt = bloom_filter_map(dim, "k", m_bits=M, n_hashes=K)
+    got = {
+        r["i"]: r["bloom_pass"]
+        for r in with_bloom_membership(probe, "k", filt).collect()
+    }
+    for i, k in enumerate(probe_keys):
+        assert got[i] == ref_pass(k), (i, k)
+    # structural FN=0: every dim key itself must pass
+    dflags = with_bloom_membership(
+        dim.withColumnRenamed("k", "k2"), "k2", filt
+    ).collect()
+    assert all(r["bloom_pass"] for r in dflags)
