@@ -1066,7 +1066,12 @@ def test_global_order_rank_equi_depth_matches_and_splits_ties(spark):
         == 0
     )
     plan = g._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" in plan
+    # same single hash(_bkt) shuffle as the default mode — the splitter
+    # comparisons are pure map-side expressions, never a range exchange
+    # (spark_partition_id after repartitionByRange broke under AQE:
+    # phantom ntile bins + nondeterministic ranks at sf0.1)
+    assert "hashpartitioning(_bkt" in plan
+    assert "rangepartitioning" not in plan
 
     # the degenerate case the mode exists for: every row ties on sort_col
     eq = spark.createDataFrame(
@@ -1078,12 +1083,14 @@ def test_global_order_rank_equi_depth_matches_and_splits_ties(spark):
         F.row_number().over(Window.orderBy("v", "id")).cast("long").alias("r"),
     )
     assert ge.join(refe, "id").filter("rn != r").count() == 0
-    # ties actually SPREAD: more than one bucket carries rows (the
-    # value-bucket mode would put all 2000 in one)
-    n_buckets_used = (
-        eq.repartitionByRange(16, F.col("v"), F.col("id"))
-        .select(F.spark_partition_id().alias("p"))
-        .distinct()
-        .count()
-    )
-    assert n_buckets_used > 1
+    # ties actually SPREAD: the splitters are full composite tuples, so
+    # the constant sort value splits across buckets by tiebreak (the
+    # value-bucket mode would put all 2000 rows in one bucket)
+    from ufc_data_warehouse_spark.operators.scale import _composite_splitters
+
+    spl = _composite_splitters(eq, "v", ["id"], 16)
+    assert len(spl) > 1
+    assert len({t[1] for t in spl}) > 1  # distinct tiebreak boundaries
+
+    # determinism: same input -> same splitters (no RangePartitioner)
+    assert spl == _composite_splitters(eq, "v", ["id"], 16)

@@ -478,6 +478,46 @@ def global_prefix_sum(
     )
 
 
+def _composite_splitters(
+    df: DataFrame,
+    sort_col: str,
+    tiebreak_cols: list[str],
+    n_buckets: int,
+    sample_per_bucket: int = 100,
+) -> list[tuple]:
+    """Deterministic equi-depth splitter tuples over the composite key
+    ``(sort_col, *tiebreak_cols)``.
+
+    A hash filter (xxhash64 of the composite, fixed modulus derived from
+    one count job) keeps an expected ``n_buckets * sample_per_bucket``
+    rows; they collect to the driver (bounded: ~6400 tuples at the
+    defaults), sort by the composite order, and every (len/n_buckets)-th
+    tuple becomes a splitter. Same input -> same splitters, every time —
+    no RangePartitioner, no partition-id coupling."""
+    cols = [sort_col, *tiebreak_cols]
+    n = df.count()
+    if n == 0:
+        return []
+    target = n_buckets * sample_per_bucket
+    k = max(1, n // target)
+    sample = (
+        df.select(*cols)
+        .filter(F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(k)) == 0)
+        .collect()
+    )
+    keys = sorted(tuple(r[c] for c in cols) for r in sample)
+    if len(keys) < n_buckets:
+        # tiny input: every distinct sampled key is a splitter
+        return [k_ for i, k_ in enumerate(keys) if i > 0]
+    step = len(keys) / n_buckets
+    out = []
+    for i in range(1, n_buckets):
+        cand = keys[int(i * step)]
+        if not out or cand > out[-1]:
+            out.append(cand)
+    return out
+
+
 def global_order_rank(
     df: DataFrame,
     sort_col: str,
@@ -528,13 +568,17 @@ def global_order_rank(
     IEEE, and the bucket id is internal to this plan), and it cannot
     overflow for full-range int64 keys the way ``(x-lo)*n`` in int64 can.
 
-    ``equi_depth=True`` swaps step 1 for sampling-based range
-    partitioning over the FULL composite key: buckets become equi-depth
-    AND ties on ``sort_col`` split across buckets by tiebreak — the mode
-    for tie-heavy/skewed keys (Zipf counts, low-cardinality scores),
-    where a value-function bucket caps parallelism at the number of
-    distinct values. Costs one extra full shuffle; the default
-    value-arithmetic mode stays right for near-unique keys.
+    ``equi_depth=True`` swaps step 1 for splitters sampled from the FULL
+    composite key (deterministic hash sample, driver-collected, literal
+    struct comparisons): buckets become equi-depth AND ties on
+    ``sort_col`` split across buckets by tiebreak — the mode for
+    tie-heavy/skewed keys (Zipf counts, low-cardinality scores), where a
+    value-function bucket caps parallelism at the number of distinct
+    values. Costs one count + one sample-collect job up front; the main
+    pipeline keeps the same single hash(_bkt) shuffle. The bucket stays
+    a pure function of the key — NOT spark_partition_id after a range
+    exchange, which AQE's shuffle-read re-optimization breaks (measured:
+    phantom ntile bins, nondeterministic ranks).
 
     Output columns: ``rn_col`` (1-based global row number, long),
     ``total_col`` (global row count, long), and ``cum_col`` (inclusive
@@ -553,27 +597,42 @@ def global_order_rank(
     if value_cols and len(cum_cols) < len(value_cols):
         raise ValueError("need one cum_col per value_col")
     if equi_depth:
-        # Sampling-based equi-depth bucketing over the FULL composite key
-        # (sort_col, *tiebreak_cols) via repartitionByRange: boundaries
-        # respect the composite order, so — unlike the value-arithmetic
-        # bucket below — rows TIED on sort_col can split across adjacent
-        # buckets by tiebreak and the global order still holds
-        # (bucket order + within-bucket order = composite order). This is
-        # the skew-proof mode: a dominant sort value (Zipf n_occ = 1 over
+        # Equi-depth bucketing over the FULL composite key
+        # (sort_col, *tiebreak_cols): splitter tuples come from a
+        # deterministic hash sample (collected, driver-bounded), and each
+        # row's bucket is the number of splitters <= its composite key —
+        # a pure function of the key via literal struct comparisons, so
+        # every reference to the bucketed frame agrees by construction.
+        # Because splitters are FULL composite tuples, rows TIED on
+        # sort_col split across adjacent buckets by tiebreak — which the
+        # value-arithmetic bucket below can never do. This is the
+        # skew-proof mode: a dominant sort value (Zipf n_occ = 1 over
         # half a vocabulary, 101 distinct calibration scores over a whole
         # events table) caps the value-bucket mode's parallelism at the
-        # number of distinct values and can put O(table) rows in ONE
-        # bucket's sort; range sampling splits those ties evenly instead.
-        # Cost: one extra full shuffle (the range exchange feeds the
-        # window's hash(_bkt) exchange) — pay it when the key's tie
-        # structure is data-dependent; skip it for near-unique keys.
-        # spark_partition_id() is marked nondeterministic, which pins its
-        # projection onto the range-partitioned scan (no reorder past it);
-        # task retries recompute the same partition index.
-        order_cols = [F.col(sort_col)] + [F.col(c) for c in tiebreak_cols]
-        b = df.repartitionByRange(n_buckets, *order_cols).withColumn(
-            "_bkt", F.spark_partition_id()
+        # number of distinct values and puts O(table) rows in ONE
+        # bucket's sort.
+        # NOT spark_partition_id() after repartitionByRange: the reducer
+        # index is only the range bucket until AQE re-optimizes the read
+        # (local shuffle readers, reused exchanges) — measured: duplicate
+        # ranks, phantom ntile bins, run-to-run nondeterminism at sf0.1.
+        # Cost: one count + one sample-collect job; the main pipeline
+        # keeps the single hash(_bkt) shuffle of the default mode.
+        splitters = _composite_splitters(
+            df, sort_col, list(tiebreak_cols), n_buckets
         )
+        key_cols = [sort_col, *tiebreak_cols]
+        # struct comparison requires IDENTICAL field types: cast each
+        # splitter literal to its column's exact type (F.lit(py_int) is
+        # INT, the column is usually BIGINT)
+        dtypes = {f.name: f.dataType for f in df.schema.fields}
+        key = F.struct(*[F.col(c) for c in key_cols])
+        bkt = F.lit(0)
+        for tup in splitters:
+            lit_tup = F.struct(
+                *[F.lit(v).cast(dtypes[c]) for c, v in zip(key_cols, tup)]
+            )
+            bkt = bkt + F.when(key >= lit_tup, 1).otherwise(0)
+        b = df.withColumn("_bkt", bkt.cast("int"))
     else:
         bkt_src = bucket_col or sort_col
         lo_hi = df.agg(F.min(bkt_src).alias("_lo"), F.max(bkt_src).alias("_hi"))
