@@ -490,18 +490,31 @@ def _composite_splitters(
 
     A hash filter (xxhash64 of the composite, fixed modulus derived from
     one count job) keeps an expected ``n_buckets * sample_per_bucket``
-    rows; they collect to the driver (bounded: ~6400 tuples at the
-    defaults), sort by the composite order, and every (len/n_buckets)-th
-    tuple becomes a splitter. Same input -> same splitters, every time —
-    no RangePartitioner, no partition-id coupling."""
+    rows; they collect to the driver (expected ``n_buckets *
+    sample_per_bucket`` tuples, worst case just under 2x that when the
+    modulus rounds down to 1 and every row is kept — size the driver for
+    ``2 * n_buckets * sample_per_bucket`` rows of key width), sort by the
+    composite order, and every (len/n_buckets)-th tuple becomes a
+    splitter. Same input -> same splitters, every time — no
+    RangePartitioner, no partition-id coupling.
+
+    Rows containing a NULL key component are excluded from the sample
+    (None is not orderable on the driver, and ``key >= splitter`` is
+    NULL => bucket 0 for them anyway, matching Spark's ASC NULLS FIRST:
+    all-null-key rows sort first inside bucket 0)."""
     cols = [sort_col, *tiebreak_cols]
     n = df.count()
     if n == 0:
         return []
     target = n_buckets * sample_per_bucket
     k = max(1, n // target)
+    notnull = [F.col(c).isNotNull() for c in cols]
+    cond = notnull[0]
+    for nn in notnull[1:]:
+        cond = cond & nn
     sample = (
         df.select(*cols)
+        .filter(cond)
         .filter(F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(k)) == 0)
         .collect()
     )
@@ -626,12 +639,28 @@ def global_order_rank(
         # INT, the column is usually BIGINT)
         dtypes = {f.name: f.dataType for f in df.schema.fields}
         key = F.struct(*[F.col(c) for c in key_cols])
-        bkt = F.lit(0)
-        for tup in splitters:
-            lit_tup = F.struct(
+
+        def lit_tup(tup):
+            return F.struct(
                 *[F.lit(v).cast(dtypes[c]) for c, v in zip(key_cols, tup)]
             )
-            bkt = bkt + F.when(key >= lit_tup, 1).otherwise(0)
+
+        def bisect(lo: int, hi: int) -> Column:
+            # bucket = #splitters <= key, known to lie in [lo, hi]:
+            # log-depth nested CASE instead of an O(n_buckets) linear
+            # chain — same O(n_buckets) expression SIZE, but each row
+            # evaluates only log2(n_buckets) struct compares. A NULL key
+            # component makes every compare NULL -> all otherwise()
+            # branches -> bucket 0 (ASC NULLS FIRST, see
+            # _composite_splitters).
+            if lo == hi:
+                return F.lit(lo)
+            mid = (lo + hi) // 2
+            return F.when(
+                key >= lit_tup(splitters[mid]), bisect(mid + 1, hi)
+            ).otherwise(bisect(lo, mid))
+
+        bkt = bisect(0, len(splitters)) if splitters else F.lit(0)
         b = df.withColumn("_bkt", bkt.cast("int"))
     else:
         bkt_src = bucket_col or sort_col
