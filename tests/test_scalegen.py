@@ -181,3 +181,56 @@ def test_ensure_scale_dir_evicts_stale_markers(spark, tmp_path):
     scalegen.ensure_scale_dir(spark, SF_DIR, out, factor=3)
     markers = [m for m in os.listdir(out) if m.startswith("_SCALE_")]
     assert len(markers) == 1 and "_3x_" in markers[0]
+
+
+def test_documents_suffix_mode_disjoint_and_replayed(base_docs, spark):
+    """The factor-agnostic suffix scaler (two-decade probe) must uphold
+    the same contract as the rotation mode: replica token sets pairwise
+    disjoint (including digit-bearing tokens, which the suffix makes
+    letter-terminated by construction), within-replica duplicate
+    structure replayed 1:1, ids collision-free."""
+    factor = 12  # > 10: beyond the rotation mode's cap on purpose
+    salted = base_docs.limit(40).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" 2024 100 42x"))
+    )
+    scaled = scalegen.scale_documents_suffix(salted, factor)
+    n = salted.count()
+    assert scaled.count() == n * factor
+    assert scaled.select("doc_id").distinct().count() == n * factor
+
+    toks = scaled.select(
+        (F.col("doc_id") % factor).alias("rep"),
+        F.explode(F.split("text", r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    # every token is owned by exactly ONE replica
+    multi = (
+        toks.groupBy("tok")
+        .agg(F.countDistinct("rep").alias("n_reps"))
+        .filter(F.col("n_reps") > 1)
+        .count()
+    )
+    assert multi == 0
+
+    # within-replica exact-dup structure replays the base: identical base
+    # texts stay identical after suffixing, distinct ones stay distinct
+    base_dups = (
+        salted.groupBy("text").count().filter(F.col("count") > 1).count()
+    )
+    for rep in (0, factor - 1):
+        rep_dups = (
+            scaled.filter(F.col("doc_id") % factor == rep)
+            .groupBy("text")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        assert rep_dups == base_dups
+
+    # n_chars recomputed: matches the suffixed text length
+    bad = scaled.filter(F.length("text") != F.col("n_chars")).count()
+    assert bad == 0
+
+
+def test_documents_suffix_mode_rejects_absurd_factor(base_docs):
+    with pytest.raises(ValueError):
+        scalegen.scale_documents_suffix(base_docs, 677)

@@ -109,6 +109,43 @@ def scale_documents(docs: DataFrame, factor: int) -> DataFrame:
     )
 
 
+def scale_documents_suffix(docs: DataFrame, factor: int) -> DataFrame:
+    """Factor-agnostic documents scaler for the two-decade (100×) probe.
+
+    ``scale_documents``' character rotation caps at factor 10 (digit
+    period); this variant appends a per-replica two-letter suffix to
+    EVERY whitespace token instead. The token map is injective within a
+    replica (``t + sfx = u + sfx  ⟺  t = u``), so shingle / minhash /
+    simhash collision structure replays the base corpus 1:1 per replica;
+    across replicas every token carries a different suffix, so no gram is
+    ever shared — the same decorrelation contract as the rotation mode,
+    valid to factor 26² = 676. Unlike the rotation mode, replica 0 is
+    ALSO transformed (all replicas are statistically identical to the
+    base, none is byte-identical) — fine for the probe, which times the
+    scaled corpus against the UNTOUCHED base dir. ``n_chars`` is
+    recomputed from the suffixed text so length-derived columns stay
+    consistent.
+    """
+    if factor > 26 * 26:
+        raise ValueError("scale_documents_suffix supports factor <= 676")
+    rep = _replicate(docs, factor)
+    # suffix computed arithmetically from the replica id — no CASE ladder
+    sfx = F.concat(
+        F.expr("char(97 + _rep div 26)"), F.expr("char(97 + _rep % 26)")
+    )
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    text = F.array_join(
+        F.transform(toks, lambda x: F.concat(x, sfx)), " "
+    )
+    return rep.select(
+        (F.col("doc_id") * factor + F.col("_rep")).alias("doc_id"),
+        text.alias("text"),
+        "lang",
+        "source",
+        F.length(text).cast("long").alias("n_chars"),
+    )
+
+
 def scale_embeddings(emb: DataFrame, factor: int) -> DataFrame:
     rep = _replicate(emb, factor)
     n_labels = emb.select((F.max("label") + 1).alias("n")).first()["n"]
