@@ -602,6 +602,19 @@ def global_order_rank(
     totals), so co-ordered sums should always share a pass. For
     DIFFERENTLY-ordered ranks over the same frame, run independent
     passes and join on the row key rather than chaining.
+
+    Deliberate non-optimization (measured): deriving the per-bucket
+    totals from the window's own exchange (whole-partition window
+    columns + first-row filter, which plans a ReusedExchange and saves
+    the second lineage evaluation) was tried and REVERTED — the totals
+    branch then re-sorts every bucket and evaluates extra window
+    functions over every row, which benched 1.3–2.3× slower across all
+    eight caller queries at sf0.1 than simply re-running the
+    column-pruned groupBy lineage (a narrow parquet re-scan with
+    map-side partial aggregation is cheaper than a second full sort).
+    Callers whose upstream lineage is genuinely expensive should
+    pre-materialize it themselves (``rfm_customer_segments`` eagerly
+    localCheckpoints its compact base frame for exactly this reason).
     """
     value_cols = (
         [value_col] if isinstance(value_col, str) else list(value_col or [])
