@@ -48,6 +48,12 @@ PROBES: dict[str, tuple[str, ...]] = {
     "bm25_doc_ranking": ("documents",),
     # iterative graph loop over the customer->supplier purchase graph
     "graph_pagerank_top100": ("customer", "orders", "lineitem"),
+    # the de-weakened two-phase global-rank machinery (VERDICT r3 task 2)
+    # at two decades: equi-depth vocab rank, equi-depth event decile, and
+    # the bucketed customer prefix sum
+    "text_token_rarity": ("documents",),
+    "calibration_reliability_bins": ("events",),
+    "pareto_abc_customers": ("customer", "orders"),
 }
 
 RUNS = 2  # best-of per (query, tier)
@@ -57,25 +63,35 @@ def ensure_decade_dir(
     spark, sf_dir: str, out_dir: str, factor: int, tables: tuple[str, ...]
 ) -> str:
     """Like scalegen.ensure_scale_dir but factor-agnostic for documents
-    (token-suffix mode) and restricted to the probed tables."""
-    marker = os.path.join(
-        out_dir,
-        f"_DECADE_{factor}x_of_{os.path.basename(sf_dir.rstrip('/'))}"
-        f"_{'-'.join(sorted(tables))}_v{scalegen.GENERATOR_VERSION}",
-    )
-    if os.path.exists(marker):
-        return out_dir
+    (token-suffix mode) and restricted to the probed tables.
+
+    Markers are PER TABLE (keyed by factor, source dir, and generator
+    version), so extending PROBES with a query that touches a new table
+    only generates that table — it does not regenerate the existing
+    multi-GB 100x corpus."""
     os.makedirs(out_dir, exist_ok=True)
-    for stale in glob.glob(os.path.join(out_dir, "_DECADE_*")):
-        os.remove(stale)
+    base = os.path.basename(sf_dir.rstrip("/"))
     n_cust = None
-    if "customer" in tables or "orders" in tables:
-        n_cust = (
-            spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
-            .select((F.max("c_custkey") + 1).alias("n"))
-            .first()["n"]
-        )
     for table in tables:
+        marker = os.path.join(
+            out_dir,
+            f"_DECADE_{factor}x_of_{base}_{table}"
+            f"_v{scalegen.GENERATOR_VERSION}",
+        )
+        if os.path.exists(marker):
+            continue
+        # drop any stale marker for THIS table (older version / other
+        # source dir) before regenerating it
+        for stale in glob.glob(
+            os.path.join(out_dir, f"_DECADE_*_{table}_v*")
+        ):
+            os.remove(stale)
+        if table in ("customer", "orders") and n_cust is None:
+            n_cust = (
+                spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+                .select((F.max("c_custkey") + 1).alias("n"))
+                .first()["n"]
+            )
         df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
         if table == "documents":
             scaled = scalegen.scale_documents_suffix(df, factor)
@@ -92,8 +108,8 @@ def ensure_decade_dir(
         elif os.path.exists(dest):
             os.remove(dest)
         scaled.write.mode("overwrite").parquet(dest)
-    with open(marker, "w") as fh:
-        fh.write("ok\n")
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
     return out_dir
 
 
@@ -125,8 +141,27 @@ def main() -> None:
         print(f"# generating {factor}x tier ...", file=sys.stderr)
         tiers[factor] = ensure_decade_dir(spark, sf_dir, d, factor, tables)
 
+    # incremental: keep rows already measured by a prior run of the same
+    # (sf_dir, runs) config so extending PROBES only times the new names
     results: dict[str, dict[str, float]] = {}
+    if os.path.exists(out_json):
+        try:
+            with open(out_json) as fh:
+                prior = json.load(fh)
+            if (
+                prior.get("sf_dir") == sf_dir
+                and prior.get("runs_best_of") == RUNS
+            ):
+                results = {
+                    k: v for k, v in prior.get("results", {}).items()
+                    if k in PROBES
+                }
+        except (OSError, ValueError):
+            pass
     for name in PROBES:
+        if name in results:
+            print(f"# {name}: cached from prior run", file=sys.stderr)
+            continue
         row: dict[str, float] = {}
         for factor, d in tiers.items():
             secs = best_of(lambda: qs[name](spark, d).count())

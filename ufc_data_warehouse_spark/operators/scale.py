@@ -606,15 +606,17 @@ def global_order_rank(
     Deliberate non-optimization (measured): deriving the per-bucket
     totals from the window's own exchange (whole-partition window
     columns + first-row filter, which plans a ReusedExchange and saves
-    the second lineage evaluation) was tried and REVERTED — the totals
-    branch then re-sorts every bucket and evaluates extra window
-    functions over every row, which benched 1.3–2.3× slower across all
-    eight caller queries at sf0.1 than simply re-running the
-    column-pruned groupBy lineage (a narrow parquet re-scan with
-    map-side partial aggregation is cheaper than a second full sort).
-    Callers whose upstream lineage is genuinely expensive should
-    pre-materialize it themselves (``rfm_customer_segments`` eagerly
-    localCheckpoints its compact base frame for exactly this reason).
+    the second lineage evaluation) was tried and REVERTED. A
+    same-session alternating A/B at sf0.1 over the four two-phase rank
+    callers measured the shared-exchange variant at 0.99–1.16× of the
+    current design (text_token_rarity 0.99, rfm 1.04, pareto 1.09,
+    equidepth 1.16): the saved re-scan is offset by re-sorting every
+    bucket and evaluating extra whole-partition window functions over
+    every row, so there is no win to pay the plan complexity for.
+    Callers whose upstream lineage IS genuinely expensive — where the
+    shared exchange would finally pull ahead — should pre-materialize
+    it themselves (``rfm_customer_segments`` eagerly localCheckpoints
+    its compact base frame for exactly this reason).
     """
     value_cols = (
         [value_col] if isinstance(value_col, str) else list(value_col or [])
