@@ -234,3 +234,44 @@ def test_documents_suffix_mode_disjoint_and_replayed(base_docs, spark):
 def test_documents_suffix_mode_rejects_absurd_factor(base_docs):
     with pytest.raises(ValueError):
         scalegen.scale_documents_suffix(base_docs, 677)
+
+
+def test_decade_dir_per_table_markers_incremental(spark, tmp_path):
+    """tools/scale_decades.ensure_decade_dir generates per-table markers:
+    extending the table set must only generate the NEW table (existing
+    parquet dirs untouched), and a stale-version marker for a table must
+    force just that table's regeneration."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import scale_decades as sd
+
+    out = str(tmp_path / "decade")
+    sd.ensure_decade_dir(spark, SF_DIR, out, 3, ("documents",))
+    doc_marker = next(
+        p for p in os.listdir(out) if p.startswith("_DECADE_") and "documents" in p
+    )
+    doc_mtime = os.path.getmtime(os.path.join(out, "documents.parquet"))
+
+    # extending with events generates events only
+    sd.ensure_decade_dir(spark, SF_DIR, out, 3, ("documents", "events"))
+    assert os.path.exists(os.path.join(out, "events.parquet"))
+    assert os.path.getmtime(os.path.join(out, "documents.parquet")) == doc_mtime
+
+    # a stale (older-version) marker for documents forces regeneration of
+    # documents alone
+    os.rename(
+        os.path.join(out, doc_marker),
+        os.path.join(out, doc_marker.replace("_v", "_v0")),
+    )
+    sd.ensure_decade_dir(spark, SF_DIR, out, 3, ("documents", "events"))
+    assert os.path.getmtime(os.path.join(out, "documents.parquet")) > doc_mtime
+    # the stale marker was evicted, the current one restored
+    names = os.listdir(out)
+    assert doc_marker in names
+    assert doc_marker.replace("_v", "_v0") not in names
+
+    n = spark.read.parquet(os.path.join(out, "documents.parquet")).count()
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert n == base * 3
