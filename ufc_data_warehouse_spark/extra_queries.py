@@ -3283,6 +3283,11 @@ def q_ann_cosine_scores_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scoring pass itself is map-only and fully distributed."""
     emb = _read(spark, sf_dir, "embeddings")
     probe = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    if probe is None:
+        # empty corpus / missing probe id: empty result, stable schema
+        return emb.select(
+            "vec_id", F.lit(0.0).alias("cosine")
+        ).limit(0)
     scored = simsearch.cosine_scores_arrow(emb, list(probe["embedding"]))
     return (
         scored.filter(F.col("vec_id") != 0)

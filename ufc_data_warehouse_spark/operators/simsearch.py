@@ -260,8 +260,14 @@ def lsh_bucket_signatures(
     int64 sum, so its sign cannot depend on accumulation order — Spark
     and the DuckDB oracle agree bit-for-bit even for dots near 0.
     """
-    dims = embeddings.select(F.size(vec_col).alias("d")).first()["d"]
+    head = embeddings.select(F.size(vec_col).alias("d")).first()
+    dims = head["d"] if head is not None else 0
     spark = embeddings.sparkSession
+    if not dims or dims <= 0:
+        # empty corpus (or null first vector): no buckets, stable schema
+        return embeddings.select(
+            F.col(id_col).alias("id"), F.lit(0).cast("long").alias("bucket")
+        ).limit(0)
     # one range, plane = id div dims / dim = id mod dims — no cross join,
     # so downstream plans stay NLJ-free
     weights = spark.range(num_planes * dims).select(
@@ -411,6 +417,11 @@ def kmeans(
     )
     init_rows = q.orderBy("id").limit(k).collect()
     centroids = [[qi / _KM_SCALE for qi in r["q"]] for r in init_rows]
+    # degenerate corpora (n < k, incl. n = 0) clamp to the vectors that
+    # exist — graceful behavior only, outside any oracle-checked regime
+    k = min(k, len(centroids))
+    if k == 0:
+        return q.select("id", F.lit(0).cast("int").alias("cluster")), []
 
     def assign(frame: DataFrame) -> DataFrame:
         dists = [_sq_dist_to(F.col("q"), c) for c in centroids]
@@ -503,6 +514,15 @@ def pq_encode(
         ]
         for mm in range(m)
     ]
+    # degenerate corpora (n < k, incl. n = 0) clamp to the vectors that
+    # exist — graceful behavior only, outside any oracle-checked regime
+    k = min(k, len(init_rows))
+    if k == 0:
+        empty_codes = embeddings.select(
+            F.col(id_col).alias("id"),
+            *[F.lit(0).cast("int").alias(f"code_{mm}") for mm in range(m)],
+        ).limit(0)
+        return empty_codes, [[] for _ in range(m)]
 
     def assign(frame: DataFrame) -> DataFrame:
         per_sub = []
@@ -575,6 +595,13 @@ def pq_adc_topk(
     byte of codes per vector instead of 256 B of floats.
     """
     m = len(codebooks)
+    if m == 0 or not codebooks[0]:
+        # empty codebooks (trained on an empty corpus): nothing to rank
+        return codes.select(
+            "id",
+            F.lit(0.0).alias("adc_dist"),
+            F.lit(0).cast("int").alias("rank"),
+        ).limit(0)
     d_sub = len(codebooks[0][0])
     tables = [
         [
@@ -1121,6 +1148,7 @@ def ivf_topk_from_partitioned(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     list_col: str = "label",
+    schema=None,
 ):
     """IVF probe over the partitioned index written by
     :func:`write_ivf_partitioned`: probe lists are chosen exactly like
@@ -1133,8 +1161,14 @@ def ivf_topk_from_partitioned(
     LITERAL IN-list at planning time — a join can't prune partitions
     (only runtime DPP could, and a deterministic literal beats relying on
     it). Returns the same rows as ivf_topk over the same data.
+
+    ``schema``: pass the corpus schema to make the read robust to an
+    index built from an EMPTY corpus (zero partition dirs → Spark cannot
+    infer a schema; with the schema declared the probe just returns no
+    candidates).
     """
-    full = spark.read.parquet(path)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    full = reader.parquet(path)
     w_rep = Window.partitionBy(list_col).orderBy(F.asc(id_col))
     reps = (
         full.withColumn("_rn", F.row_number().over(w_rep))

@@ -2682,7 +2682,7 @@ def q_ann_ivf_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not _os.path.exists(f"{path}/_SUCCESS"):
         simsearch.write_ivf_partitioned(emb, path)
     return simsearch.ivf_topk_from_partitioned(
-        spark, path, queries, k=10, n_probe=2
+        spark, path, queries, k=10, n_probe=2, schema=emb.schema
     ).orderBy("query_id", "rank")
 
 
@@ -3018,7 +3018,7 @@ def q_ann_ivf_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         new.write.mode("append").partitionBy("label").parquet(path)
         open(marker, "w").close()
     return simsearch.ivf_topk_from_partitioned(
-        spark, path, queries, k=10, n_probe=2
+        spark, path, queries, k=10, n_probe=2, schema=emb.schema
     ).orderBy("query_id", "rank")
 
 
@@ -4664,9 +4664,14 @@ def q_keyset_pagination_page3(spark: SparkSession, sf_dir: str) -> DataFrame:
         page = (
             q.orderBy("o_orderdate", "o_orderkey").limit(_PAGE_SIZE)
         )
-        last = page.orderBy(
+        last_rows = page.orderBy(
             F.desc("o_orderdate"), F.desc("o_orderkey")
-        ).limit(1).collect()[0]
+        ).limit(1).collect()
+        if not last_rows:
+            # ran out of rows (short/empty table): the current (empty)
+            # page is the final answer — exactly what a client sees
+            break
+        last = last_rows[0]
         cursor = (last["o_orderdate"], last["o_orderkey"])
     return page.select(
         "o_orderkey",
@@ -4706,7 +4711,9 @@ def q_file_provenance_partition_counts(spark: SparkSession, sf_dir: str) -> Data
     path = f"{tempfile.gettempdir()}/ivf_index_{tag}"
     if not _os.path.exists(f"{path}/_SUCCESS"):
         simsearch.write_ivf_partitioned(emb, path)
-    full = spark.read.parquet(path)
+    # schema declared so an index built from an empty corpus (no
+    # partition dirs) still reads as zero rows instead of failing inference
+    full = spark.read.schema(emb.schema).parquet(path)
     part = F.regexp_extract(
         F.col("_metadata.file_path"), r"label=(\d+)", 1
     ).cast("int")
@@ -5319,8 +5326,10 @@ def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     codes, books = simsearch.pq_encode(emb, m=_PQ_M, k=4, n_assign=2)
     probe = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    # empty corpus / missing probe id: empty result, stable schema
+    probe_vec = [float(x) for x in probe["embedding"]] if probe else []
     return simsearch.pq_adc_topk(
-        codes, books, [float(x) for x in probe["embedding"]], k_top=10,
+        codes, books if probe_vec else [], probe_vec, k_top=10,
         exclude_id=0,
     ).orderBy("rank")
 
@@ -5386,12 +5395,15 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _read(spark, sf_dir, "embeddings")
     codes, books = simsearch.pq_encode(emb, m=_PQ_M, k=4, n_assign=2)
-    pvec = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0)
-        .select("embedding")
-        .head()["embedding"]
-    ]
+    probe_row = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    if probe_row is None:
+        # empty corpus / missing probe id: empty result, stable schema
+        return codes.select(
+            "id",
+            F.lit(0.0).alias("adc_dist"),
+            F.lit(0).cast("int").alias("rank"),
+        ).limit(0)
+    pvec = [float(x) for x in probe_row["embedding"]]
     qcol = F.array(*[F.lit(v) for v in pvec])
     pnorm = math.sqrt(sum(v * v for v in pvec))
     w_rep = Window.partitionBy("label").orderBy(F.asc("vec_id"))
@@ -5492,11 +5504,12 @@ def q_ann_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     q0 = emb.filter(F.col("vec_id") == 0)
     exact = simsearch.cosine_topk(emb, q0, k=10).select("neighbor_id")
     codes, books = simsearch.pq_encode(emb, m=_PQ_M, k=4, n_assign=2)
-    probe = [
-        float(x) for x in q0.select("embedding").head()["embedding"]
-    ]
+    probe_row = q0.select("embedding").head()
+    # empty corpus / missing probe: the ADC side contributes no hits and
+    # the audit degrades to a (0, 0, null) row instead of crashing
+    probe = [float(x) for x in probe_row["embedding"]] if probe_row else []
     adc = simsearch.pq_adc_topk(
-        codes, books, probe, k_top=10, exclude_id=0
+        codes, books if probe else [], probe, k_top=10, exclude_id=0
     ).select(F.col("id").alias("adc_id"))
     hits = exact.join(
         F.broadcast(adc), exact["neighbor_id"] == adc["adc_id"], "left"
@@ -5556,12 +5569,15 @@ def q_ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id 0 (one bounded driver fetch); centroids/codebooks are KB-scale
     driver literals."""
     emb = _read(spark, sf_dir, "embeddings")
-    probe = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0)
-        .select("embedding")
-        .head()["embedding"]
-    ]
+    probe_row = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    if probe_row is None:
+        # empty corpus / missing probe id: empty result, stable schema
+        return emb.select(
+            F.col("vec_id").alias("id"),
+            F.lit(0.0).alias("adc_dist"),
+            F.lit(0).cast("int").alias("rank"),
+        ).limit(0)
+    probe = [float(x) for x in probe_row["embedding"]]
     return simsearch.ivfadc_topk(
         emb, probe, n_probe=2, k_top=10, m=_PQ_M, pq_k=4, n_assign=2,
         exclude_id=0,

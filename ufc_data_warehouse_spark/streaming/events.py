@@ -516,13 +516,17 @@ def read_events_stream_with_flush(
     os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events_0.parquet")
 
     probe = spark.read.parquet(f"{sf_dir}/events.parquet")
+    import datetime as _dt
+
     if ts_is_nanos_long:
         max_ts = probe.agg(F.max("ts")).collect()[0][0]  # nanos long
+        if max_ts is None:  # empty stream: any epoch works as the base
+            max_ts = 0
         flush_ts = max_ts + flush_days * 86400 * 10**9
     else:
         max_ts = probe.agg(F.max("ts")).collect()[0][0]
-        import datetime as _dt
-
+        if max_ts is None:  # empty stream: any epoch works as the base
+            max_ts = _dt.datetime(1970, 1, 1)
         flush_ts = max_ts + _dt.timedelta(days=flush_days)
     flush = spark.createDataFrame(
         [

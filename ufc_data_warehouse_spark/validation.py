@@ -147,8 +147,9 @@ def pii_column_scan(df, columns: list[str] | None = None):
                 ).alias(f"{c}::{kind}")
             )
     wide = df.agg(*aggs).collect()[0]
+    # sum() over zero rows is NULL — report 0 matches on an empty input
     rows = [
-        (c, kind, int(wide[f"{c}::{kind}"]), int(wide["__n_rows"]))
+        (c, kind, int(wide[f"{c}::{kind}"] or 0), int(wide["__n_rows"]))
         for c in columns
         for kind, _, _ in PII_PATTERNS
     ]
