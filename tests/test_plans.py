@@ -226,7 +226,16 @@ def test_bloom_filter_has_no_false_negatives_and_bounded_fp(spark):
     row = EXTRA_QUERIES["bloom_join_prune"](spark, SF_DIR).collect()[0]
     assert row["n_false_neg"] == 0
     assert row["n_bloom_pass"] >= row["n_exact"]
-    n = 302  # BUILDING-segment keys at sf0.01
+    # n = distinct BUILDING-segment build keys AT THE SF UNDER TEST —
+    # derived from the data, not hardcoded, so the analytic bound stays
+    # correct when SPARK_GRAFT_TEST_SF_DIR points the suite elsewhere
+    n = (
+        spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        .filter("c_mktsegment = 'BUILDING'")
+        .select("c_custkey")
+        .distinct()
+        .count()
+    )
     expected = (1 - math.exp(-3 * n / 16384)) ** 3
     if row["fp_ppm"] is not None:
         assert row["fp_ppm"] <= max(3 * expected * 1e6, 500)

@@ -1005,6 +1005,42 @@ def test_global_order_rank_ntile_small_n_and_constant_key(spark):
     assert ge.join(refe, "id").filter("rn != r").count() == 0
 
 
+def test_global_order_rank_null_keys_sort_first_like_window(spark):
+    """NULL sort keys must rank exactly where the reference window puts
+    them (ASC NULLS FIRST). Regression: the value-bucket arithmetic is
+    NULL for a NULL key and least() SKIPS nulls, which used to drop NULL
+    rows into the LAST bucket while still sorting first inside it —
+    shifting every row's global rank. Covers the all-NULL frame too
+    (NULL _lo/_hi)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ufc_data_warehouse_spark.operators.scale import global_order_rank
+
+    rows = [(i, None if i % 7 == 0 else (i * 37) % 50) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = global_order_rank(df, "v", ["id"], n_buckets=8, value_col="v",
+                            cum_col="cum")
+    wref = Window.orderBy(F.asc("v"), F.asc("id"))
+    ref = df.select(
+        "id",
+        F.row_number().over(wref).cast("long").alias("rn_ref"),
+        F.sum("v")
+        .over(wref.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_ref"),
+    )
+    bad = got.join(ref, "id").filter(
+        "rn != rn_ref or cum is distinct from cum_ref"
+    )
+    assert bad.count() == 0
+    all_null = spark.createDataFrame(
+        [(i, None) for i in range(10)], "id long, v long"
+    )
+    gn = global_order_rank(all_null, "v", ["id"], n_buckets=8)
+    assert gn.filter("rn is null").count() == 0
+    assert gn.agg(F.max("rn")).first()[0] == 10
+
+
 def test_global_order_rank_bucket_col_proxy_for_string_key(spark):
     """bucket_col: an integer monotone proxy (hex prefix) for a string
     sort key gives the same total order as the direct global window."""

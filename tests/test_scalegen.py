@@ -190,8 +190,11 @@ def test_documents_suffix_mode_disjoint_and_replayed(base_docs, spark):
     letter-terminated by construction), within-replica duplicate
     structure replayed 1:1, ids collision-free."""
     factor = 12  # > 10: beyond the rotation mode's cap on purpose
+    # salt with digits AND tab/newline separators: tokens after non-space
+    # whitespace must be suffixed too (regression: splitting on the
+    # literal ' ' left them byte-identical across replicas)
     salted = base_docs.limit(40).withColumn(
-        "text", F.concat(F.col("text"), F.lit(" 2024 100 42x"))
+        "text", F.concat(F.col("text"), F.lit(" 2024 100 42x\ttabbed\nnewlined"))
     )
     scaled = scalegen.scale_documents_suffix(salted, factor)
     n = salted.count()

@@ -151,6 +151,11 @@ def main() -> None:
             if (
                 prior.get("sf_dir") == sf_dir
                 and prior.get("runs_best_of") == RUNS
+                # a generator bump rebuilds every tier dir — timings
+                # measured against old-generator data must not be
+                # reported as current
+                and prior.get("generator_version")
+                == scalegen.GENERATOR_VERSION
             ):
                 results = {
                     k: v for k, v in prior.get("results", {}).items()
@@ -173,6 +178,7 @@ def main() -> None:
     out = {
         "sf_dir": sf_dir,
         "runs_best_of": RUNS,
+        "generator_version": scalegen.GENERATOR_VERSION,
         "factors": [1, 10, 100],
         "results": results,
     }

@@ -684,12 +684,22 @@ def global_order_rank(
             df.crossJoin(F.broadcast(lo_hi))
             .withColumn(
                 "_bkt",
+                # NULL keys -> bucket 0: the within-bucket window sorts
+                # ASC NULLS FIRST, so fronting them preserves the
+                # "bucket order + in-bucket order = global order"
+                # invariant (without the guard, least() SKIPS the NULL
+                # arithmetic result and NULLs land in the LAST bucket
+                # while still sorting first inside it — wrong ranks for
+                # every row). Also covers the all-NULL frame (_lo/_hi
+                # NULL makes the arithmetic NULL for every row).
                 F.expr(
-                    f"cast(least(cast({n_buckets - 1} as double), "
+                    f"cast(CASE WHEN cast({bkt_src} as double) IS NULL "
+                    "THEN 0 "
+                    f"ELSE least(cast({n_buckets - 1} as double), "
                     f"floor((cast({bkt_src} as double) - cast(_lo as double)) "
                     f"* {n_buckets} "
                     f"/ (cast(_hi as double) - cast(_lo as double) + 1.0d))) "
-                    "as int)"
+                    "END as int)"
                 ),
             )
             .drop("_lo", "_hi")

@@ -133,7 +133,12 @@ def scale_documents_suffix(docs: DataFrame, factor: int) -> DataFrame:
     sfx = F.concat(
         F.expr("char(97 + _rep div 26)"), F.expr("char(97 + _rep % 26)")
     )
-    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    # split on the \s+ CLASS, not the literal space: a token after a tab
+    # or newline must get the suffix too, or it stays byte-identical
+    # across replicas and the probe re-measures generator duplication
+    # (whitespace normalizes to single spaces on rejoin — fine for the
+    # contract, which is token-level, matching the \s+ tokenizers)
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
     text = F.array_join(
         F.transform(toks, lambda x: F.concat(x, sfx)), " "
     )
