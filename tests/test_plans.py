@@ -211,9 +211,11 @@ def test_bloom_probe_is_map_side_only(spark):
     per-row shuffle, or a sort-merge join on the probe side."""
     plan = _plan(EXTRA_QUERIES["bloom_join_prune"](spark, SF_DIR))
     assert "SortMergeJoin" not in plan
-    # the probe never explodes (only the tiny build side does, pre-agg)
-    probe_side = plan.split("BroadcastNestedLoopJoin")[0]
-    assert "Generate explode" not in probe_side
+    # the probe never explodes: the ONLY Generate in the whole plan is
+    # the tiny build side's pre-agg position explode (checking the full
+    # plan, not just the text above the BNLJ — a probe-side explode in
+    # the join's stream-side child prints BELOW it)
+    assert plan.count("Generate explode") == 1
     assert plan.count("BroadcastNestedLoopJoin") == 1
 
 

@@ -1591,3 +1591,30 @@ def test_bloom_membership_matches_python_reference(spark, dim_keys, probe_keys):
         dim.withColumnRenamed("k", "k2"), "k2", filt
     ).collect()
     assert all(r["bloom_pass"] for r in dflags)
+
+
+def test_bloom_probe_rejects_build_parameter_mismatch(spark):
+    """A probe whose m_bits/n_hashes differ from the build's would
+    silently drop matching rows (false negatives); the filter row carries
+    its build parameters in field metadata and the probe must refuse a
+    conflicting override."""
+    import pytest
+
+    from ufc_data_warehouse_spark.operators.bloomjoin import (
+        bloom_filter_map,
+        with_bloom_membership,
+    )
+
+    dim = spark.createDataFrame([(1,), (2,)], "k long")
+    probe = spark.createDataFrame([(1,), (3,)], "k long")
+    filt = bloom_filter_map(dim, "k", m_bits=8192, n_hashes=2)
+    with pytest.raises(ValueError, match="m_bits"):
+        with_bloom_membership(probe, "k", filt, m_bits=16384)
+    with pytest.raises(ValueError, match="n_hashes"):
+        with_bloom_membership(probe, "k", filt, n_hashes=3)
+    # metadata-driven defaults: no explicit params needed, FN=0 holds
+    flags = {
+        r["k"]: r["bloom_pass"]
+        for r in with_bloom_membership(probe, "k", filt).collect()
+    }
+    assert flags[1] is True

@@ -1041,6 +1041,39 @@ def test_global_order_rank_null_keys_sort_first_like_window(spark):
     assert gn.agg(F.max("rn")).first()[0] == 10
 
 
+def test_global_order_rank_equi_depth_handles_nan_keys(spark):
+    """NaN float keys must rank exactly where the window puts them (Spark
+    orders NaN GREATEST — after every number). Regression: NaN tuples in
+    the driver-side splitter sample made Python's sorted() non-monotone,
+    corrupting every bucket boundary; they are now excluded, and NaN rows
+    compare >= all splitters into the last bucket."""
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ufc_data_warehouse_spark.operators.scale import global_order_rank
+
+    rows = [
+        (i, float("nan") if i % 9 == 0 else ((i * 37) % 50) / 7.0)
+        for i in range(300)
+    ] + [(1000, None)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    for eq in (True, False):
+        got = global_order_rank(df, "v", ["id"], n_buckets=8, equi_depth=eq)
+        ref = df.select(
+            "id",
+            F.row_number()
+            .over(Window.orderBy(F.asc("v"), F.asc("id")))
+            .cast("long")
+            .alias("rn_ref"),
+        )
+        assert (
+            got.join(ref, "id").filter("rn != rn_ref").count() == 0
+        ), f"equi_depth={eq}"
+    assert math.isnan(float("nan"))  # guard: literal really is NaN
+
+
 def test_global_order_rank_bucket_col_proxy_for_string_key(spark):
     """bucket_col: an integer monotone proxy (hex prefix) for a string
     sort key gives the same total order as the direct global window."""

@@ -172,6 +172,46 @@ def count_global_windows(plan: str) -> int:
     return hits
 
 
+def dedup_cached_subtrees(plan: str) -> str:
+    """Collapse repeated InMemoryRelation bodies to ONE copy each.
+
+    ``persist()`` replaces a plan fragment with an InMemoryRelation, and
+    the plan's toString prints the full CACHED child plan under EVERY
+    InMemoryTableScan that references it — so a frame referenced 26
+    times inflates text-level operator counts 26x even though the cached
+    subtree executes AT MOST ONCE (whichever scan runs first populates
+    it). Counting each distinct cached body once reflects what actually
+    runs. Tree depth = length of the leading run of tree-drawing chars;
+    node content never starts with one (WholeStageCodegen prints '*')."""
+    lines = plan.splitlines()
+
+    def depth(line: str) -> int:
+        i = 0
+        while i < len(line) and line[i] in " :+-|":
+            i += 1
+        return i
+
+    out: list[str] = []
+    seen: set[str] = set()
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        out.append(line)
+        if "InMemoryRelation" in line:
+            d = depth(line)
+            j = i + 1
+            while j < len(lines) and depth(lines[j]) > d:
+                j += 1
+            norm = "\n".join(x[depth(x):] for x in lines[i + 1 : j])
+            if norm not in seen:
+                seen.add(norm)
+                out.extend(lines[i + 1 : j])
+            i = j
+        else:
+            i += 1
+    return "\n".join(out)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     import __spark_entry__ as entry
@@ -186,7 +226,9 @@ def main() -> None:
                 continue
             try:
                 df = fn(spark, sf_dir)
-                plan = df._jdf.queryExecution().executedPlan().toString()
+                plan = dedup_cached_subtrees(
+                    df._jdf.queryExecution().executedPlan().toString()
+                )
             except Exception as ex:  # pragma: no cover
                 rows.append((name, f"ERROR {type(ex).__name__}", str(ex)[:80]))
                 continue
@@ -215,6 +257,11 @@ def main() -> None:
 
     out = ["# PLANS — physical-plan audit", "",
            f"Scale factor dir: `{sf_dir}`. Generated by `tools/plan_audit.py`.",
+           "",
+           "Counts reflect what EXECUTES: a persisted/cached subtree "
+           "(InMemoryRelation) is counted once, not once per reference — "
+           "the plan text prints the cached body under every scan that "
+           "reuses it, but it runs at most once.",
            "", "| query | plan stats | flags |", "|---|---|---|"]
     for name, summary, flags in rows:
         out.append(f"| {name} | {summary} | {flags} |")

@@ -705,14 +705,16 @@ def q_text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     rarest = highest) is averaged per document as an exact integer-sum /
     count pair — the float-log-free stand-in for unigram surprisal
     (cross-engine ln differs in the last ulp, integer ranks don't).
-    Shape: one vocab agg + rank, vocab broadcast back to the exploded
-    tokens, one doc-keyed agg. Scale (VERDICT r3 task 2): vocab terms
-    are UNIQUE after the groupBy, so dense_rank over (n_occ DESC, term)
-    ≡ row_number over the same total order — computed by the two-phase
+    Shape: one vocab agg + rank, ranked vocab joined back to the
+    exploded tokens (AQE picks broadcast while the vocab is small,
+    shuffle join once it isn't — no forced-broadcast size cliff), one
+    doc-keyed agg. Scale (VERDICT r3 task 2): vocab terms are UNIQUE
+    after the groupBy, so dense_rank over (n_occ DESC, term) ≡
+    row_number over the same total order — computed by the two-phase
     operators/scale.py::global_order_rank (range-bucketed on -n_occ,
     parallel per-bucket windows + broadcast offsets), never a global
     single-task window, so the vocabulary can grow past 1e7 terms
-    without a single-partition sort."""
+    without a single-partition sort OR an unbounded driver broadcast."""
     from .operators.scale import global_order_rank
     from .operators.text import tokens
 
@@ -721,16 +723,31 @@ def q_text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id"),
         F.explode(tokens(F.col("text"))).alias("term"),
     ).filter(F.col("term") != "")
-    vocab = toks.groupBy("term").agg(F.count("*").alias("n_occ"))
+    # pre-materialize the vocab: the rank machinery references its input
+    # 4x (count, splitter sample, window pass, totals pass) and the vocab
+    # lineage is a full-corpus tokenize+explode+groupBy — persist() makes
+    # the 3 re-references cache hits instead of corpus re-scans (the
+    # operator's own pre-materialization guidance; recomputable on
+    # executor loss, unlike a localCheckpoint)
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("n_occ"))
+        .withColumn("_neg", -F.col("n_occ"))
+        .persist()
+    )
     # equi_depth: n_occ is Zipf — the n_occ=1 tie group alone is a large
     # share of any real vocabulary, so a value-function bucket would sort
     # most of the vocab in one task; range sampling splits that tie group
     # across buckets by term
     ranked = global_order_rank(
-        vocab.withColumn("_neg", -F.col("n_occ")), "_neg", ["term"],
+        vocab, "_neg", ["term"],
         n_buckets=64, rn_col="rarity_rank", equi_depth=True,
     ).select("term", "rarity_rank")
-    scored = toks.join(F.broadcast(ranked), "term")
+    # no broadcast() hint: a small vocab still broadcasts via AQE's
+    # runtime size check, but an arbitrarily large one (the >1e7-term
+    # regime the rank rewrite targets) must be allowed to shuffle-join —
+    # a forced broadcast would hit the 8 GB cap / driver OOM first
+    scored = toks.join(ranked, "term")
     return (
         scored.groupBy("id")
         .agg(
@@ -2536,10 +2553,13 @@ def q_rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the three quintile lineages + the final joins would re-evaluate the
     # per-customer groupBy ~12× (each global_order_rank pass references
-    # its input 3×: bounds/rows/totals) — materialize it ONCE; the
-    # eager localCheckpoint also truncates the lineage so the three rank
-    # passes start from the compact (custkey, r, f, m) frame
-    base = base.localCheckpoint(eager=True)
+    # its input 3×: bounds/rows/totals) — persist the compact
+    # (custkey, r, f, m) frame ONCE so every reference is a cache hit.
+    # persist, NOT localCheckpoint: lazy (merely building this frame
+    # costs no job — the first rank pass populates the cache) and the
+    # lineage stays recomputable if an executor holding blocks is lost,
+    # which a non-reliable checkpoint cannot recover from
+    base = base.persist()
 
     # three INDEPENDENT rank lineages joined on the unique customer key —
     # never chained: each global_order_rank pass references its input 3×
@@ -6480,9 +6500,9 @@ def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     filt = bloom_filter_map(dim, "c_custkey", m_bits=16384, n_hashes=3)
     probe = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    flagged = with_bloom_membership(
-        probe, "o_custkey", filt, m_bits=16384, n_hashes=3
-    )
+    # probe parameters come from the fmap field metadata the build wrote —
+    # passing them again is unnecessary (and a mismatch would raise)
+    flagged = with_bloom_membership(probe, "o_custkey", filt)
     dimk = dim.distinct().withColumnRenamed("c_custkey", "_dk")
     flagged = flagged.join(
         F.broadcast(dimk), flagged.o_custkey == dimk._dk, "left"

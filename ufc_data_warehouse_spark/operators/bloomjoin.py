@@ -112,7 +112,15 @@ def bloom_filter_map(
     fmap = words.agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("w"), F.col("bits")))
-        ).alias("fmap")
+        ).alias(
+            "fmap",
+            # the build parameters travel WITH the bitmap as schema-field
+            # metadata (zero runtime cost): the probe reads them back so a
+            # build/probe m_bits or hash-count mismatch — which would
+            # silently produce false negatives, i.e. dropped matching
+            # rows — is impossible instead of merely discouraged
+            metadata={"m_bits": m_bits, "n_hashes": n_hashes, "salt": salt},
+        )
     )
     if with_count:
         n_keys = dim.select(F.countDistinct(k).alias("n_keys"))
@@ -155,19 +163,43 @@ def with_bloom_membership(
     key: str,
     filter_row: DataFrame,
     flag: str = "bloom_pass",
-    m_bits: int = 16384,
-    n_hashes: int = 3,
-    salt: str = "",
+    m_bits: int | None = None,
+    n_hashes: int | None = None,
+    salt: str | None = None,
 ) -> DataFrame:
     """Attach ``flag`` to ``probe`` via a broadcast of the 1-row filter.
+
+    The probe parameters default to the values the BUILD recorded in the
+    ``fmap`` field metadata — a mismatch (which would silently turn into
+    false negatives, pruning rows that DO match) is rejected with a
+    ``ValueError`` rather than trusted. Explicit arguments are only
+    needed for a filter row that did not come from
+    :func:`bloom_filter_map` (e.g. read back from parquet, which drops
+    field metadata).
 
     The cross join is a 1-row broadcast (allowlisted nested-loop shape,
     same class as the scalar-stats crosses in tools/plan_audit.py); the
     membership predicate itself is map-side only.
     """
+    built: dict = {}
+    for f in filter_row.schema.fields:
+        if f.name == "fmap":
+            built = dict(f.metadata or {})
+    for name, given in (("m_bits", m_bits), ("n_hashes", n_hashes),
+                        ("salt", salt)):
+        if given is not None and name in built and built[name] != given:
+            raise ValueError(
+                f"bloom probe {name}={given!r} != build {built[name]!r}: "
+                "a build/probe parameter mismatch produces false negatives"
+            )
+    m_bits = m_bits if m_bits is not None else built.get("m_bits", 16384)
+    n_hashes = (
+        n_hashes if n_hashes is not None else built.get("n_hashes", 3)
+    )
+    salt = salt if salt is not None else built.get("salt", "")
     return probe.crossJoin(F.broadcast(filter_row)).withColumn(
         flag,
         bloom_membership_expr(
-            F.col(key), F.col("fmap"), m_bits, n_hashes, salt
+            F.col(key), F.col("fmap"), int(m_bits), int(n_hashes), salt
         ),
     )

@@ -501,17 +501,27 @@ def _composite_splitters(
     Rows containing a NULL key component are excluded from the sample
     (None is not orderable on the driver, and ``key >= splitter`` is
     NULL => bucket 0 for them anyway, matching Spark's ASC NULLS FIRST:
-    all-null-key rows sort first inside bucket 0)."""
+    all-null-key rows sort first inside bucket 0). Rows containing a NaN
+    float component are excluded for the dual reason: Python ``sorted``
+    is UNDEFINED with NaN (comparisons all false -> non-monotone splitter
+    list) while Spark orders NaN GREATEST, so with NaN-free splitters
+    every NaN-keyed row compares ``>=`` all of them and lands in the last
+    bucket, where the within-bucket window sorts it last — exactly the
+    reference global order."""
     cols = [sort_col, *tiebreak_cols]
     n = df.count()
     if n == 0:
         return []
     target = n_buckets * sample_per_bucket
     k = max(1, n // target)
+    dtypes = dict(df.dtypes)
     notnull = [F.col(c).isNotNull() for c in cols]
     cond = notnull[0]
     for nn in notnull[1:]:
         cond = cond & nn
+    for c in cols:
+        if dtypes.get(c) in ("float", "double"):
+            cond = cond & ~F.isnan(F.col(c))
     sample = (
         df.select(*cols)
         .filter(cond)
@@ -615,7 +625,7 @@ def global_order_rank(
     every row, so there is no win to pay the plan complexity for.
     Callers whose upstream lineage IS genuinely expensive — where the
     shared exchange would finally pull ahead — should pre-materialize
-    it themselves (``rfm_customer_segments`` eagerly localCheckpoints
+    it themselves (``rfm_customer_segments`` persists
     its compact base frame for exactly this reason).
     """
     value_cols = (

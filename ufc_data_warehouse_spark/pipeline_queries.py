@@ -553,10 +553,20 @@ def q_calibration_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFram
     """
     from .operators.scale import exact_ntile_expr, global_order_rank
 
-    ev = _read(spark, sf_dir, "events").select(
-        "event_id",
-        F.floor(F.col("value") * 100).cast("long").alias("score"),
-        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    # persist the compact 3-column projection: the rank machinery
+    # references its input 4x (count, splitter sample, window, totals) —
+    # without this each pass re-scans the full events table; with it the
+    # fact is read ONCE and the re-references hit the (spillable) cache
+    ev = (
+        _read(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.floor(F.col("value") * 100).cast("long").alias("score"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("pos"),
+        )
+        .persist()
     )
     # equi_depth: only ~101 distinct floor(value*100) scores exist over
     # the WHOLE events table — a value-function bucket would put O(1%) of
