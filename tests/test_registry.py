@@ -128,6 +128,39 @@ def test_bench_lists_are_registered_queries():
     assert not missing_models, missing_models
 
 
+def test_bench_stdout_line_fits_driver_capture():
+    """The driver records only the last 2,000 stdout chars; BENCH_r03 and
+    BENCH_r04 both came back "parsed": null because the line outgrew the
+    window. The slim-line builder must stay under the cap even for a
+    worst-case record, and must prefer shedding detail over overflowing."""
+    import json
+
+    import bench
+
+    slowest = {f"some_quite_long_query_name_{i:02d}": 123.4567 for i in range(5)}
+    worst = {
+        "metric": "x" * 300,
+        "value": 12345.6789,
+        "unit": "sec",
+        "sf": 0.1,
+        "n_queries": 60,
+        "loadavg": [12.34, 12.34, 12.34],
+        "canary_sec": 1.2345,
+        "slowest": slowest,
+        "scale10": {"value": 123.4567, "n_errors": 3},
+    }
+    line = bench.slim_stdout_line(dict(worst))
+    assert len(line) < 1900
+    parsed = json.loads(line)
+    assert parsed["value"] == worst["value"]
+    # a pathological record sheds fields instead of overflowing
+    huge = dict(worst)
+    huge["metric"] = "y" * 2500
+    line2 = bench.slim_stdout_line(huge)
+    assert len(line2) < 1900
+    assert json.loads(line2)["value"] == worst["value"]
+
+
 def test_smoke_script_importable_and_consistent():
     """tools/smoke.py must stay importable with its inventory logic in
     sync with the driver contract (it is the round-N onboarding tool)."""
