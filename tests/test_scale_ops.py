@@ -1163,3 +1163,72 @@ def test_global_order_rank_equi_depth_matches_and_splits_ties(spark):
 
     # determinism: same input -> same splitters (no RangePartitioner)
     assert spl == _composite_splitters(eq, "v", ["id"], 16)
+
+
+def test_global_order_rank_partition_cols_matches_keyed_window(spark):
+    """partition_cols (VERDICT r4 task 3): per-key rank / prefix sum /
+    total ≡ the Window.partitionBy(key).orderBy(...) reference — in BOTH
+    bucket modes, with ties, a NULL partition key (one group, like the
+    window), NULL sort keys, and a key whose group is a single row.
+    The heavy window must ride hashpartitioning(key, _bkt), never a
+    per-key single task."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ufc_data_warehouse_spark.operators.scale import (
+        exact_ntile_expr,
+        global_order_rank,
+    )
+
+    rows = [
+        (
+            i,
+            None if i == 777 else ["a", "b", "c", None][i % 4],
+            None if i % 97 == 0 else (i * 37) % 25,  # heavy ties + NULLs
+            (i * 13) % 7,
+        )
+        for i in range(1500)
+    ] + [(9999, "solo", 3, 1)]
+    df = spark.createDataFrame(rows, "id long, k string, v long, w long")
+    wref = Window.partitionBy("k").orderBy(F.asc("v"), F.asc("id"))
+    ref = df.select(
+        "id",
+        F.row_number().over(wref).cast("long").alias("rn_ref"),
+        F.sum("w")
+        .over(wref.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_ref"),
+        F.ntile(4).over(wref).alias("t4_ref"),
+        F.count(F.lit(1)).over(Window.partitionBy("k")).alias("n_ref"),
+    )
+    for eq in (False, True):
+        g = global_order_rank(
+            df,
+            "v",
+            ["id"],
+            n_buckets=8,
+            value_col="w",
+            equi_depth=eq,
+            partition_cols=["k"],
+        )
+        got = g.select(
+            "id", "rn", "cum", "n_total", exact_ntile_expr(4).alias("t4")
+        )
+        bad = got.join(ref, "id").filter(
+            "rn != rn_ref or cum is distinct from cum_ref "
+            "or t4 != t4_ref or n_total != n_ref"
+        )
+        assert bad.count() == 0, f"equi_depth={eq}"
+        plan = g._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning(k" in plan
+        assert "rangepartitioning" not in plan
+
+    # two partition columns
+    df2 = df.withColumn("k2", F.pmod(F.col("id"), F.lit(2)))
+    wref2 = Window.partitionBy("k", "k2").orderBy(F.asc("v"), F.asc("id"))
+    ref2 = df2.select(
+        "id", F.row_number().over(wref2).cast("long").alias("rn_ref")
+    )
+    g2 = global_order_rank(
+        df2, "v", ["id"], n_buckets=8, partition_cols=["k", "k2"]
+    )
+    assert g2.join(ref2, "id").filter("rn != rn_ref").count() == 0

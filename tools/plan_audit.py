@@ -153,6 +153,56 @@ EXPECTED_GLOBAL_WIN: dict[str, tuple[int, str]] = {
 }
 
 
+# Columns known to have a handful of distinct values in this schema: a
+# row-level Window hash-partitioned on ONLY these is one task per key at
+# 100 TB (the groupwise cousin of the global window, VERDICT r4 task 3) —
+# unless Spark's WindowGroupLimit bounds it (constant rank<=k filters) or
+# the window's input frame is already reduced (allowlist below).
+LOW_CARD_COLS = {
+    "event_type",
+    "o_orderpriority",
+    "o_orderstatus",
+    "lang",
+    "source",
+    "l_returnflag",
+    "l_linestatus",
+    "split",
+}
+
+# name -> (max expected count, bounded-frame justification): windows that
+# legitimately partition by a low-cardinality key because their INPUT is
+# already reduced (per-key-per-X aggregates, dimension-sized frames) —
+# the rule exists to stop low-card windows over RAW FACT rows
+EXPECTED_LOWCARD_WIN: dict[str, tuple[int, str]] = {}
+
+
+def count_lowcard_windows(plan: str) -> int:
+    """Window physical nodes whose partition spec consists ONLY of
+    known low-cardinality columns and that have no WindowGroupLimit
+    between themselves and their input Exchange. Physical Window lines
+    print ``Window [funcs], [partSpec], [orderSpec]`` — the middle
+    bracket group names the hash keys."""
+    lines = plan.splitlines()
+    hits = 0
+    for i, line in enumerate(lines):
+        m = re.search(r"\bWindow\s+\[.*\],\s+\[([^\]]*)\],\s+\[", line)
+        if m is None:
+            continue
+        part_cols = set(re.findall(r"(\w+)#\d+", m.group(1)))
+        if not part_cols or not part_cols <= LOW_CARD_COLS:
+            continue
+        rescued = False
+        for nxt in lines[i + 1 :]:
+            if "WindowGroupLimit" in nxt:
+                rescued = True
+                break
+            if "Exchange" in nxt:
+                break
+        if not rescued:
+            hits += 1
+    return hits
+
+
 def count_global_windows(plan: str) -> int:
     """Window physical nodes whose nearest downstream Exchange is
     SinglePartition — the partition-less global-window shape. Tree-text
@@ -191,25 +241,36 @@ def dedup_cached_subtrees(plan: str) -> str:
             i += 1
         return i
 
-    out: list[str] = []
     seen: set[str] = set()
-    i = 0
-    while i < len(lines):
-        line = lines[i]
-        out.append(line)
-        if "InMemoryRelation" in line:
-            d = depth(line)
-            j = i + 1
-            while j < len(lines) and depth(lines[j]) > d:
-                j += 1
-            norm = "\n".join(x[depth(x):] for x in lines[i + 1 : j])
-            if norm not in seen:
-                seen.add(norm)
-                out.extend(lines[i + 1 : j])
-            i = j
-        else:
-            i += 1
-    return "\n".join(out)
+
+    def walk(seg: list[str]) -> list[str]:
+        out: list[str] = []
+        i = 0
+        while i < len(seg):
+            line = seg[i]
+            out.append(line)
+            if "InMemoryRelation" in line:
+                d = depth(line)
+                j = i + 1
+                while j < len(seg) and depth(seg[j]) > d:
+                    j += 1
+                body = seg[i + 1 : j]
+                # strip a CONSTANT prefix (the header's depth, clamped so
+                # content is never cut): per-line depth(x) stripping
+                # flattened nesting, letting structurally different
+                # subtrees with the same node lines falsely dedup
+                norm = "\n".join(x[min(d + 2, depth(x)):] for x in body)
+                if norm not in seen:
+                    seen.add(norm)
+                    # recurse: nested InMemoryRelations inside a KEPT
+                    # body dedup too
+                    out.extend(walk(body))
+                i = j
+            else:
+                i += 1
+        return out
+
+    return "\n".join(walk(lines))
 
 
 def main() -> None:
@@ -247,6 +308,9 @@ def main() -> None:
             n_gw = count_global_windows(plan)
             if n_gw > EXPECTED_GLOBAL_WIN.get(name, (0,))[0]:
                 flags.append("GLOBAL-WINDOW")
+            n_lc = count_lowcard_windows(plan)
+            if n_lc > EXPECTED_LOWCARD_WIN.get(name, (0,))[0]:
+                flags.append("LOWCARD-WINDOW")
             summary = (
                 f"exch={stats['exch']} bhj={stats['bhj']} smj={stats['smj']} "
                 f"nlj={stats['nlj']} win={stats['win']}"

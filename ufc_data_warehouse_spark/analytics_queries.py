@@ -1704,21 +1704,41 @@ def q_rank_family_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full SQL ranking-function family over one keyed window —
     rank, percent_rank, cume_dist, ntile — per order-priority partition,
     price-ordered with the orderkey tiebreaker making every ranking
-    deterministic. percent_rank/cume_dist are each ONE float division of
-    exact integers (correctly rounded everywhere), so even the float
-    columns compare bit-identically cross-engine. One shuffle on the
-    partition key; each partition ranks independently (no global sort)."""
+    deterministic.
+
+    De-weakened r5 (VERDICT r4 task 3): o_orderpriority has ~5 distinct
+    values, so ``Window.partitionBy(o_orderpriority)`` over raw order
+    rows is 5 tasks each sorting ~1/5 of the table (one task ≈ 20 TB at
+    the 100 TB scale) — the groupwise cousin of the global-window
+    killer, and none of these outputs is a constant rank<=k filter so
+    WindowGroupLimit can't rescue it. Now runs on the partitioned
+    two-phase rank (``global_order_rank(partition_cols=...)``): buckets
+    on the price range within each priority, so the heavy window rides
+    hashpartitioning(priority, bucket) with ~n_buckets-way parallelism
+    per key. The (price, orderkey) order key is UNIQUE, so the whole
+    family is closed-form from (rn, n): rank = rn, percent_rank =
+    (rn-1)/(n-1), cume_dist = rn/n — each ONE float division of exact
+    integers (correctly rounded everywhere, bit-identical cross-engine)
+    — and ntile is exact_ntile_expr."""
+    from .operators.scale import exact_ntile_expr, global_order_rank
+
     orders = _read(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.asc("o_totalprice"), F.asc("o_orderkey")
+    g = global_order_rank(
+        orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        "o_totalprice",
+        ["o_orderkey"],
+        partition_cols=["o_orderpriority"],
     )
-    return orders.select(
+    n1 = F.col("n_total") - F.lit(1)
+    return g.select(
         "o_orderpriority",
         "o_orderkey",
-        F.rank().over(w).alias("rnk"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.col("rn").cast("int").alias("rnk"),
+        F.when(n1 > 0, (F.col("rn") - F.lit(1)) / n1)
+        .otherwise(F.lit(0.0))
+        .alias("pct_rank"),
+        (F.col("rn") / F.col("n_total")).alias("cume"),
+        exact_ntile_expr(4).alias("quartile"),
     ).orderBy("o_orderpriority", "rnk")
 
 
@@ -1867,20 +1887,23 @@ def q_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     each row's encoding is the category mean EXCLUDING itself,
     ``(Σcents − own) / (n − 1)``. Emitted as exact integer num/den (the
     repo's chi-square discipline: the consumer divides; no float mean is
-    ever summed engine-side). One whole-partition window on the category
-    key — no orderBy, so the frame is the full partition and there is
-    exactly ONE keyed exchange; singleton categories get NULL num/den
-    (den would be 0), spelled identically in the oracle."""
+    ever summed engine-side); singleton categories get NULL num/den
+    (den would be 0), spelled identically in the oracle.
+
+    De-weakened r5 (VERDICT r4 task 3): the whole-partition window on a
+    ~5-value category key materialized each category in ONE task (~20 TB
+    per event_type at the 100 TB scale). The frame-free window is
+    mechanically a per-key aggregate, so it is now a groupBy(event_type)
+    (map-side partial agg, 5-row result) broadcast-joined back onto the
+    fact rows — no row ever shuffles on the low-cardinality key."""
     ev = _read(spark, sf_dir, "events")
     cents = F.floor(F.col("value") * 100).cast("long")
-    w = Window.partitionBy("event_type")
-    base = ev.select(
-        "event_id",
-        "event_type",
-        cents.alias("cents"),
-        F.sum(cents).over(w).alias("cat_sum"),
-        F.count(F.lit(1)).over(w).alias("cat_n"),
+    base = ev.select("event_id", "event_type", cents.alias("cents"))
+    cat = base.groupBy("event_type").agg(
+        F.sum("cents").alias("cat_sum"),
+        F.count(F.lit(1)).alias("cat_n"),
     )
+    base = base.join(F.broadcast(cat), "event_type")
     ok = F.col("cat_n") > 1
     return base.select(
         "event_id",

@@ -1357,18 +1357,59 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     first_value / nth_value) per event_type. The (value, event_id) order
     key is a total order, so rank-family outputs are deterministic; the
     ratio functions are exact integer divisions — bit-identical across
-    engines."""
+    engines.
+
+    De-weakened r5 (VERDICT r4 task 3): event_type has ~5 distinct
+    values, so the keyed window was one ~20 TB sort task per type at the
+    100 TB scale (per-row rank outputs — no WindowGroupLimit rescue).
+    Now the partitioned two-phase rank (``global_order_rank(
+    partition_cols=...)``) supplies (rn, n) per type with
+    hashpartitioning(type, bucket) parallelism, and the whole family is
+    closed-form: the (value, event_id) order key is UNIQUE, so
+    percent_rank = (rn-1)/(n-1), cume_dist = rn/n, ntile is
+    exact_ntile_expr. first_value/nth_value(2) over the default
+    running frame are the partition's first two rows for every row with
+    rn ≥ their position — a 2-rows-per-key frame (rn <= 2) pivoted and
+    broadcast back, NULL while the frame hasn't reached row 2."""
+    from ufc_data_warehouse_spark.operators.scale import (
+        exact_ntile_expr,
+        global_order_rank,
+    )
+
     ev = _read(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    w = Window.partitionBy("event_type").orderBy(F.asc("value"), F.asc("event_id"))
-    return ev.select(
-        "event_id",
-        "event_type",
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).alias("pr"),
-        F.cume_dist().over(w).alias("cd"),
-        F.first_value("event_id").over(w).alias("first_id"),
-        F.nth_value("event_id", 2).over(w).alias("second_id"),
-    ).orderBy("event_id")
+    g = global_order_rank(
+        ev, "value", ["event_id"], partition_cols=["event_type"]
+    )
+    heads = (
+        g.filter(F.col("rn") <= 2)
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("event_id"))).alias(
+                "first_id"
+            ),
+            F.min(F.when(F.col("rn") == 2, F.col("event_id"))).alias(
+                "_second_id"
+            ),
+        )
+    )
+    n1 = F.col("n_total") - F.lit(1)
+    return (
+        g.join(F.broadcast(heads), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            exact_ntile_expr(4).alias("quartile"),
+            F.when(n1 > 0, (F.col("rn") - F.lit(1)) / n1)
+            .otherwise(F.lit(0.0))
+            .alias("pr"),
+            (F.col("rn") / F.col("n_total")).alias("cd"),
+            "first_id",
+            # nth_value's default frame ends at the CURRENT row: row 1's
+            # frame hasn't seen row 2 yet -> NULL, like the window
+            F.when(F.col("rn") >= 2, F.col("_second_id")).alias("second_id"),
+        )
+        .orderBy("event_id")
+    )
 
 
 # ---------------------------------------------------------------------------

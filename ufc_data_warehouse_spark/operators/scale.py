@@ -552,6 +552,7 @@ def global_order_rank(
     total_col: str = "n_total",
     bucket_col: str | None = None,
     equi_depth: bool = False,
+    partition_cols: list[str] | tuple[str, ...] = (),
 ) -> DataFrame:
     """Global row_number — and optionally a global prefix sum — over the
     total order ``(sort_col, *tiebreak_cols)`` WITHOUT the
@@ -603,6 +604,23 @@ def global_order_rank(
     exchange, which AQE's shuffle-read re-optimization breaks (measured:
     phantom ntile bins, nondeterministic ranks).
 
+    ``partition_cols`` (r5, VERDICT r4 task 3): rank WITHIN each key
+    group instead of globally — the remedy for the groupwise cousin of
+    the global-window killer, ``Window.partitionBy(low_card_key)
+    .orderBy(...)`` over raw fact rows (5 distinct event_types = 5 tasks,
+    one sorting ~20 TB each at the 100 TB scale). Buckets stay a pure
+    function of the ORDER key alone (never of the partition key), so the
+    within-(partition, bucket) window order + bucket order is still each
+    partition's total order, and — because every (pk, bkt) task is a
+    subset of a global bucket — the largest task is bounded by the
+    GLOBAL bucket depth ≈ N/n_buckets regardless of key skew. Per-key
+    bounds/counts ride broadcast frames of ≤ n_keys (× n_buckets) rows;
+    joins on the partition key are null-safe, so NULL keys form one
+    group exactly like ``Window.partitionBy``. ``rn_col``/``cum_col``/
+    ``total_col`` become per-key quantities (``total_col`` = the key
+    group's row count), which is precisely what closed-form ntile /
+    percent_rank / cume_dist per group need.
+
     Output columns: ``rn_col`` (1-based global row number, long),
     ``total_col`` (global row count, long), and ``cum_col`` (inclusive
     prefix sum of ``value_col``) when ``value_col`` is given.
@@ -634,6 +652,8 @@ def global_order_rank(
     cum_cols = [cum_col] if isinstance(cum_col, str) else list(cum_col)
     if value_cols and len(cum_cols) < len(value_cols):
         raise ValueError("need one cum_col per value_col")
+    part_cols = list(partition_cols)
+    pk_alias = [f"_pk{i}" for i in range(len(part_cols))]
     if equi_depth:
         # Equi-depth bucketing over the FULL composite key
         # (sort_col, *tiebreak_cols): splitter tuples come from a
@@ -689,9 +709,36 @@ def global_order_rank(
         b = df.withColumn("_bkt", bkt.cast("int"))
     else:
         bkt_src = bucket_col or sort_col
-        lo_hi = df.agg(F.min(bkt_src).alias("_lo"), F.max(bkt_src).alias("_hi"))
+        if part_cols:
+            # per-key bounds: bucket arithmetic adapts to each key group's
+            # own value range (a broadcast frame of n_keys rows), so one
+            # group's narrow range doesn't collapse all its rows into a
+            # handful of globally-derived buckets. Null-safe join: NULL
+            # keys form one group, exactly like Window.partitionBy.
+            lo_hi = (
+                df.groupBy(*part_cols)
+                .agg(F.min(bkt_src).alias("_lo"), F.max(bkt_src).alias("_hi"))
+                .select(
+                    *[
+                        F.col(c).alias(a)
+                        for c, a in zip(part_cols, pk_alias)
+                    ],
+                    "_lo",
+                    "_hi",
+                )
+            )
+            cond = None
+            for c, a in zip(part_cols, pk_alias):
+                e = df[c].eqNullSafe(lo_hi[a])
+                cond = e if cond is None else cond & e
+            bounded = df.join(F.broadcast(lo_hi), cond).drop(*pk_alias)
+        else:
+            lo_hi = df.agg(
+                F.min(bkt_src).alias("_lo"), F.max(bkt_src).alias("_hi")
+            )
+            bounded = df.crossJoin(F.broadcast(lo_hi))
         b = (
-            df.crossJoin(F.broadcast(lo_hi))
+            bounded
             .withColumn(
                 "_bkt",
                 # NULL keys -> bucket 0: the within-bucket window sorts
@@ -715,7 +762,7 @@ def global_order_rank(
             .drop("_lo", "_hi")
         )
     order = [F.asc(sort_col)] + [F.asc(c) for c in tiebreak_cols]
-    w_in = Window.partitionBy("_bkt").orderBy(*order)
+    w_in = Window.partitionBy(*part_cols, "_bkt").orderBy(*order)
     local = b.withColumn("_local_rn", F.row_number().over(w_in).cast("long"))
     w_run = w_in.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     for i, vc in enumerate(value_cols):
@@ -723,15 +770,20 @@ def global_order_rank(
     aggs = [F.count(F.lit(1)).alias("_cnt")] + [
         F.sum(vc).alias(f"_tot{i}") for i, vc in enumerate(value_cols)
     ]
-    totals = b.groupBy("_bkt").agg(*aggs)
-    w_off = Window.orderBy("_bkt").rowsBetween(
+    totals = b.groupBy(*part_cols, "_bkt").agg(*aggs)
+    # the offsets frame is tiny (≤ n_keys × n_buckets rows), so these
+    # per-key-ordered windows run on a driver-sized broadcast input
+    w_base = Window.partitionBy(*part_cols) if part_cols else Window
+    w_off = w_base.orderBy("_bkt").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    w_all = Window.orderBy("_bkt").rowsBetween(
+    w_all = w_base.orderBy("_bkt").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     off_cols = [
-        F.col("_bkt"),
+        F.col(c).alias(a) for c, a in zip(part_cols, pk_alias)
+    ] + [
+        F.col("_bkt").alias("_bkt_r"),
         (F.sum("_cnt").over(w_off) - F.col("_cnt")).alias("_rn_off"),
         F.sum("_cnt").over(w_all).alias(total_col),
     ] + [
@@ -739,10 +791,13 @@ def global_order_rank(
         for i in range(len(value_cols))
     ]
     offsets = totals.select(*off_cols)
-    out = local.join(F.broadcast(offsets), "_bkt").withColumn(
+    cond = local["_bkt"] == offsets["_bkt_r"]
+    for c, a in zip(part_cols, pk_alias):
+        cond = cond & local[c].eqNullSafe(offsets[a])
+    out = local.join(F.broadcast(offsets), cond).withColumn(
         rn_col, F.col("_local_rn") + F.col("_rn_off")
     )
-    drop = ["_bkt", "_local_rn", "_rn_off"]
+    drop = ["_bkt", "_bkt_r", "_local_rn", "_rn_off", *pk_alias]
     if bucket_col is not None:
         drop.append(bucket_col)
     for i in range(len(value_cols)):

@@ -295,17 +295,34 @@ def q_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, so ntile is deterministic) and split into 4 equal phases.
     Phase 1 is the high-quality warm-up slice, phase 4 the tail.
 
-    Scale: one window per language partition — the same shuffle the
-    quality aggregation already needs; no global sort.
+    De-weakened r5 (VERDICT r4 task 3): ntile over ALL documents per
+    ~5-value lang key was one ~20 TB sort task per language at the
+    100 TB scale (per-row tile output — no WindowGroupLimit rescue).
+    Now exact closed-form ntile from the partitioned two-phase rank.
+    The quality score has only 4 distinct values (0-3) — the
+    value-range bucket mode would cap parallelism at 4 buckets per
+    language — so this uses EQUI-DEPTH mode: splitters sampled from the
+    full (-quality, id) composite split the giant tie groups across
+    buckets by id.
     """
+    from .operators.scale import exact_ntile_expr, global_order_rank
+
     q = text.quality_score(_read(spark, sf_dir, "documents"))
     docs = _read(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("id"), "lang", "n_chars"
     )
-    scored = q.join(docs, "id")
-    w = Window.partitionBy("lang").orderBy(F.desc("quality"), F.asc("id"))
+    scored = q.join(docs, "id").withColumn(
+        "_negq", -F.col("quality")
+    )
+    ranked = global_order_rank(
+        scored,
+        "_negq",
+        ["id"],
+        partition_cols=["lang"],
+        equi_depth=True,
+    )
     return (
-        scored.withColumn("phase", F.ntile(4).over(w))
+        ranked.withColumn("phase", exact_ntile_expr(4))
         .groupBy("lang", "phase")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -2812,15 +2829,28 @@ def q_grouped_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     discrete quantile, so there is no interpolation float and both
     engines pick the identical row). The box-plot table per category;
     one window per group partition, no global sort.
+
+    De-weakened r5 (VERDICT r4 task 3): the row_number + whole-partition
+    count windows on the ~5-value event_type key were one ~20 TB sort
+    task per type at the 100 TB scale, and the rank filter is
+    POSITION-equality (rn = f(n)), which WindowGroupLimit cannot bound.
+    The partitioned two-phase rank supplies identical (rn, n) per type
+    with hashpartitioning(type, bucket) parallelism instead.
     """
+    from .operators.scale import global_order_rank
+
     ev = _read(spark, sf_dir, "events").select(
         "event_type",
         "event_id",
         F.floor(F.col("value") * 100).cast("long").alias("cents"),
     )
-    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
-    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    ranked = global_order_rank(
+        ev, "cents", ["event_id"], partition_cols=["event_type"]
+    ).select(
+        "event_type",
+        "cents",
+        F.col("rn").cast("int").alias("rn"),
+        F.col("n_total").alias("n"),
     )
     picks = ranked.filter(
         (F.col("rn") == F.expr("(n + 3) div 4"))
