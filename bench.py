@@ -175,6 +175,14 @@ def main() -> None:
         # extra runs (best-of-7): at that scale scheduler jitter is a
         # double-digit percentage and round-over-round comparisons were
         # flagging noise as regressions.
+        # Cache policy (r5 ADVICE, accepted-and-documented): queries that
+        # persist() internal frames (text_token_rarity's vocab, rfm's
+        # base, calibration's projection) leave them cached for the rest
+        # of the sweep. NOT cleared between timings: clearCache() would
+        # also drop the amortized staging/dedup frames the bench design
+        # depends on, and the leftovers are MEMORY_AND_DISK on a 128 GiB
+        # heap — eviction bounds memory. Revisit if the sweep ever
+        # approaches executor memory.
         RUNS, EXTRA_RUNS_SUB_SECOND = 5, 2
 
         def timed(name: str, run, runs: int | None = None) -> None:

@@ -1618,3 +1618,81 @@ def test_bloom_probe_rejects_build_parameter_mismatch(spark):
         for r in with_bloom_membership(probe, "k", filt).collect()
     }
     assert flags[1] is True
+
+
+def test_bloom_probe_requires_params_when_metadata_missing(spark, tmp_path):
+    """A filter row built OUTSIDE bloom_filter_map carries no fmap field
+    metadata; probing it with silent defaults would be exactly the
+    build/probe mismatch the metadata coupling exists to prevent — the
+    probe must REFUSE unless every build parameter is explicit (r5
+    ADVICE). (A Spark-parquet round-trip, tested here, PRESERVES field
+    metadata — the self-check below pins that, so the refuse-path is for
+    foreign writers/readers that drop it.)"""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ufc_data_warehouse_spark.operators.bloomjoin import (
+        bloom_filter_map,
+        with_bloom_membership,
+    )
+
+    dim = spark.createDataFrame([(1,), (2,)], "k long")
+    probe = spark.createDataFrame([(1,), (3,)], "k long")
+    filt = bloom_filter_map(dim, "k", m_bits=8192, n_hashes=2)
+
+    # Spark's own parquet round-trip keeps the metadata: still proceeds
+    path = str(tmp_path / "bloom_filter")
+    filt.write.mode("overwrite").parquet(path)
+    reread = spark.read.parquet(path)
+    ok = {
+        r["k"]: r["bloom_pass"]
+        for r in with_bloom_membership(probe, "k", reread).collect()
+    }
+    assert ok[1] is True
+
+    # stripped metadata (what a foreign writer would hand back): refuse
+    bare = filt.select(F.col("fmap").alias("fmap", metadata={}))
+    with pytest.raises(ValueError, match="no build metadata"):
+        with_bloom_membership(probe, "k", bare)
+    with pytest.raises(ValueError, match="no build metadata"):
+        # partial params are not enough either
+        with_bloom_membership(probe, "k", bare, m_bits=8192)
+    # fully explicit params matching the build restore FN=0
+    flags = {
+        r["k"]: r["bloom_pass"]
+        for r in with_bloom_membership(
+            probe, "k", bare, m_bits=8192, n_hashes=2, salt=""
+        ).collect()
+    }
+    assert flags[1] is True
+
+
+def test_lsh_bucket_signatures_skips_leading_null_vectors(spark):
+    """dims inference must come from the first NON-NULL, NON-EMPTY vector:
+    a corpus whose first row is null/empty used to silently return zero
+    buckets for every valid row (r5 ADVICE)."""
+    from ufc_data_warehouse_spark.operators.simsearch import (
+        lsh_bucket_signatures,
+    )
+
+    rows = [
+        (0, None),
+        (1, []),
+        (2, [1.0, -2.0, 0.5, 3.0]),
+        (3, [0.1, 0.2, -0.3, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = lsh_bucket_signatures(df, num_planes=4)
+    ids = {r["id"] for r in got.collect()}
+    assert ids == {2, 3}
+    # reference: the same corpus with the null/empty rows pre-filtered
+    clean = lsh_bucket_signatures(df.filter("vec_id >= 2"), num_planes=4)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, clean.collect())
+    )
+    # all-null corpus still returns the stable empty schema
+    empty = lsh_bucket_signatures(
+        df.filter("vec_id = 0"), num_planes=4
+    )
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["id", "bucket"]

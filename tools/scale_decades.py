@@ -7,10 +7,16 @@ or lightly-quadratic path can look "about 8x" at 10x). This probe adds
 the second decade: a sub-quadratic operator must grow ≤ ~factor per
 decade AND the 10x→100x ratio must not blow past the base→10x ratio.
 
-100x corpora are derived with the same decorrelation contract as the
-bench's 10x tier (see scalegen.py), with one substitution: documents use
-the factor-agnostic token-suffix transform (`scale_documents_suffix`,
-valid to 676x) instead of the character rotation (valid to 10x).
+Probe corpora are derived with the same decorrelation contract as the
+bench's 10x tier (see scalegen.py), with one substitution applied at
+EVERY probe factor (10x AND 100x): documents use the factor-agnostic
+token-suffix transform (`scale_documents_suffix`, valid to 676x)
+instead of the character rotation (valid to 10x). Using one generator
+across both tiers keeps the decade-over-decade ratios internally
+consistent — the probe's whole point — at the cost that this probe's
+10x document timings are NOT directly comparable to bench.py's
+rotation-based 10x tier (different generator, different token stream);
+compare decade ratios within this file, absolute times within bench.
 
 Usage: python tools/scale_decades.py [sf_dir] [out_json]
 Writes SCALE_DECADES.json at the repo root by default; one JSON line to

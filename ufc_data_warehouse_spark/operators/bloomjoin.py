@@ -174,8 +174,12 @@ def with_bloom_membership(
     false negatives, pruning rows that DO match) is rejected with a
     ``ValueError`` rather than trusted. Explicit arguments are only
     needed for a filter row that did not come from
-    :func:`bloom_filter_map` (e.g. read back from parquet, which drops
-    field metadata).
+    :func:`bloom_filter_map` (a Spark-parquet round-trip PRESERVES field
+    metadata — pinned by test — but a foreign writer/reader or a manual
+    reconstruction drops it) — and for such a row they are REQUIRED:
+    missing metadata with no explicit value raises instead of assuming
+    defaults (a non-default build would otherwise probe with the wrong
+    params and silently false-negative).
 
     The cross join is a 1-row broadcast (allowlisted nested-loop shape,
     same class as the scalar-stats crosses in tools/plan_audit.py); the
@@ -192,11 +196,30 @@ def with_bloom_membership(
                 f"bloom probe {name}={given!r} != build {built[name]!r}: "
                 "a build/probe parameter mismatch produces false negatives"
             )
-    m_bits = m_bits if m_bits is not None else built.get("m_bits", 16384)
-    n_hashes = (
-        n_hashes if n_hashes is not None else built.get("n_hashes", 3)
-    )
-    salt = salt if salt is not None else built.get("salt", "")
+    unknown = [
+        name
+        for name, given in (
+            ("m_bits", m_bits), ("n_hashes", n_hashes), ("salt", salt)
+        )
+        if given is None and name not in built
+    ]
+    if unknown:
+        # No build metadata for these params (filter row round-tripped
+        # through parquet, or built outside bloom_filter_map) and no
+        # explicit value: guessing defaults here is exactly the
+        # silent-false-negative mismatch the metadata coupling exists to
+        # prevent — refuse instead.
+        raise ValueError(
+            f"bloom filter row carries no build metadata for {unknown} "
+            "(fmap field metadata missing — filter built outside "
+            "bloom_filter_map, or round-tripped through a writer that "
+            "drops field metadata); pass explicit values matching the "
+            "build — guessed defaults would produce silent false "
+            "negatives"
+        )
+    m_bits = m_bits if m_bits is not None else built["m_bits"]
+    n_hashes = n_hashes if n_hashes is not None else built["n_hashes"]
+    salt = salt if salt is not None else built["salt"]
     return probe.crossJoin(F.broadcast(filter_row)).withColumn(
         flag,
         bloom_membership_expr(

@@ -260,11 +260,19 @@ def lsh_bucket_signatures(
     int64 sum, so its sign cannot depend on accumulation order — Spark
     and the DuckDB oracle agree bit-for-bit even for dots near 0.
     """
-    head = embeddings.select(F.size(vec_col).alias("d")).first()
+    # dims from the first NON-NULL, NON-EMPTY vector — a corpus whose
+    # first row happens to be null/empty must not zero out every bucket
+    head = (
+        embeddings.filter(
+            F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+        )
+        .select(F.size(vec_col).alias("d"))
+        .first()
+    )
     dims = head["d"] if head is not None else 0
     spark = embeddings.sparkSession
     if not dims or dims <= 0:
-        # empty corpus (or null first vector): no buckets, stable schema
+        # no usable vector anywhere: no buckets, stable schema
         return embeddings.select(
             F.col(id_col).alias("id"), F.lit(0).cast("long").alias("bucket")
         ).limit(0)
