@@ -62,6 +62,21 @@ def test_lowcard_window_detector_ignores_grouplimit_and_highcard():
         "+- Exchange hashpartitioning(event_type#2, _bkt#7, 32)\n"
     )
     assert pa.count_lowcard_windows(bucketed) == 0
+    # offsets-stitch shape: low-card partition but ordered by _bkt — the
+    # ≤ n_keys×n_buckets bucket-totals frame of the two-phase operators
+    offsets = (
+        "Window [sum(_cnt#5L) AS _we0#8L], [event_type#2],"
+        " [_bkt#7 ASC NULLS FIRST]\n"
+        "+- Sort [event_type#2 ASC, _bkt#7 ASC], false, 0\n"
+        "   +- Exchange hashpartitioning(event_type#2, 32)\n"
+    )
+    assert pa.count_lowcard_windows(offsets) == 0
+    # frame-free whole-partition window (empty order spec) still counts
+    framefree = (
+        "Window [sum(v#3L) AS s#9L], [event_type#2], []\n"
+        "+- Exchange hashpartitioning(event_type#2, 32)\n"
+    )
+    assert pa.count_lowcard_windows(framefree) == 1
 
 
 def test_dedup_cached_subtrees_keeps_relative_indentation():

@@ -1232,3 +1232,48 @@ def test_global_order_rank_partition_cols_matches_keyed_window(spark):
         df2, "v", ["id"], n_buckets=8, partition_cols=["k", "k2"]
     )
     assert g2.join(ref2, "id").filter("rn != rn_ref").count() == 0
+
+
+def test_global_prefix_max_matches_keyed_running_max(spark):
+    """Two-phase prefix max ≡ the running-max window, per key and
+    globally — including NULL values (max skips them; an all-NULL
+    prefix stays NULL), a NULL partition key (one group), and a
+    single-row group. The heavy window must ride
+    hashpartitioning(key, _bkt)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ufc_data_warehouse_spark.operators.scale import global_prefix_max
+
+    rows = [
+        (
+            i,
+            None if i == 400 else ["a", "b", None][i % 3],
+            None if i % 11 == 0 else ((i * 37) % 100) - 50,
+        )
+        for i in range(900)
+    ] + [(9999, "solo", 7)]
+    df = spark.createDataFrame(rows, "id long, k string, v long")
+    wref = Window.partitionBy("k").orderBy("id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ref = df.select("id", F.max("v").over(wref).alias("mx_ref"))
+    got = global_prefix_max(
+        df, value_col="v", order_col="id", n_buckets=8,
+        out_col="mx", partition_cols=["k"],
+    )
+    bad = got.join(ref, "id").filter("mx is distinct from mx_ref")
+    assert bad.count() == 0
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(k" in plan
+    assert "rangepartitioning" not in plan
+    # global (no partition key) variant
+    wg = Window.orderBy("id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    refg = df.select("id", F.max("v").over(wg).alias("mx_ref"))
+    gotg = global_prefix_max(df, value_col="v", order_col="id", n_buckets=8)
+    assert (
+        gotg.join(refg, "id").filter("runmax is distinct from mx_ref").count()
+        == 0
+    )

@@ -173,7 +173,23 @@ LOW_CARD_COLS = {
 # legitimately partition by a low-cardinality key because their INPUT is
 # already reduced (per-key-per-X aggregates, dimension-sized frames) —
 # the rule exists to stop low-card windows over RAW FACT rows
-EXPECTED_LOWCARD_WIN: dict[str, tuple[int, str]] = {}
+_DAILY_FRAME = "windows ride the <=types x days daily aggregate, not raw events"
+EXPECTED_LOWCARD_WIN: dict[str, tuple[int, str]] = {
+    "daily_event_growth": (1, _DAILY_FRAME),
+    "cusum_changepoint": (4, _DAILY_FRAME + " (run/idx/totals/argmax)"),
+    "ts_autocorr_daily": (1, _DAILY_FRAME),
+    "rank_movers_weekly": (
+        2,
+        "rank-within-week + lag-across-weeks over the <=weeks x types"
+        " weekly aggregate",
+    ),
+    "mad_value_outliers": (
+        6,
+        "cum/tot windows over the collapsed (type, DISTINCT value) and"
+        " (type, DISTINCT deviation) frames — bounded by the value"
+        " domain, not row count (VERDICT r4: checked and cleared)",
+    ),
+}
 
 
 def count_lowcard_windows(plan: str) -> int:
@@ -181,15 +197,26 @@ def count_lowcard_windows(plan: str) -> int:
     known low-cardinality columns and that have no WindowGroupLimit
     between themselves and their input Exchange. Physical Window lines
     print ``Window [funcs], [partSpec], [orderSpec]`` — the middle
-    bracket group names the hash keys."""
+    bracket group names the hash keys.
+
+    Windows whose ORDER spec references the library-internal ``_bkt``
+    column are skipped: that is the offsets-stitch pass of the
+    two-phase rank/prefix operators (operators/scale.py), which runs on
+    the ≤ n_keys × n_buckets bucket-totals frame by construction — the
+    machinery that REMOVES low-card raw-fact windows must not trip the
+    detector that hunts them."""
     lines = plan.splitlines()
     hits = 0
     for i, line in enumerate(lines):
-        m = re.search(r"\bWindow\s+\[.*\],\s+\[([^\]]*)\],\s+\[", line)
+        m = re.search(
+            r"\bWindow\s+\[.*\],\s+\[([^\]]*)\],\s+\[([^\]]*)\]", line
+        )
         if m is None:
             continue
         part_cols = set(re.findall(r"(\w+)#\d+", m.group(1)))
         if not part_cols or not part_cols <= LOW_CARD_COLS:
+            continue
+        if re.search(r"\b_bkt#\d+", m.group(2)):
             continue
         rescued = False
         for nxt in lines[i + 1 :]:

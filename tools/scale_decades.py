@@ -60,6 +60,15 @@ PROBES: dict[str, tuple[str, ...]] = {
     "text_token_rarity": ("documents",),
     "calibration_reliability_bins": ("events",),
     "pareto_abc_customers": ("customer", "orders"),
+    # r5: the de-weakened groupwise low-cardinality-key window queries
+    # (VERDICT r4 task 3) — partitioned two-phase rank must stay ~linear
+    # across both decades; the whole point of the rewrite is that no
+    # single key's partition ever becomes one task
+    "rank_family_orders": ("orders",),
+    "window_distribution": ("events",),
+    "grouped_quartiles": ("events",),
+    "target_encoding_loo": ("events",),
+    "curriculum_phases": ("documents",),
 }
 
 RUNS = 2  # best-of per (query, tier)

@@ -4492,23 +4492,32 @@ def q_event_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     delay) instead of guessing it. Lateness is exact integer
     microseconds (runmax − ts_us, ≥0 by construction); thresholds are
     integer compares and the max is floored to whole seconds with
-    integer div — no float, no timestamp arithmetic ambiguity. The
-    running max is a per-type prefix scan; at 100 TB the associative
-    scale path is per-ingest-batch maxima merged monotonically (max is
-    order-insensitive), not one giant ordered partition."""
+    integer div — no float, no timestamp arithmetic ambiguity.
+
+    De-weakened r5 (caught by the new LOWCARD-WINDOW audit rule): the
+    per-type running max used to be one ordered window task per
+    ~5-value event_type (~20 TB each at the 100 TB scale). Now the
+    two-phase prefix max (``global_prefix_max``): range-bucket on
+    event_id, running max within (type, bucket), exclusive prefix max
+    over the ≤ types × n_buckets bucket-maxima frame broadcast back —
+    max is associative and idempotent, so bucket order + in-bucket
+    order reproduces the row-order scan exactly."""
+    from .operators.scale import global_prefix_max
+
     ev = _read(spark, sf_dir, "events").select(
         "event_type",
         "event_id",
         F.expr("unix_micros(ts::timestamp)").alias("us"),
     )
-    runmax = F.max("us").over(
-        Window.partitionBy("event_type")
-        .orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     late = F.col("mx") - F.col("us")
     return (
-        ev.withColumn("mx", runmax)
+        global_prefix_max(
+            ev,
+            value_col="us",
+            order_col="event_id",
+            out_col="mx",
+            partition_cols=["event_type"],
+        )
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

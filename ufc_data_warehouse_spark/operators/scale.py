@@ -541,6 +541,126 @@ def _composite_splitters(
     return out
 
 
+def _range_bucketed(
+    df: DataFrame,
+    bkt_src: str,
+    n_buckets: int,
+    part_cols: list[str],
+    pk_alias: list[str],
+) -> DataFrame:
+    """Attach ``_bkt``: the value-range bucket of ``bkt_src`` — per
+    partition-key bounds when ``part_cols`` is given (a null-safe
+    broadcast join of the n_keys-row bounds frame, so one key's narrow
+    range doesn't collapse its rows into a handful of globally-derived
+    buckets; NULL keys form one group exactly like Window.partitionBy),
+    global bounds otherwise (1-row broadcast cross).
+
+    NULL bucket-source values -> bucket 0: the within-bucket window
+    sorts ASC NULLS FIRST, so fronting them preserves the "bucket order
+    + in-bucket order = total order" invariant (without the guard,
+    least() SKIPS the NULL arithmetic result and NULLs land in the LAST
+    bucket while still sorting first inside it — wrong ranks for every
+    row). Also covers the all-NULL frame (_lo/_hi NULL makes the
+    arithmetic NULL for every row). Bucket arithmetic runs in DOUBLE —
+    only monotonicity matters, and it cannot overflow for full-range
+    int64 keys the way (x-lo)*n in int64 can."""
+    if part_cols:
+        lo_hi = (
+            df.groupBy(*part_cols)
+            .agg(F.min(bkt_src).alias("_lo"), F.max(bkt_src).alias("_hi"))
+            .select(
+                *[F.col(c).alias(a) for c, a in zip(part_cols, pk_alias)],
+                "_lo",
+                "_hi",
+            )
+        )
+        cond = None
+        for c, a in zip(part_cols, pk_alias):
+            e = df[c].eqNullSafe(lo_hi[a])
+            cond = e if cond is None else cond & e
+        bounded = df.join(F.broadcast(lo_hi), cond).drop(*pk_alias)
+    else:
+        lo_hi = df.agg(
+            F.min(bkt_src).alias("_lo"), F.max(bkt_src).alias("_hi")
+        )
+        bounded = df.crossJoin(F.broadcast(lo_hi))
+    return (
+        bounded
+        .withColumn(
+            "_bkt",
+            F.expr(
+                f"cast(CASE WHEN cast({bkt_src} as double) IS NULL "
+                "THEN 0 "
+                f"ELSE least(cast({n_buckets - 1} as double), "
+                f"floor((cast({bkt_src} as double) - cast(_lo as double)) "
+                f"* {n_buckets} "
+                f"/ (cast(_hi as double) - cast(_lo as double) + 1.0d))) "
+                "END as int)"
+            ),
+        )
+        .drop("_lo", "_hi")
+    )
+
+
+def global_prefix_max(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    n_buckets: int = 256,
+    out_col: str = "runmax",
+    partition_cols: list[str] | tuple[str, ...] = (),
+) -> DataFrame:
+    """Running (prefix) MAX of ``value_col`` in ``order_col`` order —
+    per partition key when ``partition_cols`` is given — WITHOUT the
+    one-task-per-key window (``Window.partitionBy(low_card_key)
+    .orderBy(...)`` over raw rows: ~20 TB per key at the 100 TB scale).
+
+    Same two-phase shape as :func:`global_order_rank`, specialized to
+    the associative/idempotent MAX:
+
+    1. range-bucket the INTEGER ``order_col`` (per-key bounds, broadcast);
+    2. running max WITHIN each (key, bucket) — parallel across buckets;
+    3. per-(key, bucket) maxima (≤ n_keys × n_buckets rows) get an
+       EXCLUSIVE prefix max on that tiny frame, broadcast back;
+    4. ``out_col = greatest(local_running_max, preceding_buckets_max)``
+       — ``greatest`` skips NULL, so bucket 0 (no predecessor) and
+       all-NULL-so-far prefixes degrade exactly like the window.
+
+    Ties on ``order_col`` are safe for MAX whenever all tied rows carry
+    equal visibility requirements — unlike row_number, a prefix max over
+    a ROWS frame is only row-order-sensitive WITHIN a tie group, the
+    same nondeterminism the plain window has; use a unique order key for
+    full determinism."""
+    part_cols = list(partition_cols)
+    pk_alias = [f"_pk{i}" for i in range(len(part_cols))]
+    b = _range_bucketed(df, order_col, n_buckets, part_cols, pk_alias)
+    w_in = (
+        Window.partitionBy(*part_cols, "_bkt")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = b.withColumn("_local_mx", F.max(value_col).over(w_in))
+    totals = b.groupBy(*part_cols, "_bkt").agg(
+        F.max(value_col).alias("_bmx")
+    )
+    w_base = Window.partitionBy(*part_cols) if part_cols else Window
+    w_prev = w_base.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        *[F.col(c).alias(a) for c, a in zip(part_cols, pk_alias)],
+        F.col("_bkt").alias("_bkt_r"),
+        F.max("_bmx").over(w_prev).alias("_prev_mx"),
+    )
+    cond = local["_bkt"] == offsets["_bkt_r"]
+    for c, a in zip(part_cols, pk_alias):
+        cond = cond & local[c].eqNullSafe(offsets[a])
+    out = local.join(F.broadcast(offsets), cond).withColumn(
+        out_col, F.greatest("_local_mx", "_prev_mx")
+    )
+    return out.drop("_bkt", "_bkt_r", "_local_mx", "_prev_mx", *pk_alias)
+
+
 def global_order_rank(
     df: DataFrame,
     sort_col: str,
@@ -708,58 +828,8 @@ def global_order_rank(
         bkt = bisect(0, len(splitters)) if splitters else F.lit(0)
         b = df.withColumn("_bkt", bkt.cast("int"))
     else:
-        bkt_src = bucket_col or sort_col
-        if part_cols:
-            # per-key bounds: bucket arithmetic adapts to each key group's
-            # own value range (a broadcast frame of n_keys rows), so one
-            # group's narrow range doesn't collapse all its rows into a
-            # handful of globally-derived buckets. Null-safe join: NULL
-            # keys form one group, exactly like Window.partitionBy.
-            lo_hi = (
-                df.groupBy(*part_cols)
-                .agg(F.min(bkt_src).alias("_lo"), F.max(bkt_src).alias("_hi"))
-                .select(
-                    *[
-                        F.col(c).alias(a)
-                        for c, a in zip(part_cols, pk_alias)
-                    ],
-                    "_lo",
-                    "_hi",
-                )
-            )
-            cond = None
-            for c, a in zip(part_cols, pk_alias):
-                e = df[c].eqNullSafe(lo_hi[a])
-                cond = e if cond is None else cond & e
-            bounded = df.join(F.broadcast(lo_hi), cond).drop(*pk_alias)
-        else:
-            lo_hi = df.agg(
-                F.min(bkt_src).alias("_lo"), F.max(bkt_src).alias("_hi")
-            )
-            bounded = df.crossJoin(F.broadcast(lo_hi))
-        b = (
-            bounded
-            .withColumn(
-                "_bkt",
-                # NULL keys -> bucket 0: the within-bucket window sorts
-                # ASC NULLS FIRST, so fronting them preserves the
-                # "bucket order + in-bucket order = global order"
-                # invariant (without the guard, least() SKIPS the NULL
-                # arithmetic result and NULLs land in the LAST bucket
-                # while still sorting first inside it — wrong ranks for
-                # every row). Also covers the all-NULL frame (_lo/_hi
-                # NULL makes the arithmetic NULL for every row).
-                F.expr(
-                    f"cast(CASE WHEN cast({bkt_src} as double) IS NULL "
-                    "THEN 0 "
-                    f"ELSE least(cast({n_buckets - 1} as double), "
-                    f"floor((cast({bkt_src} as double) - cast(_lo as double)) "
-                    f"* {n_buckets} "
-                    f"/ (cast(_hi as double) - cast(_lo as double) + 1.0d))) "
-                    "END as int)"
-                ),
-            )
-            .drop("_lo", "_hi")
+        b = _range_bucketed(
+            df, bucket_col or sort_col, n_buckets, part_cols, pk_alias
         )
     order = [F.asc(sort_col)] + [F.asc(c) for c in tiebreak_cols]
     w_in = Window.partitionBy(*part_cols, "_bkt").orderBy(*order)

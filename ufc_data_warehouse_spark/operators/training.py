@@ -101,34 +101,39 @@ def token_bins(
     order (within ``group_col`` if given) and ``bin`` increments each time
     the running token total crosses ``budget``.
 
-    ``bin = exclusive_cumsum(tokens) // budget``. With a group key this is
-    a single window cumsum hashed on the group (parallel across groups —
-    the 100 TB shape: group by language/source shard). Without one, an
-    integer ``id_col`` routes through ``scale.global_prefix_sum`` — the
-    range-bucketed two-phase cumsum (bucket-local window + broadcast
-    per-bucket offsets), NEVER a single-partition global window; a
-    non-integer id falls back to the global window with this documented
-    small-frame-only caveat.
+    ``bin = exclusive_cumsum(tokens) // budget``. Any integer ``id_col``
+    routes through the range-bucketed two-phase cumsum
+    (``scale.global_order_rank`` with the group key as partition_cols —
+    bucket-local window + broadcast per-bucket offsets): NEVER a
+    single-partition global window, and — r5 — never one task per group
+    either (a low-cardinality group key like ``lang`` used to put each
+    language's entire corpus into ONE window task at 100 TB). A
+    non-integer id falls back to the keyed/global window with this
+    documented small-frame-only caveat.
     """
+    from pyspark.sql.types import IntegralType
+
     toks = F.col(token_col).cast("bigint")
-    if group_col is None:
-        from pyspark.sql.types import IntegralType
+    if isinstance(df.schema[id_col].dataType, IntegralType):
+        from .scale import global_order_rank
 
-        if isinstance(df.schema[id_col].dataType, IntegralType):
-            from .scale import global_prefix_sum
-
-            cum = global_prefix_sum(
-                df.withColumn("_tok", toks),
-                value_col="_tok",
-                order_col=id_col,
-                out_col="_cum",
-            )
-            return cum.withColumn(
-                "bin", ((F.col("_cum") - F.col("_tok")) / budget).cast("bigint")
-            ).drop("_tok", "_cum")
-        part = Window.partitionBy()
-    else:
-        part = Window.partitionBy(group_col)
+        cum = global_order_rank(
+            df.withColumn("_tok", toks),
+            sort_col=id_col,
+            value_col="_tok",
+            cum_col="_cum",
+            rn_col="_gor_rn",
+            total_col="_gor_n",
+            partition_cols=[group_col] if group_col is not None else (),
+        )
+        return cum.withColumn(
+            "bin", ((F.col("_cum") - F.col("_tok")) / budget).cast("bigint")
+        ).drop("_tok", "_cum", "_gor_rn", "_gor_n")
+    part = (
+        Window.partitionBy(group_col)
+        if group_col is not None
+        else Window.partitionBy()
+    )
     w = part.orderBy(F.asc(id_col)).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
