@@ -139,12 +139,57 @@ def old_curriculum_phases(spark, sf_dir):
     )
 
 
+def old_pack_token_bins(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        "lang",
+        (F.floor(F.col("n_chars") / 4) + 1).cast("bigint").alias("tokens"),
+    )
+    toks = F.col("tokens").cast("bigint")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.asc("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_excl = F.sum(toks).over(w) - toks
+    return docs.withColumn("bin", (cum_excl / 4096).cast("bigint")).orderBy(
+        "id"
+    )
+
+
+def old_event_disorder_audit(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(ts::timestamp)").alias("us"),
+    )
+    runmax = F.max("us").over(
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = F.col("mx") - F.col("us")
+    return (
+        ev.withColumn("mx", runmax)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(late > 60_000_000, 1)).alias("n_late_60s"),
+            F.count(F.when(late > 3_600_000_000, 1)).alias("n_late_1h"),
+            F.expr("max(mx - us) div 1000000").alias("max_lateness_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
 OLD = {
     "rank_family_orders": old_rank_family_orders,
     "window_distribution": old_window_distribution,
     "grouped_quartiles": old_grouped_quartiles,
     "target_encoding_loo": old_target_encoding_loo,
     "curriculum_phases": old_curriculum_phases,
+    "pack_token_bins": old_pack_token_bins,
+    "event_disorder_audit": old_event_disorder_audit,
 }
 
 

@@ -311,13 +311,29 @@ def q_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("id"), "lang", "n_chars"
     )
-    scored = q.join(docs, "id").withColumn(
-        "_negq", -F.col("quality")
+    # persist the COMPACT scored projection (id, lang, n_chars, quality —
+    # no text): the two-phase rank references its input 3x (splitter
+    # sample, rows, totals) and the upstream lineage here is a full-text
+    # tokenize+score — exactly the expensive-lineage case the
+    # global_order_rank docstring tells callers to pre-materialize
+    # (rfm_customer_segments precedent). Measured: 5.47s -> see
+    # AB_LOWCARD_r05.json for the committed A/B.
+    scored = (
+        q.join(docs, "id")
+        .withColumn("_negq", -F.col("quality"))
+        .select("id", "lang", "n_chars", "quality", "_negq")
+        .persist()
     )
+    # n_buckets=64: the equi-depth bisect embeds n_buckets-1 splitter
+    # literals, and Catalyst's per-call analysis of that expression
+    # dominates this query's driver time at 256 (measured best-of-3 at
+    # sf0.1: 4.65s @256 -> 2.00s @64 -> 1.44s @32); 64 keeps max task
+    # ~ N/64 — the knob a 100 TB caller raises with cluster size.
     ranked = global_order_rank(
         scored,
         "_negq",
         ["id"],
+        n_buckets=64,
         partition_cols=["lang"],
         equi_depth=True,
     )
