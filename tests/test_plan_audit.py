@@ -79,6 +79,36 @@ def test_lowcard_window_detector_ignores_grouplimit_and_highcard():
     assert pa.count_lowcard_windows(framefree) == 1
 
 
+def test_lowcard_python_group_detector():
+    pa = _load()
+    bad = (
+        "FlatMapGroupsInPandas [event_type#2], normalize(event_id#1L,"
+        " event_type#2, value#3), [event_id#10L, event_type#11, value#12]\n"
+        "+- Exchange hashpartitioning(event_type#2, 32)\n"
+    )
+    assert pa.count_lowcard_python_groups(bad) == 1
+    ok = bad.replace("event_type#2]", "user_id#4L]")
+    assert pa.count_lowcard_python_groups(ok) == 0
+    agg = (
+        "AggregateInPandas [lang#2], [median_udaf(value#3)]\n"
+        "+- Exchange hashpartitioning(lang#2, 32)\n"
+    )
+    assert pa.count_lowcard_python_groups(agg) == 1
+    # the grouped-agg pandas UDAF's ACTUAL Spark 4 node name (verified
+    # against a live plan: udafs.robust_stats keyed by event_type)
+    arrow_agg = (
+        "+- !ArrowAggregatePython [event_type#3], [median_agg(value#4)#8],"
+        " [event_type#3, n#12L]\n"
+    )
+    assert pa.count_lowcard_python_groups(arrow_agg) == 1
+    assert (
+        pa.count_lowcard_python_groups(
+            arrow_agg.replace("event_type#3]", "user_id#9L]")
+        )
+        == 0
+    )
+
+
 def test_dedup_cached_subtrees_keeps_relative_indentation():
     pa = _load()
     # two InMemoryRelation bodies with the SAME node lines but DIFFERENT

@@ -230,6 +230,25 @@ def count_lowcard_windows(plan: str) -> int:
     return hits
 
 
+def count_lowcard_python_groups(plan: str) -> int:
+    """Grouped-map / cogrouped-map / grouped-agg PYTHON nodes whose
+    grouping keys are all low-cardinality columns — the pandas/Arrow
+    twin of the LOWCARD-WINDOW shape: these operators materialize each
+    group in ONE task (no partial aggregation exists for them), so a
+    ~5-value key hands one executor ~1/5 of the table."""
+    hits = 0
+    for m in re.finditer(
+        r"(FlatMapGroupsInPandas|FlatMapGroupsInArrow|"
+        r"FlatMapCoGroupsInPandas|AggregateInPandas|"
+        r"ArrowAggregatePython|AggregateInPandasExec)\s+\[([^\]]*)\]",
+        plan,
+    ):
+        cols = set(re.findall(r"(\w+)#\d+", m.group(2)))
+        if cols and cols <= LOW_CARD_COLS:
+            hits += 1
+    return hits
+
+
 def count_global_windows(plan: str) -> int:
     """Window physical nodes whose nearest downstream Exchange is
     SinglePartition — the partition-less global-window shape. Tree-text
@@ -338,6 +357,8 @@ def main() -> None:
             n_lc = count_lowcard_windows(plan)
             if n_lc > EXPECTED_LOWCARD_WIN.get(name, (0,))[0]:
                 flags.append("LOWCARD-WINDOW")
+            if count_lowcard_python_groups(plan) > 0:
+                flags.append("LOWCARD-PYGROUP")
             summary = (
                 f"exch={stats['exch']} bhj={stats['bhj']} smj={stats['smj']} "
                 f"nlj={stats['nlj']} win={stats['win']}"

@@ -83,9 +83,14 @@ def q_ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_grouped_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-type min-max normalization via grouped-map applyInPandas."""
+    """Per-USER min-max normalization via grouped-map applyInPandas.
+
+    Keyed by user_id (r5): grouped-map materializes each group as ONE
+    pandas frame in one task, so the demo key must be high-cardinality —
+    the prior event_type key (~5 values) was the grouped-map twin of the
+    LOWCARD-WINDOW shape (one ~20 TB pandas frame per type at 100 TB)."""
     return grouped.minmax_normalize(
-        _read(spark, sf_dir, "events"), "event_type", "value"
+        _read(spark, sf_dir, "events"), "user_id", "value"
     ).orderBy("event_id")
 
 
@@ -233,13 +238,13 @@ SELECT floor(value / 25.0)::BIGINT AS bucket, count(*) AS n,
   sum(value::DECIMAL(18,4))::DOUBLE AS sum_value
 FROM events GROUP BY 1 ORDER BY 1""",
     "grouped_minmax_norm": """
-SELECT event_id, event_type, value,
+SELECT event_id, user_id, value,
   CASE WHEN max(value) OVER w = min(value) OVER w THEN value * 0.0
        ELSE (value - min(value) OVER w)
             / (max(value) OVER w - min(value) OVER w)
   END AS norm_value
 FROM events
-WINDOW w AS (PARTITION BY event_type)
+WINDOW w AS (PARTITION BY user_id)
 ORDER BY event_id""",
     "cogroup_asof_view_purchase": """
 SELECT p.user_id, p.event_id AS left_event_id, p.ts AS left_ts,
@@ -259,11 +264,13 @@ ORDER BY id_1, id_2""",
 
 
 def q_arrow_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-native grouped map (applyInArrow): per-type integer stats,
-    zero pandas materialization."""
+    """Arrow-native grouped map (applyInArrow): per-USER integer stats,
+    zero pandas materialization. Keyed by user_id (r5): like every
+    grouped-map, the whole group lands in one task — a low-cardinality
+    key would make each group ~1/|keys| of the table."""
     return grouped.group_id_stats_arrow(
-        _read(spark, sf_dir, "events"), "event_type"
-    ).orderBy("event_type")
+        _read(spark, sf_dir, "events"), "user_id"
+    ).orderBy("user_id")
 
 
 def q_nullsafe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -319,9 +326,9 @@ ANALYTICS_QUERIES.update(
 ANALYTICS_ORACLES.update(
     {
         "arrow_group_stats": """
-SELECT event_type, count(*) AS n, min(event_id) AS min_id,
+SELECT user_id, count(*) AS n, min(event_id) AS min_id,
   max(event_id) AS max_id
-FROM events GROUP BY event_type ORDER BY event_type""",
+FROM events GROUP BY user_id ORDER BY user_id""",
         "nullsafe_join_counts": """
 WITH l AS (
   SELECT CASE WHEN event_id % 7 != 0 THEN user_id END AS k, event_id

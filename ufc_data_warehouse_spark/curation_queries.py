@@ -395,22 +395,29 @@ ORDER BY user_id"""
 
 def q_udaf_robust_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched grouped-agg UDAF: exact median + MAD of event value
-    per event_type (one keyed exchange, one Arrow batch per group)."""
+    per USER (one keyed exchange, one Arrow batch per group).
+
+    Keyed by user_id (r5): a grouped-agg pandas UDAF has no mergeable
+    partial form — Spark feeds each group's ENTIRE value series to one
+    task — so the demo key must be high-cardinality. The prior
+    event_type key (~5 values) meant one task buffering ~1/5 of the
+    table at 100 TB; exact per-low-card-key medians belong to the
+    distinct-value-count shape (mad_value_outliers) instead."""
     from .operators import udafs
 
     events = _read(spark, sf_dir, "events")
-    return udafs.robust_stats(events, "event_type", "value")
+    return udafs.robust_stats(events, "user_id", "value")
 
 
 _UDAF_ORACLE = """
 WITH med AS (
-  SELECT event_type, median(value) AS m FROM events GROUP BY event_type
+  SELECT user_id, median(value) AS m FROM events GROUP BY user_id
 )
-SELECT e.event_type, count(*) AS n,
+SELECT e.user_id, count(*) AS n,
   round(median(e.value), 6) AS median_value,
   round(median(abs(e.value - m.m)), 6) AS mad_value
-FROM events e JOIN med m USING (event_type)
-GROUP BY e.event_type ORDER BY e.event_type"""
+FROM events e JOIN med m USING (user_id)
+GROUP BY e.user_id ORDER BY e.user_id"""
 
 
 # ---------------------------------------------------------------------------

@@ -14,9 +14,15 @@ per-group curve fitting). The semantics are pinned to engine-neutral
 definitions so a plain-SQL oracle can verify them bit-for-bit.
 
 Scale posture: ``applyInPandas`` is ONE hash exchange on the group key;
-each group must fit in one executor's memory as a pandas frame — fine
-for per-user/per-type groups (bounded cardinality per key), wrong for
-whole-table groups. Arrow transfers batches columnar; no per-row Python.
+each group must fit in one executor's memory as a pandas/Arrow frame —
+fine for HIGH-CARDINALITY keys (per-user, per-document: bounded rows
+per key), wrong for whole-table groups AND for low-cardinality keys
+(a ~5-value key like event_type makes each group ~1/5 of the table —
+one executor materializes ~20 TB at the 100 TB scale, the grouped-map
+twin of the LOWCARD-WINDOW shape tools/plan_audit.py flags). The demo
+queries key by user_id for exactly this reason; per-low-card-key
+statistics belong in JVM partial aggs (groupBy) or the two-phase rank
+operators. Arrow transfers batches columnar; no per-row Python.
 """
 
 from __future__ import annotations
@@ -38,7 +44,10 @@ def minmax_normalize(df: DataFrame, key: str, value: str) -> DataFrame:
     """
     import pandas as pd
 
-    out_schema = f"event_id long, {key} string, {value} double, norm_value double"
+    key_type = dict(df.dtypes)[key]
+    out_schema = (
+        f"event_id long, {key} {key_type}, {value} double, norm_value double"
+    )
 
     def normalize(pdf: "pd.DataFrame") -> "pd.DataFrame":
         lo = pdf[value].min()
@@ -168,7 +177,8 @@ def group_id_stats_arrow(df: DataFrame, key: str) -> DataFrame:
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    out_schema = f"{key} string, n long, min_id long, max_id long"
+    key_type = dict(df.dtypes)[key]
+    out_schema = f"{key} {key_type}, n long, min_id long, max_id long"
 
     def stats(t: "pa.Table") -> "pa.Table":
         ids = t.column("event_id")
