@@ -241,3 +241,43 @@ def test_bloom_filter_has_no_false_negatives_and_bounded_fp(spark):
     expected = (1 - math.exp(-3 * n / 16384)) ** 3
     if row["fp_ppm"] is not None:
         assert row["fp_ppm"] <= max(3 * expected * 1e6, 500)
+
+
+def test_no_lowcard_raw_fact_windows_or_python_groups(spark):
+    """The r5 de-weakened queries must not regress to the
+    one-task-per-key shapes: no Window partitioned ONLY by a
+    low-cardinality column without a group-limit (count_lowcard_windows)
+    and no pandas/Arrow grouped node keyed only by one
+    (count_lowcard_python_groups) — the same rules tools/plan_audit.py
+    enforces over the full contract, pinned here for the ten queries
+    this round rewrote so a regression fails the suite, not just the
+    next audit run."""
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "tools", "plan_audit.py"
+    )
+    spec = importlib.util.spec_from_file_location("plan_audit", path)
+    pa = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pa)
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    names = [
+        "rank_family_orders",
+        "window_distribution",
+        "grouped_quartiles",
+        "target_encoding_loo",
+        "curriculum_phases",
+        "pack_token_bins",
+        "event_disorder_audit",
+        "grouped_minmax_norm",
+        "arrow_group_stats",
+        "udaf_robust_value_stats",
+    ]
+    for name in names:
+        plan = pa.dedup_cached_subtrees(_plan(qs[name](spark, SF_DIR)))
+        assert pa.count_lowcard_windows(plan) == 0, name
+        assert pa.count_lowcard_python_groups(plan) == 0, name
