@@ -167,6 +167,12 @@ LOW_CARD_COLS = {
     "l_returnflag",
     "l_linestatus",
     "split",
+    # r5 widening: the remaining few-valued columns of the schema
+    "r_name",  # 5 regions
+    "n_name",  # 25 nations
+    "p_brand",  # 25 brands
+    "p_mfgr",  # 5 manufacturers
+    "c_mktsegment",  # 5 segments
 }
 
 # name -> (max expected count, bounded-frame justification): windows that
@@ -187,7 +193,19 @@ EXPECTED_LOWCARD_WIN: dict[str, tuple[int, str]] = {
         6,
         "cum/tot windows over the collapsed (type, DISTINCT value) and"
         " (type, DISTINCT deviation) frames — bounded by the value"
-        " domain, not row count (VERDICT r4: checked and cleared)",
+        " domain, not row count (VERDICT r4: checked and cleared;"
+        " distinct/row ratio measured FALLING 0.66->0.18 at sf0.01->0.1,"
+        " i.e. the domain saturates)",
+    ),
+    "nation_revenue_share": (
+        1,
+        "share-of-region window over the <=|region x nation| (5x25)"
+        " aggregate, never raw lineitem",
+    ),
+    "weighted_median_price": (
+        1,
+        "running-sum window over the <=|brands| x |distinct price cents|"
+        " collapsed frame — bounded by the price domain",
     ),
 }
 
