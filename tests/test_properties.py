@@ -371,6 +371,56 @@ def test_global_prefix_sum_matches_running_total(spark, values, n_buckets):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),  # partition key (few groups, heavy ties)
+            st.integers(-50, 50),  # sort key (ties likely)
+            st.integers(-100, 100),  # summed value
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(1, 8),
+    st.booleans(),
+)
+def test_global_order_rank_partitioned_property(spark, rows, n_buckets, eq):
+    """Partitioned two-phase rank/prefix-sum/total == a pure-Python
+    per-key running reference for ANY keyed frame, bucket count, and
+    bucket mode — row ids are the tiebreak so every rank is total."""
+    from ufc_data_warehouse_spark.operators.scale import global_order_rank
+
+    data = [(i, k, v, w) for i, (k, v, w) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, k long, v long, w long")
+    got = {
+        (r["id"], r["rn"], r["cum"], r["n_total"])
+        for r in global_order_rank(
+            df,
+            "v",
+            ["id"],
+            n_buckets=n_buckets,
+            value_col="w",
+            equi_depth=eq,
+            partition_cols=["k"],
+        ).collect()
+    }
+    want = set()
+    for key in {k for _, k, _, _ in data}:
+        grp = sorted(
+            (v, i, w) for i, k, v, w in data if k == key
+        )
+        run = 0
+        for rn, (v, i, w) in enumerate(grp, start=1):
+            run += w
+            want.add((i, rn, run, len(grp)))
+    assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
     st.lists(st.integers(0, 6), min_size=1, max_size=40),
     st.lists(st.tuples(st.integers(0, 6), st.integers(0, 100)), max_size=10),
 )
