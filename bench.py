@@ -80,15 +80,28 @@ def slim_stdout_line(result: dict, limit: int = 1900) -> str:
     capture window. The driver keeps only the LAST 2,000 chars of stdout;
     a longer line truncates the JSON *head* and parses as null — this
     killed the structured record in BENCH_r03 AND BENCH_r04 (VERDICT r4
-    task 1). Sheds optional detail fields until the line fits, then
-    hard-fails rather than ever printing an unparseable line."""
-    line = json.dumps(result, separators=(",", ":"))
+    task 1). Sheds optional detail fields until the line fits; if even
+    that isn't enough, falls back to the minimal always-parseable record
+    rather than asserting (r5 ADVICE: the old bare assert vanished under
+    ``python -O``, and firing inside the try discarded the whole stdout
+    record). Works on a COPY — the caller's dict is not mutated."""
+    slim = dict(result)
+    line = json.dumps(slim, separators=(",", ":"))
     for victim in ("slowest", "metric", "loadavg"):
         if len(line) < limit:
             break
-        result.pop(victim, None)
-        line = json.dumps(result, separators=(",", ":"))
-    assert len(line) < limit, f"bench stdout line {len(line)} chars"
+        slim.pop(victim, None)
+        line = json.dumps(slim, separators=(",", ":"))
+    if len(line) >= limit:
+        # last resort: the driver needs value/unit/sf above all else —
+        # a tiny valid record beats a head-truncated null
+        minimal = {
+            k: result[k]
+            for k in ("value", "unit", "sf", "n_queries")
+            if k in result
+        }
+        minimal["note"] = "slimmed: full record in BENCH.local.json"
+        line = json.dumps(minimal, separators=(",", ":"))
     return line
 
 
@@ -100,6 +113,12 @@ def main() -> None:
     from ufc_data_warehouse_spark.synth import ufc_raw_tables
 
     spark = get_spark(app_name="ufc-bench")
+    # VERDICT r5 task 3: hundreds of benign "WindowExec: No Partition
+    # Defined" WARNs (every partition-less window here rides a bounded
+    # frame — audited in tools/plan_audit.py) were eating the driver's
+    # 2,000-char stdout-tail capture margin. ERROR level for the bench
+    # session only; the JSON line is printed from Python, unaffected.
+    spark.sparkContext.setLogLevel("ERROR")
     spark.range(1).count()  # JVM/scheduler warm-up is not ingest cost
 
     # ---- noise guard (VERDICT r4 task 4): a fixed CPU-bound canary job +

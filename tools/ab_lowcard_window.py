@@ -1,6 +1,8 @@
 """A/B: the five de-weakened groupwise-window queries (VERDICT r4 task 3)
-vs their old single-window-per-key shapes, at sf0.1, best-of-3 each,
-alternating A/B/A/B to cancel box-load drift.
+vs their old single-window-per-key shapes, at sf0.1, best-of-3 each.
+Individual runs are INTERLEAVED old,new,old,new,... within each query
+(r5 ADVICE: the earlier version ran all-old then all-new back-to-back,
+so a load spike during one block biased that side's best-of-3).
 
 The rewrite exists for 100 TB behavior (no ~20 TB single task per key
 value), not for sf0.1 wall time — the two-phase rank evaluates its input
@@ -206,21 +208,29 @@ def main() -> None:
     spark = get_spark(app_name="ab-lowcard")
     spark.range(1).count()
 
-    def best(fn) -> float:
-        spark.sparkContext._jvm.System.gc()
-        b = float("inf")
+    def best_interleaved(fn_a, fn_b) -> tuple[float, float]:
+        # a,b,a,b,...: a load spike hits BOTH sides' best-of-RUNS
+        # instead of biasing whichever block it landed in (r5 ADVICE)
+        ba = bb = float("inf")
         for _ in range(RUNS):
-            t0 = time.perf_counter()
-            fn()
-            b = min(b, time.perf_counter() - t0)
-        return b
+            for fn, setter in ((fn_a, "a"), (fn_b, "b")):
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.perf_counter()
+                fn()
+                dt = time.perf_counter() - t0
+                if setter == "a":
+                    ba = min(ba, dt)
+                else:
+                    bb = min(bb, dt)
+        return ba, bb
 
     results: dict = {}
     try:
         for name, old_fn in OLD.items():
-            # alternate old/new within the same window of box time
-            t_old = best(lambda: old_fn(spark, sf_dir).count())
-            t_new = best(lambda: qs[name](spark, sf_dir).count())
+            t_old, t_new = best_interleaved(
+                lambda: old_fn(spark, sf_dir).count(),
+                lambda: qs[name](spark, sf_dir).count(),
+            )
             results[name] = {
                 "old_single_window_sec": round(t_old, 4),
                 "new_two_phase_sec": round(t_new, 4),

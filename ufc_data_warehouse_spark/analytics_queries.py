@@ -1902,15 +1902,20 @@ def q_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     per event_type at the 100 TB scale). The frame-free window is
     mechanically a per-key aggregate, so it is now a groupBy(event_type)
     (map-side partial agg, 5-row result) broadcast-joined back onto the
-    fact rows — no row ever shuffles on the low-cardinality key."""
+    fact rows — no row ever shuffles on the low-cardinality key. The
+    stitch join is eqNullSafe (r5 ADVICE): the whole-partition window it
+    replaced grouped NULL event_type as one partition, and a plain
+    equi-join would silently drop those rows if NULLs ever appear."""
     ev = _read(spark, sf_dir, "events")
     cents = F.floor(F.col("value") * 100).cast("long")
     base = ev.select("event_id", "event_type", cents.alias("cents"))
     cat = base.groupBy("event_type").agg(
         F.sum("cents").alias("cat_sum"),
         F.count(F.lit(1)).alias("cat_n"),
-    )
-    base = base.join(F.broadcast(cat), "event_type")
+    ).withColumnRenamed("event_type", "_et")
+    base = base.join(
+        F.broadcast(cat), base["event_type"].eqNullSafe(cat["_et"])
+    ).drop("_et")
     ok = F.col("cat_n") > 1
     return base.select(
         "event_id",

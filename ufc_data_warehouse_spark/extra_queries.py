@@ -1370,7 +1370,10 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_ntile_expr. first_value/nth_value(2) over the default
     running frame are the partition's first two rows for every row with
     rn ≥ their position — a 2-rows-per-key frame (rn <= 2) pivoted and
-    broadcast back, NULL while the frame hasn't reached row 2."""
+    broadcast back, NULL while the frame hasn't reached row 2. The
+    stitch join is eqNullSafe (r5 ADVICE): groupBy puts NULL event_type
+    in one group exactly like Window.partitionBy, and a plain equi-join
+    would silently drop those rows if NULL keys ever appear."""
     from ufc_data_warehouse_spark.operators.scale import (
         exact_ntile_expr,
         global_order_rank,
@@ -1391,10 +1394,11 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "_second_id"
             ),
         )
+        .withColumnRenamed("event_type", "_et")
     )
     n1 = F.col("n_total") - F.lit(1)
     return (
-        g.join(F.broadcast(heads), "event_type")
+        g.join(F.broadcast(heads), g["event_type"].eqNullSafe(heads["_et"]))
         .select(
             "event_id",
             "event_type",

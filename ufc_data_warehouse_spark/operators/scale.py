@@ -728,18 +728,30 @@ def global_order_rank(
     group instead of globally — the remedy for the groupwise cousin of
     the global-window killer, ``Window.partitionBy(low_card_key)
     .orderBy(...)`` over raw fact rows (5 distinct event_types = 5 tasks,
-    one sorting ~20 TB each at the 100 TB scale). Buckets stay a pure
-    function of the ORDER key alone (never of the partition key), so the
-    within-(partition, bucket) window order + bucket order is still each
-    partition's total order, and — because every (pk, bkt) task is a
-    subset of a global bucket — the largest task is bounded by the
-    GLOBAL bucket depth ≈ N/n_buckets regardless of key skew. Per-key
-    bounds/counts ride broadcast frames of ≤ n_keys (× n_buckets) rows;
-    joins on the partition key are null-safe, so NULL keys form one
-    group exactly like ``Window.partitionBy``. ``rn_col``/``cum_col``/
-    ``total_col`` become per-key quantities (``total_col`` = the key
-    group's row count), which is precisely what closed-form ntile /
-    percent_rank / cume_dist per group need.
+    one sorting ~20 TB each at the 100 TB scale). In either mode the
+    bucket is constant across rows tied on the full order key, so
+    within-(partition, bucket) window order + bucket order is each
+    partition's total order. The task-size bound differs by mode
+    (r5 ADVICE — the earlier claim of one global N/n_buckets bound for
+    both was wrong for value-range). Value-range mode (the default)
+    computes PER-KEY min/max bounds (``_range_bucketed``, an
+    ≤ n_keys-row null-safe broadcast join), so ``_bkt`` depends on the
+    partition key too and a (pk, bkt) task is a slice of that key's OWN
+    value range: every key group gets the full n_buckets of
+    parallelism, and the largest task is ~key_rows/n_buckets under
+    in-key value uniformity — but a key whose values pile onto one
+    point still concentrates in one bucket. ``equi_depth=True`` samples
+    GLOBAL composite splitters of the order key alone, so buckets are
+    key-independent and every (pk, bkt) task is a subset of a global
+    equi-depth bucket — largest task ≤ global bucket depth
+    ≈ N/n_buckets regardless of in-key value skew, at the cost of
+    uneven per-key bucket fill. Per-key bounds/counts ride broadcast
+    frames of ≤ n_keys (× n_buckets) rows; joins on the partition key
+    are null-safe, so NULL keys form one group exactly like
+    ``Window.partitionBy``. ``rn_col``/``cum_col``/``total_col`` become
+    per-key quantities (``total_col`` = the key group's row count),
+    which is precisely what closed-form ntile / percent_rank /
+    cume_dist per group need.
 
     Output columns: ``rn_col`` (1-based global row number, long),
     ``total_col`` (global row count, long), and ``cum_col`` (inclusive
