@@ -35,26 +35,23 @@ def _model_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
-def _driver_verified(directory: str | None = None) -> set[str]:
-    """Query names already green in a prior round's CORRECTNESS_r*.json.
+def _green_rounds(directory: str | None = None) -> dict[str, int]:
+    """name -> LATEST round with a fully-green CORRECTNESS row.
 
-    The driver checks a fixed-size prefix of ``queries()`` per round, so
-    rotating already-verified names to the back makes each round's window
-    land on fresh queries — cumulative driver-green coverage across
-    rounds instead of re-checking the same 50. The CORRECTNESS_r*.json
-    inputs this depends on are committed to the repo by the driver each
-    round, so the ordering is reproducible from a checkout.
-
-    Verified REQUIRES ``hash_match is True`` — a missing/None hash_match
+    Green REQUIRES ``hash_match is True`` — a missing/None hash_match
     (e.g. a driver-format change) must not silently rotate an unverified
-    query out of the window.
+    query out of the window. An unparseable round number in the filename
+    counts as round 0 (green, but staler than any REVERIFY entry).
     """
     import glob
     import json
 
     here = directory or os.path.dirname(os.path.abspath(__file__))
-    verified: set[str] = set()
+    green: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        base = os.path.basename(path)
+        digits = base[len("CORRECTNESS_r"):].split(".", 1)[0]
+        rnd = int(digits) if digits.isdigit() else 0
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -70,8 +67,67 @@ def _driver_verified(directory: str | None = None) -> set[str]:
                 and row.get("schema_match") is True
                 and row.get("hash_match") is True
             ):
-                verified.add(name)
-    return verified
+                green[name] = max(green.get(name, 0), rnd)
+    return green
+
+
+def _reverify_stale(directory: str | None = None) -> dict[str, int]:
+    """name -> last round whose green rows are STALE (VERDICT r5 task 2).
+
+    ``REVERIFY.txt`` lines ``<name> <round>`` record that the named
+    query's implementation was rewritten during round ``<round>``, so a
+    green CORRECTNESS row from any round ≤ ``<round>`` certifies the OLD
+    code and must not rotate the name out of the driver window. The
+    builder appends a line on every behavioral rewrite of an
+    already-green query; an entry clears itself once a NEWER green row
+    lands (``_driver_verified`` compares rounds), so stale lines are
+    harmless to keep committed.
+    """
+    here = directory or os.path.dirname(os.path.abspath(__file__))
+    out: dict[str, int] = {}
+    try:
+        with open(os.path.join(here, "REVERIFY.txt")) as f:
+            for raw in f:
+                line = raw.split("#", 1)[0].strip()
+                if not line:
+                    continue
+                parts = line.split()
+                if len(parts) == 2 and parts[1].lstrip("r").isdigit():
+                    rnd = int(parts[1].lstrip("r"))
+                    out[parts[0]] = max(out.get(parts[0], 0), rnd)
+    except OSError:
+        pass
+    return out
+
+
+def _driver_verified(directory: str | None = None) -> set[str]:
+    """Query names verified by the driver AGAINST THEIR CURRENT CODE.
+
+    The driver checks a fixed-size prefix of ``queries()`` per round, so
+    rotating already-verified names to the back makes each round's window
+    land on fresh queries — cumulative driver-green coverage across
+    rounds instead of re-checking the same 50. The CORRECTNESS_r*.json
+    inputs this depends on are committed to the repo by the driver each
+    round, so the ordering is reproducible from a checkout.
+
+    A name is verified iff its latest green round is NEWER than its
+    REVERIFY.txt stale round (if any): a green row that predates a
+    rewrite certifies code that no longer exists (VERDICT r5 task 2 —
+    window_distribution's r04 row vs its r5 rewrite).
+    """
+    green = _green_rounds(directory)
+    stale = _reverify_stale(directory)
+    return {n for n, r in green.items() if r > stale.get(n, -1)}
+
+
+def _reverify_resample(directory: str | None = None) -> list[str]:
+    """Previously-green names whose green predates a rewrite — they get
+    first claim on the regression-resample slots (they ARE the names
+    most in need of a driver re-check), keeping the fresh-slot count of
+    the window intact."""
+    green = _green_rounds(directory)
+    stale = _reverify_stale(directory)
+    return sorted(n for n, r in stale.items() if n in green and green[n] <= r)
 
 
 # Families the judge asked to see driver-verified next (VERDICT r2 task 1:
@@ -124,9 +180,12 @@ def _round_index() -> int:
     return len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))) + 1
 
 
-def _rotation_key(verified: set[str]):
+def _rotation_key(verified: set[str], reverify_fresh: set[str] = frozenset()):
     def key(item: tuple[int, str]) -> tuple[int, int, int]:
         pos, name = item
+        if name in reverify_fresh and name not in verified:
+            # rewritten-and-never-green: must not miss this round's window
+            return (-1, 0, pos)
         if name in verified:
             return (3, 0, pos)
         for i, prefix in enumerate(_ROTATION_PRIORITY):
@@ -143,6 +202,8 @@ def _rotated(
     names: list[str],
     verified: set[str] | None = None,
     round_idx: int | None = None,
+    reverify_fresh: set[str] | None = None,
+    reverify_resample: list[str] | None = None,
 ) -> list[str]:
     """Order ``names`` so the driver's fixed 50-prefix lands on fresh work.
 
@@ -151,14 +212,37 @@ def _rotated(
     stays green regardless of what the driver has committed (VERDICT r3
     task 1 — the previous window-composition test asserted the mutable
     repo state and went stale every round).
+
+    Rewrite-awareness (VERDICT r5 task 2): REVERIFY.txt names whose last
+    green row predates their rewrite re-enter the window — the
+    never-green ones at the very FRONT (they've never been checked at
+    all), the previously-green ones as the leading regression-resample
+    slots (a re-check of a prior green is exactly what the resample
+    budget exists for, so fresh-slot count is preserved).
     """
     if verified is None:
         verified = _driver_verified()
     if round_idx is None:
         round_idx = _round_index()
-    indexed = sorted(enumerate(names), key=_rotation_key(verified))
+    if reverify_fresh is None:
+        green = _green_rounds()
+        stale = _reverify_stale()
+        reverify_fresh = {
+            n for n, r in stale.items()
+            if n not in green and n in set(names)
+        }
+    if reverify_resample is None:
+        reverify_resample = _reverify_resample()
+    indexed = sorted(enumerate(names), key=_rotation_key(verified, reverify_fresh))
     order = [name for _, name in indexed]
-    resample = [n for n in _resampled(verified, round_idx) if n in set(order)]
+    in_order = set(order)
+    rr = [n for n in reverify_resample if n in in_order]
+    hashed = [
+        n
+        for n in _resampled(verified, round_idx)
+        if n in in_order and n not in set(rr)
+    ]
+    resample = rr + hashed[: max(0, _REGRESSION_RESAMPLE - len(rr))]
     if resample:
         order = [n for n in order if n not in set(resample)]
         at = min(_RESAMPLE_AT, len(order))

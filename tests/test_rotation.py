@@ -182,3 +182,66 @@ def test_rotation_survives_future_driver_commits(tmp_path, monkeypatch):
     verified_now = entry._driver_verified()
     window_fresh = [n for n in list(q)[:50] if n not in verified_now]
     assert all(n not in sample for n in window_fresh)
+
+
+def test_reverify_stale_round_gates_driver_verified(tmp_path):
+    """A green row from a round <= the REVERIFY stale round certifies
+    pre-rewrite code and must NOT count as verified; a newer green row
+    clears the entry (VERDICT r5 task 2)."""
+    green = {
+        "rows_match": True,
+        "schema_match": True,
+        "hash_match": True,
+        "err": None,
+    }
+    (tmp_path / "CORRECTNESS_r04.json").write_text(json.dumps({"q_old": green}))
+    (tmp_path / "CORRECTNESS_r06.json").write_text(
+        json.dumps({"q_fresh": green})
+    )
+    (tmp_path / "REVERIFY.txt").write_text(
+        "# comment line\n"
+        "q_old 5\n"          # green r04 <= stale 5 -> unverified
+        "q_fresh r5\n"       # green r06 > stale 5 -> verified (r-prefix ok)
+        "q_never 5\n"        # never green -> stays unverified
+        "malformed-line\n"
+    )
+    directory = str(tmp_path)
+    assert entry._driver_verified(directory) == {"q_fresh"}
+    assert entry._reverify_stale(directory) == {
+        "q_old": 5,
+        "q_fresh": 5,
+        "q_never": 5,
+    }
+    # previously-green-but-stale names get first claim on resample slots
+    assert entry._reverify_resample(directory) == ["q_old"]
+
+
+def test_rotated_places_reverify_names_inside_window():
+    """Never-green rewritten names lead the window; previously-green
+    rewritten names take the leading resample slots, so the fresh-slot
+    count of the window is preserved."""
+    names = [f"tpch_x{i}" for i in range(60)] + [
+        "rewritten_never_green",
+        "rewritten_was_green",
+    ] + [f"old_q{i}" for i in range(40)]
+    verified = {f"old_q{i}" for i in range(40)}
+    order = entry._rotated(
+        names,
+        verified=verified,
+        round_idx=6,
+        reverify_fresh={"rewritten_never_green"},
+        reverify_resample=["rewritten_was_green"],
+    )
+    window = order[:50]
+    assert window[0] == "rewritten_never_green"
+    # the stale-green name sits at the head of the resample block
+    assert order[entry._RESAMPLE_AT] == "rewritten_was_green"
+    assert "rewritten_was_green" in window
+    # resample block stays _REGRESSION_RESAMPLE wide: stale-green first,
+    # hash-sampled verified names fill the rest
+    block = order[entry._RESAMPLE_AT : entry._RESAMPLE_AT + entry._REGRESSION_RESAMPLE]
+    assert block[0] == "rewritten_was_green"
+    assert all(n in verified for n in block[1:])
+    # fresh slots: window minus the resample block is all unverified
+    fresh = [n for n in window if n not in verified and n != "rewritten_was_green"]
+    assert len(fresh) == 50 - entry._REGRESSION_RESAMPLE
