@@ -97,6 +97,13 @@ EXPECTED_NLJ = {
     "spatial_geofence_counts",  # 3-row literal fence table broadcast cross
     "recency_weighted_retention",  # 1-row max-week as-of broadcast cross
     "churn_definition_sweep",  # 1-row as-of-day broadcast cross
+    # title family (r6): status_id global_order_rank's 1-row bounds cross
+    "title_reigns",
+    "fct_title_reigns",
+    "total_champ_days",
+    "multi_division_champs",
+    "card_title_reigns_days_top200",
+    "card_total_champ_days_top50",
 }
 
 
@@ -108,8 +115,11 @@ _OFFSETS_FRAME = (
     " window rides the <=n_buckets bucket-totals offsets frame"
 )
 _KB_FRAME = (
-    "row_number over the title-status KB table (bounded: championship"
-    " lineage events, models/title_reigns.py:16)"
+    "two-phase status_id rank over the title-status KB table: the only"
+    " SinglePartition window is the <=n_buckets offsets frame (r6 — the"
+    " raw-frame global row_number was routed through global_order_rank,"
+    " VERDICT r5 task 5; ranked frame persisted so the machinery is"
+    " planned once)"
 )
 # name -> (max expected count, bounded-frame justification): the audit
 # flags when the plan carries MORE SinglePartition windows than the pinned
@@ -145,11 +155,11 @@ EXPECTED_GLOBAL_WIN: dict[str, tuple[int, str]] = {
         "prefix-min over <=|distinct p_size| candidate rows (skyline_2d"
         " collapse)"
     )),
-    "title_reigns": (4, _KB_FRAME),
-    "fct_title_reigns": (4, _KB_FRAME),
-    "total_champ_days": (4, _KB_FRAME),
-    "card_title_reigns_days_top200": (4, _KB_FRAME),
-    "card_total_champ_days_top50": (4, _KB_FRAME),
+    "title_reigns": (1, _KB_FRAME),
+    "fct_title_reigns": (1, _KB_FRAME),
+    "total_champ_days": (1, _KB_FRAME),
+    "card_title_reigns_days_top200": (1, _KB_FRAME),
+    "card_total_champ_days_top50": (1, _KB_FRAME),
 }
 
 

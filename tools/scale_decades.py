@@ -69,6 +69,11 @@ PROBES: dict[str, tuple[str, ...]] = {
     "grouped_quartiles": ("events",),
     "target_encoding_loo": ("events",),
     "curriculum_phases": ("documents",),
+    # r6 (VERDICT r5 task 4): the two audit-caught rewrites from r5 —
+    # per-lang token-bin packing cumsum on the partitioned two-phase
+    # rank, and the prefix-max disorder audit on global_prefix_max
+    "pack_token_bins": ("documents",),
+    "event_disorder_audit": ("events",),
 }
 
 RUNS = 2  # best-of per (query, tier)
