@@ -276,6 +276,17 @@ def main() -> None:
                 t0 = time.perf_counter()
                 ensure_scale_dir(spark, sf_dir, scale_dir, factor=10)
                 scale10["generate_or_reuse"] = round(time.perf_counter() - t0, 4)
+                # the scale tier starts minutes after the headline canary;
+                # a second canary + loadavg snapshot makes a loaded-box
+                # 10x tier distinguishable from a plan regression (r6:
+                # uniform +15-25% across untouched scale queries with
+                # loadavg 5.7 — external load, headline tier unaffected)
+                scale10["canary_sec"] = round(
+                    min(_canary() for _ in range(3)), 4
+                )
+                scale10["loadavg_start"] = [
+                    round(x, 2) for x in os.getloadavg()
+                ]
                 scale_timings: dict[str, float] = {}
                 own_base: dict[str, float] = {}
                 base_timings, timings = timings, scale_timings
