@@ -421,6 +421,53 @@ def test_global_order_rank_partitioned_property(spark, rows, n_buckets, eq):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 2)),  # key incl. NULL group
+            st.one_of(st.none(), st.integers(-80, 80)),  # value incl. NULL
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(1, 8),
+)
+def test_global_prefix_max_partitioned_property(spark, rows, n_buckets):
+    """Partitioned two-phase prefix max == a pure-Python per-key running
+    max, for any key distribution (NULL keys form ONE group, like
+    Window.partitionBy) and any bucket count. NULL values never poison
+    the running max (the window's max skips NULLs; an all-NULL-so-far
+    prefix is NULL) — the event_disorder_audit shape, property-tested
+    the way the partitioned rank is."""
+    from ufc_data_warehouse_spark.operators.scale import global_prefix_max
+
+    data = [(i, k, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, k long, v long")
+    got = {
+        (r["id"], r["runmax"])
+        for r in global_prefix_max(
+            df,
+            value_col="v",
+            order_col="id",
+            n_buckets=n_buckets,
+            partition_cols=["k"],
+        ).collect()
+    }
+    want = set()
+    for key in {k for _, k, _ in data}:
+        run = None
+        for i, k, v in sorted(r for r in data if r[1] == key):
+            if v is not None:
+                run = v if run is None else max(run, v)
+            want.add((i, run))
+    assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
     st.lists(st.integers(0, 6), min_size=1, max_size=40),
     st.lists(st.tuples(st.integers(0, 6), st.integers(0, 100)), max_size=10),
 )
