@@ -245,3 +245,36 @@ def test_rotated_places_reverify_names_inside_window():
     # fresh slots: window minus the resample block is all unverified
     fresh = [n for n in window if n not in verified and n != "rewritten_was_green"]
     assert len(fresh) == 50 - entry._REGRESSION_RESAMPLE
+
+
+def test_reverify_txt_names_are_registered():
+    """A typo'd REVERIFY.txt name would silently re-verify nothing —
+    every entry must be a live queries() name."""
+    stale = entry._reverify_stale()
+    unknown = set(stale) - set(entry.queries())
+    assert not unknown, f"REVERIFY.txt names not in queries(): {sorted(unknown)}"
+
+
+def test_no_driver_verified_query_has_changed_implementation():
+    """Mechanical backstop for the rewrite-aware rotation (VERDICT r5
+    task 2): if a query's implementation fingerprint differs from the
+    committed QUERY_FPS.json snapshot while the rotation still counts it
+    driver-verified, the driver's green row certifies code that no
+    longer exists. Fix: append the name to REVERIFY.txt (re-enters the
+    window), then `python tools/reverify_check.py --refresh`."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    from reverify_check import SNAPSHOT, compute_fps
+
+    with open(SNAPSHOT) as fh:
+        prior = json.load(fh)["fps"]
+    current = compute_fps()
+    verified = entry._driver_verified()
+    stale_verified = sorted(
+        n for n in current
+        if n in prior and prior[n] != current[n] and n in verified
+    )
+    assert not stale_verified, (
+        "rewritten but still rotation-verified (append to REVERIFY.txt + "
+        f"refresh QUERY_FPS.json): {stale_verified}"
+    )
