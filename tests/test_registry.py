@@ -159,6 +159,18 @@ def test_bench_stdout_line_fits_driver_capture():
     line2 = bench.slim_stdout_line(huge)
     assert len(line2) < 1900
     assert json.loads(line2)["value"] == worst["value"]
+    # r6 (r5 ADVICE): the caller's dict is NOT mutated by the shedding
+    assert huge["metric"] == "y" * 2500 and "slowest" in huge
+    # r6: an oversized NON-sheddable field falls back to the minimal
+    # always-parseable record instead of asserting (which vanished
+    # under python -O and discarded the whole line when it fired)
+    unsheddable = dict(worst)
+    unsheddable["scale10"] = {"blob": "z" * 2500}
+    line3 = bench.slim_stdout_line(unsheddable)
+    assert len(line3) < 1900
+    parsed3 = json.loads(line3)
+    assert parsed3["value"] == worst["value"]
+    assert parsed3["unit"] == "sec" and "note" in parsed3
 
 
 def test_smoke_script_importable_and_consistent():
