@@ -145,3 +145,126 @@ def test_undecodable_payload_yields_null_fields_not_task_failure(spark):
         r["width"] is None and r["features"] is None and r["digest"]
         for r in vids
     )
+
+
+# ---------------------------------------------------------------------------
+# the REAL uncompressed codec (r6): PPM / BMP / WAV with ground truth
+# ---------------------------------------------------------------------------
+
+
+def _make_ppm(w: int, h: int, rgb_rows: bytes) -> bytes:
+    return b"P6\n# a comment\n%d %d\n255\n" % (w, h) + rgb_rows
+
+
+def _make_bmp(w: int, h: int, rgb_rows: bytes, top_down: bool = False) -> bytes:
+    """Minimal 24-bit BI_RGB BMP from top-down RGB row bytes."""
+    import struct
+
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = [
+        rgb_rows[y * w * 3 : (y + 1) * w * 3] for y in range(h)
+    ]
+    # convert RGB -> BGR per pixel, pad each row to the 4-byte stride
+    bgr_rows = []
+    for row in rows:
+        bgr = bytearray()
+        for x in range(w):
+            r, g, b = row[x * 3 : x * 3 + 3]
+            bgr += bytes((b, g, r))
+        bgr_rows.append(bytes(bgr) + b"\x00" * (stride - w * 3))
+    stored = bgr_rows if top_down else bgr_rows[::-1]
+    pixel_data = b"".join(stored)
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + len(pixel_data), 0, 0, offset)
+    dib = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, (-h if top_down else h), 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0,
+    )
+    return header + dib + pixel_data
+
+
+def _make_wav(samples: list[int], rate: int = 8000, channels: int = 1) -> bytes:
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2,
+                      channels * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+_RGB_2x2 = bytes((255, 0, 0,  0, 255, 0,
+                  0, 0, 255,  255, 255, 255))  # rows: [R G] / [B W]
+
+
+def test_numpy_codec_decodes_ppm_with_ground_truth():
+    rec = mm.numpy_uncompressed_decode(_make_ppm(2, 2, _RGB_2x2), "image")
+    assert rec is not None
+    assert (rec["width"], rec["height"], rec["n_frames"]) == (2, 2, 1)
+    # channel means of [255,0,0,255]/... per channel = 510/4/255 = 0.5
+    assert rec["features"][0] == pytest.approx(0.5)
+    assert rec["features"][1] == pytest.approx(0.5)
+    assert rec["features"][2] == pytest.approx(0.5)
+    assert rec["features"][6] == pytest.approx(0.5)  # w/(w+h)
+
+
+def test_numpy_codec_bmp_matches_ppm_pixels():
+    """The SAME pixel grid through BMP (bottom-up AND top-down storage)
+    and PPM must produce identical features — catches BGR-order and
+    row-flip mistakes with real ground truth."""
+    ppm = mm.numpy_uncompressed_decode(_make_ppm(2, 2, _RGB_2x2), "image")
+    up = mm.numpy_uncompressed_decode(_make_bmp(2, 2, _RGB_2x2), "image")
+    down = mm.numpy_uncompressed_decode(
+        _make_bmp(2, 2, _RGB_2x2, top_down=True), "image"
+    )
+    assert up is not None and down is not None
+    assert up["features"] == pytest.approx(ppm["features"])
+    assert down["features"] == pytest.approx(ppm["features"])
+    assert (up["width"], up["height"]) == (2, 2)
+
+
+def test_numpy_codec_decodes_wav_with_ground_truth():
+    rec = mm.numpy_uncompressed_decode(
+        _make_wav([0, 16384, -16384, 0], rate=8000), "audio"
+    )
+    assert rec is not None
+    assert (rec["width"], rec["height"], rec["n_frames"]) == (1, 8000, 4)
+    assert rec["features"][0] == pytest.approx(0.0)       # mean
+    assert rec["features"][3] == pytest.approx(0.5)       # max = 16384/32768
+
+
+def test_numpy_codec_rejects_garbage_and_truncation():
+    ppm = _make_ppm(4, 4, bytes(range(48)))
+    assert mm.numpy_uncompressed_decode(ppm[:-1], "image") is None  # short
+    assert mm.numpy_uncompressed_decode(b"P6 junk", "image") is None
+    assert mm.numpy_uncompressed_decode(b"\x89PNG...", "image") is None
+    assert mm.numpy_uncompressed_decode(b"RIFFxxxxWEBP", "audio") is None
+    assert mm.numpy_uncompressed_decode(b"anything", "video") is None
+    # kind mismatch: a valid WAV claimed as image is undecodable-as-claimed
+    assert mm.numpy_uncompressed_decode(_make_wav([1]), "image") is None
+
+
+def test_numpy_codec_passes_conformance_and_sparkside(spark):
+    samples = [
+        (_make_ppm(2, 2, _RGB_2x2), "image"),
+        (_make_bmp(3, 2, bytes(range(18))), "image"),
+        (_make_wav([100, -100, 5000]), "audio"),
+        (b"not media at all", "video"),
+    ]
+    assert mm.check_decode_conformance(mm.numpy_uncompressed_decode, samples)
+    rows = [
+        (i, kind, payload, len(payload), "synth")
+        for i, (payload, kind) in enumerate(samples)
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: r
+        for r in mm.decode_media(media, decode_fn=mm.numpy_uncompressed_decode)
+        .collect()
+    }
+    assert got[0]["width"] == 2 and got[0]["n_frames"] == 1
+    assert got[1]["width"] == 3 and got[1]["height"] == 2
+    assert got[2]["height"] == 8000 and got[2]["n_frames"] == 3
+    # the video row flows through with NULL decode fields, digest intact
+    assert got[3]["width"] is None and got[3]["digest"]
