@@ -1874,6 +1874,51 @@ def q_multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_real_codec_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL uncompressed codec (r6, ``numpy_uncompressed_decode``)
+    under the driver's cross-engine gate — not the fake stand-in.
+
+    Each sampled doc becomes a genuine 4×4 binary PPM whose 48 pixel
+    bytes are md5(doc_id) tiled ×3; the codec header-parses and decodes
+    it for real (the same code path a production PPM corpus takes), and
+    the audit emits EXACT integers only: width/height/n_frames plus
+    ``pixel_sum`` recovered from the float32 feature means
+    ((f_r+f_g+f_b)·16·255, absolute float error ≤ ~7e-4 ≪ the 0.5
+    rounding margin, so the round-trip is integer-exact). The oracle
+    recomputes the same sum arithmetically from DuckDB's own md5 — two
+    engines, two decoding paths, one exact answer. Compressed formats
+    remain the documented seam (operators/multimodal.py)."""
+    from .operators import multimodal as mm
+
+    docs = _read(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    digest = F.unhex(F.md5(F.col("doc_id").cast("string")))
+    payload = F.concat(
+        F.lit(b"P6\n4 4\n255\n"), digest, digest, digest
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        "source",
+    )
+    decoded = mm.decode_media(
+        media, decode_fn=mm.numpy_uncompressed_decode
+    )
+    f = F.col("features")
+    return decoded.select(
+        "media_id",
+        "width",
+        "height",
+        "n_frames",
+        F.round((f[0] + f[1] + f[2]) * 16 * 255)
+        .cast("bigint")
+        .alias("pixel_sum"),
+    ).orderBy("media_id")
+
+
 _KIND_SQL = """CASE WHEN doc_id % 3 = 0 THEN 'image'
   WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"""
 
@@ -3057,6 +3102,18 @@ SELECT media_id, f.frame_idx::INT AS frame_idx
 FROM decoded, unnest(generate_series(0, n_frames - 1, 30)) AS f(frame_idx)
 ORDER BY media_id, frame_idx"""
 
+EXTRA_ORACLES["real_codec_decode_audit"] = """
+SELECT doc_id AS media_id, 4 AS width, 4 AS height, 1 AS n_frames,
+  3 * SUM(
+    16 * (strpos('0123456789abcdef',
+                 substr(md5(doc_id::VARCHAR), 2 * t.i + 1, 1)) - 1)
+      + strpos('0123456789abcdef',
+               substr(md5(doc_id::VARCHAR), 2 * t.i + 2, 1)) - 1
+  )::BIGINT AS pixel_sum
+FROM documents, range(16) t(i)
+WHERE doc_id % 10 = 0
+GROUP BY doc_id ORDER BY media_id"""
+
 EXTRA_ORACLES["streaming_tumbling_counts"] = """
 SELECT to_timestamp(((epoch_us(ts) // 1000000) // 300) * 300)::TIMESTAMP AS window_start,
   event_type, count(*) AS n,
@@ -3650,3 +3707,9 @@ SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact,
   TRUE AS within_5pct
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+# r6 addition, registered LAST on purpose: the rotation sorts unverified
+# names by registration position, so a new name appended at the END joins
+# the BACK of the never-verified tail instead of shifting the staged
+# driver window (VERDICT r5 task 1: "don't let new names shift it").
+EXTRA_QUERIES["real_codec_decode_audit"] = q_real_codec_decode_audit
