@@ -72,16 +72,24 @@ def _green_rounds(directory: str | None = None) -> dict[str, int]:
 
 
 def _reverify_stale(directory: str | None = None) -> dict[str, int]:
-    """name -> last round whose green rows are STALE (VERDICT r5 task 2).
+    """name -> round the implementation was (re)written in (r5 task 2).
 
     ``REVERIFY.txt`` lines ``<name> <round>`` record that the named
-    query's implementation was rewritten during round ``<round>``, so a
-    green CORRECTNESS row from any round ≤ ``<round>`` certifies the OLD
-    code and must not rotate the name out of the driver window. The
-    builder appends a line on every behavioral rewrite of an
-    already-green query; an entry clears itself once a NEWER green row
-    lands (``_driver_verified`` compares rounds), so stale lines are
-    harmless to keep committed.
+    query's implementation was rewritten — or first added — DURING round
+    ``<round>``. The round-N driver gate runs at the round's final HEAD,
+    so a green CORRECTNESS row from a round < ``<round>`` certifies OLD
+    code and must not rotate the name out of the driver window, while a
+    green row from round ≥ ``<round>`` certifies the current code and
+    clears the entry (``_driver_verified`` compares rounds; stale lines
+    are harmless to keep committed). VERDICT r6 nit 3: ``<round>`` is the
+    ACTUAL rewrite round — the strict ``<`` comparison makes that
+    convention self-consistent whether the gate has run yet or not.
+
+    Brand-new queries ride the same file (VERDICT r6 task 2 fast lane):
+    a listed name with NO green row at all sorts into the front-of-window
+    ``(-1, 0, pos)`` tier in :func:`_rotation_key`, so a query added this
+    round is driver-checked this round instead of waiting out the
+    generic rotation.
     """
     here = directory or os.path.dirname(os.path.abspath(__file__))
     out: dict[str, int] = {}
@@ -110,14 +118,15 @@ def _driver_verified(directory: str | None = None) -> set[str]:
     inputs this depends on are committed to the repo by the driver each
     round, so the ordering is reproducible from a checkout.
 
-    A name is verified iff its latest green round is NEWER than its
-    REVERIFY.txt stale round (if any): a green row that predates a
-    rewrite certifies code that no longer exists (VERDICT r5 task 2 —
+    A name is verified iff its latest green round is ≥ its REVERIFY.txt
+    rewrite round (if any): the round-N gate runs at round N's final
+    HEAD, so a round-N green certifies a round-N rewrite, while an older
+    green certifies code that no longer exists (VERDICT r5 task 2 —
     window_distribution's r04 row vs its r5 rewrite).
     """
     green = _green_rounds(directory)
     stale = _reverify_stale(directory)
-    return {n for n, r in green.items() if r > stale.get(n, -1)}
+    return {n for n, r in green.items() if r >= stale.get(n, 0)}
 
 
 def _reverify_resample(directory: str | None = None) -> list[str]:
@@ -127,7 +136,7 @@ def _reverify_resample(directory: str | None = None) -> list[str]:
     the window intact."""
     green = _green_rounds(directory)
     stale = _reverify_stale(directory)
-    return sorted(n for n, r in stale.items() if n in green and green[n] <= r)
+    return sorted(n for n, r in stale.items() if n in green and green[n] < r)
 
 
 # Families the judge asked to see driver-verified next (VERDICT r2 task 1:
@@ -218,7 +227,13 @@ def _rotated(
     never-green ones at the very FRONT (they've never been checked at
     all), the previously-green ones as the leading regression-resample
     slots (a re-check of a prior green is exactly what the resample
-    budget exists for, so fresh-slot count is preserved).
+    budget exists for, so fresh-slot count is preserved). The resample
+    block is CAPPED at ``_REGRESSION_RESAMPLE`` (r6 ADVICE 1): when more
+    stale-green rewrites are pending than the block holds, the excess
+    spills to the window FRONT instead of growing the block — the window
+    still re-checks every pending rewrite this round, and the fresh-slot
+    count shrinks only by the spill (unavoidable: a 50-slot window cannot
+    check 50 fresh names plus 5+ re-checks).
     """
     if verified is None:
         verified = _driver_verified()
@@ -236,7 +251,15 @@ def _rotated(
     indexed = sorted(enumerate(names), key=_rotation_key(verified, reverify_fresh))
     order = [name for _, name in indexed]
     in_order = set(order)
-    rr = [n for n in reverify_resample if n in in_order]
+    rr_all = [n for n in reverify_resample if n in in_order]
+    rr = rr_all[:_REGRESSION_RESAMPLE]
+    spill = rr_all[_REGRESSION_RESAMPLE:]
+    if spill:
+        # excess stale-green rewrites lead the window (ahead of fresh
+        # names: their green rows are actively misleading until re-run)
+        order = [n for n in order if n not in set(spill)]
+        front = sum(1 for n in order[: len(reverify_fresh)] if n in reverify_fresh)
+        order = order[:front] + spill + order[front:]
     hashed = [
         n
         for n in _resampled(verified, round_idx)

@@ -185,9 +185,10 @@ def test_rotation_survives_future_driver_commits(tmp_path, monkeypatch):
 
 
 def test_reverify_stale_round_gates_driver_verified(tmp_path):
-    """A green row from a round <= the REVERIFY stale round certifies
-    pre-rewrite code and must NOT count as verified; a newer green row
-    clears the entry (VERDICT r5 task 2)."""
+    """A green row from a round < the REVERIFY rewrite round certifies
+    pre-rewrite code and must NOT count as verified; a green row from the
+    rewrite round itself or newer clears the entry — the round-N gate
+    runs at round N's final HEAD (VERDICT r5 task 2, r6 nit 3)."""
     green = {
         "rows_match": True,
         "schema_match": True,
@@ -195,20 +196,23 @@ def test_reverify_stale_round_gates_driver_verified(tmp_path):
         "err": None,
     }
     (tmp_path / "CORRECTNESS_r04.json").write_text(json.dumps({"q_old": green}))
+    (tmp_path / "CORRECTNESS_r05.json").write_text(json.dumps({"q_same": green}))
     (tmp_path / "CORRECTNESS_r06.json").write_text(
         json.dumps({"q_fresh": green})
     )
     (tmp_path / "REVERIFY.txt").write_text(
         "# comment line\n"
-        "q_old 5\n"          # green r04 <= stale 5 -> unverified
-        "q_fresh r5\n"       # green r06 > stale 5 -> verified (r-prefix ok)
-        "q_never 5\n"        # never green -> stays unverified
+        "q_old 5\n"          # green r04 < rewrite 5 -> unverified
+        "q_same 5\n"         # green r05 >= rewrite 5 -> verified (gate ran at final HEAD)
+        "q_fresh r5\n"       # green r06 >= rewrite 5 -> verified (r-prefix ok)
+        "q_never 5\n"        # never green -> stays unverified (fast lane)
         "malformed-line\n"
     )
     directory = str(tmp_path)
-    assert entry._driver_verified(directory) == {"q_fresh"}
+    assert entry._driver_verified(directory) == {"q_same", "q_fresh"}
     assert entry._reverify_stale(directory) == {
         "q_old": 5,
+        "q_same": 5,
         "q_fresh": 5,
         "q_never": 5,
     }
@@ -245,6 +249,76 @@ def test_rotated_places_reverify_names_inside_window():
     # fresh slots: window minus the resample block is all unverified
     fresh = [n for n in window if n not in verified and n != "rewritten_was_green"]
     assert len(fresh) == 50 - entry._REGRESSION_RESAMPLE
+
+
+def test_rotated_caps_resample_block_and_spills_to_front():
+    """r6 ADVICE 1: more pending stale-green rewrites than resample slots
+    must NOT grow the block past _REGRESSION_RESAMPLE — the excess leads
+    the window instead (right after never-green rewrites), so every
+    pending rewrite is still re-checked this round."""
+    stale_green = [f"rw_green_{i}" for i in range(6)]  # 6 > 4 slots
+    names = (
+        [f"tpch_x{i}" for i in range(60)]
+        + ["rw_never_green"]
+        + stale_green
+        + [f"old_q{i}" for i in range(40)]
+    )
+    verified = {f"old_q{i}" for i in range(40)} | set(stale_green)
+    order = entry._rotated(
+        names,
+        verified=verified,
+        round_idx=7,
+        reverify_fresh={"rw_never_green"},
+        reverify_resample=stale_green,
+    )
+    window = order[:50]
+    # never-green rewrite first, then the two spilled stale-greens
+    assert window[0] == "rw_never_green"
+    assert window[1:3] == stale_green[4:]
+    # block is exactly _REGRESSION_RESAMPLE wide: the first 4 stale-greens
+    block = order[entry._RESAMPLE_AT : entry._RESAMPLE_AT + entry._REGRESSION_RESAMPLE]
+    assert block == stale_green[:4]
+    # nothing verified leaks into the window beyond block + spill
+    in_window_verified = [n for n in window if n in verified]
+    assert sorted(in_window_verified) == sorted(stale_green)
+    # all 6 pending rewrites are inside the window
+    assert set(stale_green) <= set(window)
+
+
+def test_reverify_txt_round_lint():
+    """VERDICT r6 task 3 lint: every REVERIFY.txt entry's round must be
+    <= the current round index and equal the rN of the nearest preceding
+    '# rN ...' comment block, so the recorded round is the actual
+    rewrite round and the file's convention self-heals."""
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "REVERIFY.txt")
+    current_round = entry._round_index()
+    block_round = None
+    bad = []
+    with open(path) as fh:
+        for lineno, raw in enumerate(fh, 1):
+            line = raw.strip()
+            if line.startswith("#"):
+                m = re.search(r"#\s*r(\d+)\b", line)
+                if m:
+                    block_round = int(m.group(1))
+                continue
+            if not line:
+                continue
+            parts = line.split()
+            assert len(parts) == 2 and parts[1].lstrip("r").isdigit(), (
+                f"REVERIFY.txt:{lineno} malformed entry: {line!r}"
+            )
+            rnd = int(parts[1].lstrip("r"))
+            if rnd > current_round:
+                bad.append(f"line {lineno}: round {rnd} > current {current_round}")
+            if block_round is not None and rnd != block_round:
+                bad.append(
+                    f"line {lineno}: round {rnd} != comment block r{block_round}"
+                )
+    assert not bad, "REVERIFY.txt round lint failures: " + "; ".join(bad)
 
 
 def test_reverify_txt_names_are_registered():

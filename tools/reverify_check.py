@@ -129,13 +129,28 @@ def main() -> None:
     for n in new:
         print(f"NEW     {n}")
     if stale_verified:
-        rnd = entry._round_index() - 1
+        # the ACTUAL rewrite round = the round being built right now; the
+        # current round's gate (final HEAD) certifies the new code, so
+        # _reverify_stale's strict `<` keeps a same-round green fresh
+        rnd = entry._round_index()
         print(
             f"\nACTION REQUIRED: {len(stale_verified)} rewritten quer"
             f"{'y is' if len(stale_verified) == 1 else 'ies are'} still "
             "driver-verified from pre-rewrite rounds. Append to REVERIFY.txt:"
         )
         for n in stale_verified:
+            print(f"  {n} {rnd}")
+    never_green = sorted(
+        n for n in new if n not in entry._green_rounds()
+    )
+    if never_green:
+        rnd = entry._round_index()
+        print(
+            f"\nFAST LANE (VERDICT r6 task 2): {len(never_green)} brand-new "
+            "never-driver-checked name(s) — list in REVERIFY.txt so they "
+            "front-load this round's window:"
+        )
+        for n in never_green:
             print(f"  {n} {rnd}")
     if refresh:
         with open(SNAPSHOT, "w") as fh:
