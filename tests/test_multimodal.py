@@ -268,3 +268,22 @@ def test_numpy_codec_passes_conformance_and_sparkside(spark):
     assert got[2]["height"] == 8000 and got[2]["n_frames"] == 3
     # the video row flows through with NULL decode fields, digest intact
     assert got[3]["width"] is None and got[3]["digest"]
+
+
+def test_package_codec_registered_for_by_value_pickling(spark):
+    """r6 ADVICE 2: a package-defined decode_fn would pickle by reference
+    (executors without the wheel fail the import); decode_media must
+    register its module for by-value shipping so the no-wheel contract
+    holds for the built-in codec too."""
+    from pyspark import cloudpickle as cp
+
+    media = spark.createDataFrame(
+        [(1, "image", _make_ppm(2, 2, _RGB_2x2), 1, "synth")], mm.MEDIA_SCHEMA
+    )
+    decoded = mm.decode_media(media, decode_fn=mm.numpy_uncompressed_decode)
+    assert decoded.count() == 1
+    registered = {
+        m if isinstance(m, str) else m.__name__
+        for m in cp.list_registry_pickle_by_value()
+    }
+    assert mm.numpy_uncompressed_decode.__module__ in registered

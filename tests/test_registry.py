@@ -186,3 +186,21 @@ def test_smoke_script_importable_and_consistent():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     assert callable(mod.main)
+
+
+def test_release_caches_empties_cache_manager(spark):
+    """r6 ADVICE 3: api.release_caches must drop BOTH the _PERSISTED
+    staging frames and untracked query-internal persists (title_reigns'
+    status_changes) from the session CacheManager."""
+    from ufc_data_warehouse_spark import api
+
+    api.build_model(spark, "/root/testdata/sf0.001", "title_reigns").count()
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    assert not jcm.isEmpty(), "expected persisted frames after a build"
+    api.release_caches(spark)
+    assert jcm.isEmpty(), "release_caches left cached plans behind"
+    key_prefix = spark.sparkContext.applicationId
+    assert not [k for k in api._frame_cache if k[0] == key_prefix]
+    # the next build repopulates the cache transparently
+    api.build_model(spark, "/root/testdata/sf0.001", "title_reigns").count()
+    assert not jcm.isEmpty()

@@ -41,6 +41,28 @@ def _sources(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {**raw, **cached}
 
 
+def release_caches(spark: SparkSession) -> None:
+    """Release every frame this engine persisted in ``spark`` — the
+    ``_PERSISTED`` staging cache for all sf_dirs plus query-internal
+    persists that outlive their builder (title_reigns' status_changes;
+    text_token_rarity's vocab): cached plans live in the session
+    CacheManager until session end otherwise (r6 ADVICE 3). Callers own
+    the trade-off: the next build re-derives everything (bench relies on
+    the warm cache for steady-state timings, so it does NOT call this
+    between runs — documented at bench.RUNS)."""
+    key_prefix = spark.sparkContext.applicationId
+    for key in [k for k in _frame_cache if k[0] == key_prefix]:
+        for df in _frame_cache.pop(key).values():
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — session already stopped
+                pass
+    try:
+        spark.catalog.clearCache()  # untracked query-internal persists
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def build_model(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Resolve model ``name`` over the UFC raw layer derived from ``sf_dir``."""
     apply_runtime_confs(spark)

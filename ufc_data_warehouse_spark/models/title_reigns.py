@@ -232,7 +232,12 @@ def title_reigns(d: dict[str, DataFrame]) -> DataFrame:
         # stitch below; persisting the tiny ranked KB frame runs the
         # two-phase rank machinery ONCE instead of re-expanding its plan
         # (bounds cross + bucket shuffle + offsets window) per reference
-        # — without this the rewrite re-timed at ~3.06s vs 2.03s at sf0.1
+        # — without this the rewrite re-timed at ~3.06s vs 2.03s at sf0.1.
+        # Cache lifetime (r6 ADVICE 3): the returned frame depends on this
+        # lazily, so it cannot be unpersisted here; the model fn runs once
+        # per (session, sf_dir) via api._PERSISTED's title_reigns cache, so
+        # at most one entry per sf_dir accumulates. Callers that need the
+        # memory back (or cold timings) call api.release_caches(spark).
         .persist()
     )
 

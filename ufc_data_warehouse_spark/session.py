@@ -65,6 +65,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        # VERDICT r6 task 4: console progress-bar frames ("[Stage 12:>…]")
+        # are written straight to stderr/stdout regardless of log level and
+        # were eating the driver's 2,000-char bench stdout-tail margin
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
