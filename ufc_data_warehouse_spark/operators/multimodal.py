@@ -134,6 +134,7 @@ def numpy_uncompressed_decode(payload: bytes, kind: str) -> dict | None:
     """
     import hashlib as _hl
     import struct as _st
+    import zlib as _zl
 
     import numpy as _np
 
@@ -275,6 +276,168 @@ def numpy_uncompressed_decode(payload: bytes, kind: str) -> dict | None:
         return None
     except Exception:  # noqa: BLE001 — contract point 3: never raise
         return None
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def numpy_png_decode(payload: bytes, kind: str) -> dict | None:
+    """A REAL PNG decoder in stdlib zlib + numpy (r7) — the first
+    COMPRESSED format to leave the documented codec seam, possible
+    because DEFLATE itself ships in every CPython (``zlib``); only the
+    container walk + unfiltering needed implementing.
+
+    Scope (strict bounds checks, contract point 3 — anything outside
+    returns ``None``, never raises): 8-bit samples, color types 0 (gray),
+    2 (RGB), 3 (palette + PLTE), 4 (gray+alpha), 6 (RGBA);
+    non-interlaced; chunk CRCs VERIFIED (zlib.crc32) and the IDAT adler32
+    verified by ``zlib.decompress`` itself. 16-bit and Adam7 interlace
+    are rejected (None), as is any filter byte outside 0-4.
+
+    Unfiltering per the PNG spec (one pass over scanlines): None/Up are
+    pure vectorized numpy; Sub is a per-channel cumulative sum mod 256
+    (exact in uint8 wraparound); Average and Paeth genuinely recurse on
+    the left-neighbor reconstruction, so they fall back to a per-pixel
+    loop — correctness first, and decode cost is per-payload by design.
+
+    Emits the same fixed 8-float image feature vector as
+    :func:`numpy_uncompressed_decode` (RGB channel means, gray stats,
+    aspect shares); gray expands to 3 channels, alpha is dropped for
+    features (transparency is metadata, not luminance).
+    """
+    import hashlib as _hl
+    import struct as _st
+    import zlib as _zl
+
+    import numpy as _np
+
+    def _img_record(w: int, h: int, rgb: "_np.ndarray") -> dict:
+        gray = rgb.astype(_np.float64).mean(axis=2)
+        feats = [
+            float(rgb[:, :, 0].mean() / 255.0),
+            float(rgb[:, :, 1].mean() / 255.0),
+            float(rgb[:, :, 2].mean() / 255.0),
+            float(gray.std() / 255.0),
+            float(gray.min() / 255.0),
+            float(gray.max() / 255.0),
+            float(w / (w + h)),
+            float(h / (w + h)),
+        ]
+        return {
+            "digest": _hl.md5(payload).hexdigest(),
+            "width": int(w),
+            "height": int(h),
+            "n_frames": 1,
+            "features": feats,
+        }
+
+    try:
+        if kind != "image" or payload[:8] != _PNG_SIG:
+            return None
+        pos, ihdr, plte, idat, iend = 8, None, None, [], False
+        while pos + 12 <= len(payload):
+            ln, = _st.unpack_from(">I", payload, pos)
+            ctype = payload[pos + 4:pos + 8]
+            data = payload[pos + 8:pos + 8 + ln]
+            if len(data) != ln or pos + 12 + ln > len(payload):
+                return None
+            crc, = _st.unpack_from(">I", payload, pos + 8 + ln)
+            if crc != (_zl.crc32(ctype + data) & 0xFFFFFFFF):
+                return None
+            if ctype == b"IHDR":
+                ihdr = data
+            elif ctype == b"PLTE":
+                plte = data
+            elif ctype == b"IDAT":
+                idat.append(data)
+            elif ctype == b"IEND":
+                iend = True
+                break
+            pos += 12 + ln
+        if ihdr is None or len(ihdr) != 13 or not idat or not iend:
+            return None
+        w, h, depth, color, comp, filt, interlace = _st.unpack(
+            ">IIBBBBB", ihdr
+        )
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+        if (
+            channels is None
+            or not (1 <= w and 1 <= h)
+            or depth != 8
+            or comp != 0
+            or filt != 0
+            or interlace != 0
+        ):
+            return None
+        if color == 3 and (plte is None or not plte or len(plte) % 3):
+            return None
+        try:
+            raw = _zl.decompress(b"".join(idat))
+        except _zl.error:
+            return None
+        stride = w * channels
+        if len(raw) != (1 + stride) * h:
+            return None
+        arr = _np.frombuffer(raw, dtype=_np.uint8).reshape(h, 1 + stride)
+        filters, lines = arr[:, 0], arr[:, 1:]
+        if filters.max(initial=0) > 4:
+            return None
+        bpp = channels  # bytes per pixel at depth 8
+        recon = _np.zeros((h, stride), dtype=_np.uint8)
+        zeros = _np.zeros(stride, dtype=_np.uint8)
+        for y in range(h):
+            f, line = int(filters[y]), lines[y]
+            prior = recon[y - 1] if y else zeros
+            if f == 0:  # None
+                recon[y] = line
+            elif f == 1:  # Sub: per-channel cumsum, exact in uint8 wrap
+                cur = line.reshape(w, bpp)
+                recon[y] = _np.cumsum(cur, axis=0, dtype=_np.uint8).reshape(
+                    stride
+                )
+            elif f == 2:  # Up
+                recon[y] = line + prior  # uint8 wraparound == mod 256
+            elif f == 3:  # Average — recursive on left recon
+                cur = recon[y]
+                for x in range(stride):
+                    left = int(cur[x - bpp]) if x >= bpp else 0
+                    cur[x] = (int(line[x]) + ((left + int(prior[x])) >> 1)) & 0xFF
+            else:  # Paeth — recursive on left recon
+                cur = recon[y]
+                for x in range(stride):
+                    a = int(cur[x - bpp]) if x >= bpp else 0
+                    b = int(prior[x])
+                    c = int(prior[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    cur[x] = (int(line[x]) + pred) & 0xFF
+        px = recon.reshape(h, w, channels)
+        if color == 3:
+            pal = _np.frombuffer(plte, dtype=_np.uint8).reshape(-1, 3)
+            idx = px[:, :, 0]
+            if int(idx.max()) >= len(pal):
+                return None
+            rgb = pal[idx]
+        elif channels == 1:
+            rgb = _np.repeat(px, 3, axis=2)
+        elif channels == 2:  # gray+alpha → gray replicated
+            rgb = _np.repeat(px[:, :, :1], 3, axis=2)
+        else:  # RGB as-is / RGBA drops alpha
+            rgb = px[:, :, :3]
+        return _img_record(w, h, rgb)
+    except Exception:  # noqa: BLE001 — contract point 3: never raise
+        return None
+
+
+def stdlib_decode(payload: bytes, kind: str) -> dict | None:
+    """The full no-external-libs codec: PNG (compressed, zlib) plus the
+    uncompressed containers (PPM/BMP/WAV). The one-stop ``decode_fn`` for
+    corpora mixing all stdlib-decodable formats; JPEG/MP3/MP4 remain the
+    documented seam (their decoders genuinely aren't in the container)."""
+    if kind == "image" and payload[:8] == _PNG_SIG:
+        return numpy_png_decode(payload, kind)
+    return numpy_uncompressed_decode(payload, kind)
 
 
 def check_decode_conformance(decode_fn, samples=None) -> bool:
