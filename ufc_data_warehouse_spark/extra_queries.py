@@ -2012,6 +2012,94 @@ def q_png_codec_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def q_wav_codec_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real PCM WAV decode path (``numpy_uncompressed_decode``'s
+    ``_wav``) under the driver's cross-engine gate — the audio analog of
+    the PPM/PNG audits (r7; previously unit-tested only).
+
+    Each sampled doc becomes a valid 16-bit mono 8 kHz WAV whose 8
+    samples are md5(doc_id) interpreted as little-endian int16; the RIFF/
+    fmt/data framing is constant so the whole header is a literal and
+    only the sample bytes vary. The audit recovers EXACT integers from
+    the float feature vector: sample_sum = round(mean·n·32768) (|sum| ≤
+    2^18, float32 abs error ~0.02 ≪ 0.5), min/max samples directly from
+    features 2/3. The oracle rebuilds the int16 values arithmetically
+    from DuckDB's md5 (lo + 256·hi, two's complement)."""
+    import struct as _st
+
+    from .operators import multimodal as mm
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 2)
+    digest = F.unhex(F.md5(F.col("doc_id").cast("string")))  # 16 B = 8 samples
+    fmt = _st.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    header = (
+        b"RIFF" + _st.pack("<I", 4 + 8 + len(fmt) + 8 + 16) + b"WAVE"
+        + b"fmt " + _st.pack("<I", len(fmt)) + fmt
+        + b"data" + _st.pack("<I", 16)
+    )
+    payload = F.concat(F.lit(header), digest)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        "source",
+    )
+    decoded = mm.decode_media(media, decode_fn=mm.stdlib_decode)
+    f = F.col("features")
+    return decoded.select(
+        "media_id",
+        F.col("width").alias("n_channels"),
+        F.col("height").alias("sample_rate"),
+        F.col("n_frames").alias("n_samples"),
+        F.round(f[0] * 8 * 32768).cast("bigint").alias("sample_sum"),
+        F.round(f[2] * 32768).cast("bigint").alias("min_sample"),
+        F.round(f[3] * 32768).cast("bigint").alias("max_sample"),
+    ).orderBy("media_id")
+
+
+def q_bmp_codec_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real 24-bit BMP decode path (``_bmp``) under the driver's
+    cross-engine gate (r7). The 4×4 pixel array is md5(doc_id) ∥
+    md5(doc_id·'x') ∥ md5(doc_id) — two DIFFERENT digests, so the three
+    per-channel sums differ and the decoder's BGR→RGB reorder is
+    actually verified (a uniform 3× tiling makes all channel sums
+    collapse to Σdigest because gcd(3,16)=1, hiding a swapped-channel
+    bug). BMP stores byte j as the {B,G,R}[j%3] of pixel j//3, bottom-up
+    (row order cancels in sums; the flip is ground-truth unit-tested).
+    The oracle walks the same 48 stored positions from DuckDB's md5."""
+    import struct as _st
+
+    from .operators import multimodal as mm
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 7)
+    d1 = F.unhex(F.md5(F.col("doc_id").cast("string")))
+    d2 = F.unhex(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("x"))))
+    pixels = F.concat(d1, d2, d1)  # 48 B: 4 rows × 4 px × BGR
+    header = _st.pack("<2sIHHI", b"BM", 54 + 48, 0, 0, 54) + _st.pack(
+        "<IiiHHIIiiII", 40, 4, 4, 1, 24, 0, 48, 2835, 2835, 0, 0
+    )
+    payload = F.concat(F.lit(header), pixels)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        "source",
+    )
+    decoded = mm.decode_media(media, decode_fn=mm.stdlib_decode)
+    f = F.col("features")
+    return decoded.select(
+        "media_id",
+        "width",
+        "height",
+        "n_frames",
+        F.round(f[0] * 16 * 255).cast("bigint").alias("r_sum"),
+        F.round(f[1] * 16 * 255).cast("bigint").alias("g_sum"),
+        F.round(f[2] * 16 * 255).cast("bigint").alias("b_sum"),
+    ).orderBy("media_id")
+
+
 _KIND_SQL = """CASE WHEN doc_id % 3 = 0 THEN 'image'
   WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"""
 
@@ -3207,13 +3295,14 @@ FROM documents, range(16) t(i)
 WHERE doc_id % 10 = 0
 GROUP BY doc_id ORDER BY media_id"""
 
-def _dbyte_sql(idx_expr: str) -> str:
+def _dbyte_sql(idx_expr: str, md5_arg: str = "doc_id::VARCHAR") -> str:
     """DuckDB expression for byte value ``idx_expr`` (0-based) of
-    md5(doc_id) — the digest the Spark side tiles into PNG scanlines."""
+    md5(``md5_arg``) — the digest bytes the Spark side packs into the
+    synthesized media payloads."""
     return (
-        f"16 * (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), "
+        f"16 * (strpos('0123456789abcdef', substr(md5({md5_arg}), "
         f"2 * ({idx_expr}) + 1, 1)) - 1) "
-        f"+ strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), "
+        f"+ strpos('0123456789abcdef', substr(md5({md5_arg}), "
         f"2 * ({idx_expr}) + 2, 1)) - 1"
     )
 
@@ -3243,6 +3332,43 @@ WITH b AS (
 SELECT doc_id AS media_id, 4 AS width, 4 AS height, 1 AS n_frames,
   SUM(r0 + r1 + r2 + r3)::BIGINT AS pixel_sum
 FROM r GROUP BY doc_id ORDER BY media_id"""
+
+# Rebuilds the 8 little-endian int16 samples (lo + 256·hi, two's
+# complement) from DuckDB's md5 — the WAV bytes never exist oracle-side.
+EXTRA_ORACLES["wav_codec_decode_audit"] = f"""
+WITH s AS (
+  SELECT doc_id,
+    CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS smp
+  FROM (
+    SELECT doc_id,
+      {_dbyte_sql("2 * t.i")} + 256 * ({_dbyte_sql("2 * t.i + 1")}) AS raw
+    FROM documents, range(8) t(i)
+    WHERE doc_id % 10 = 2
+  )
+)
+SELECT doc_id AS media_id, 1 AS n_channels, 8000 AS sample_rate,
+  8 AS n_samples,
+  SUM(smp)::BIGINT AS sample_sum,
+  MIN(smp)::BIGINT AS min_sample,
+  MAX(smp)::BIGINT AS max_sample
+FROM s GROUP BY doc_id ORDER BY media_id"""
+
+# Walks the 48 stored BMP bytes (d1 ∥ d2 ∥ d1, BGR interleaved) and
+# groups by j % 3 — channel sums differ because the two digests differ.
+EXTRA_ORACLES["bmp_codec_decode_audit"] = f"""
+WITH bytes AS (
+  SELECT doc_id, t.j,
+    CASE WHEN t.j < 16 THEN {_dbyte_sql("t.j")}
+         WHEN t.j < 32 THEN {_dbyte_sql("t.j - 16", "doc_id::VARCHAR || 'x'")}
+         ELSE {_dbyte_sql("t.j - 32")} END AS v
+  FROM documents, range(48) t(j)
+  WHERE doc_id % 10 = 7
+)
+SELECT doc_id AS media_id, 4 AS width, 4 AS height, 1 AS n_frames,
+  SUM(CASE WHEN j % 3 = 2 THEN v ELSE 0 END)::BIGINT AS r_sum,
+  SUM(CASE WHEN j % 3 = 1 THEN v ELSE 0 END)::BIGINT AS g_sum,
+  SUM(CASE WHEN j % 3 = 0 THEN v ELSE 0 END)::BIGINT AS b_sum
+FROM bytes GROUP BY doc_id ORDER BY media_id"""
 
 EXTRA_ORACLES["streaming_tumbling_counts"] = """
 SELECT to_timestamp(((epoch_us(ts) // 1000000) // 300) * 300)::TIMESTAMP AS window_start,
@@ -3844,3 +3970,5 @@ FROM events GROUP BY event_type ORDER BY event_type
 # driver window (VERDICT r5 task 1: "don't let new names shift it").
 EXTRA_QUERIES["real_codec_decode_audit"] = q_real_codec_decode_audit
 EXTRA_QUERIES["png_codec_decode_audit"] = q_png_codec_decode_audit
+EXTRA_QUERIES["wav_codec_decode_audit"] = q_wav_codec_decode_audit
+EXTRA_QUERIES["bmp_codec_decode_audit"] = q_bmp_codec_decode_audit
