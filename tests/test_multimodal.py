@@ -467,3 +467,104 @@ def test_stdlib_decode_passes_conformance_with_all_formats(spark):
         (b"not media at all", "video"),
     ]
     assert mm.check_decode_conformance(mm.stdlib_decode, samples)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG codec (r7): pure-numpy Huffman + DCT, encode and decode
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_constant_blocks_roundtrip_exactly():
+    """Constant 8×8 blocks have DC-only DCTs; with quant=1 the integer DC
+    survives the whole Huffman/bitstream/zigzag/IDCT chain bit-exactly."""
+    rng = _nptest.random.default_rng(21)
+    d = rng.integers(0, 256, 16, dtype=_nptest.uint8)
+    arr = _nptest.kron(
+        d.reshape(4, 4), _nptest.ones((8, 8), dtype=_nptest.uint8)
+    ).astype(_nptest.uint8)
+    rec = mm.numpy_jpeg_decode(mm.jpeg_encode_baseline(arr, quant=1), "image")
+    assert rec is not None
+    assert (rec["width"], rec["height"], rec["n_frames"]) == (32, 32, 1)
+    assert rec["features"][0] == pytest.approx(float(arr.mean() / 255.0), abs=0)
+    assert rec["features"][4] == pytest.approx(float(d.min() / 255.0), abs=0)
+    assert rec["features"][5] == pytest.approx(float(d.max() / 255.0), abs=0)
+
+
+def test_jpeg_random_content_near_lossless_at_quant_one():
+    rng = _nptest.random.default_rng(22)
+    g = rng.integers(0, 256, (23, 17), dtype=_nptest.uint8)  # crop path too
+    rec = mm.numpy_jpeg_decode(mm.jpeg_encode_baseline(g, quant=1), "image")
+    assert rec is not None and (rec["width"], rec["height"]) == (17, 23)
+    assert rec["features"][0] == pytest.approx(float(g.mean() / 255.0), abs=2e-3)
+
+    c = rng.integers(0, 256, (16, 24, 3), dtype=_nptest.uint8)
+    rec = mm.numpy_jpeg_decode(mm.jpeg_encode_baseline(c, quant=1), "image")
+    assert rec is not None
+    for ch in range(3):
+        assert rec["features"][ch] == pytest.approx(
+            float(c[:, :, ch].mean() / 255.0), abs=3e-3
+        )
+    # heavier quantization still decodes, just lossier
+    rec16 = mm.numpy_jpeg_decode(mm.jpeg_encode_baseline(c, quant=16), "image")
+    assert rec16 is not None
+    assert rec16["features"][0] == pytest.approx(
+        float(c[:, :, 0].mean() / 255.0), abs=2e-2
+    )
+
+
+def test_jpeg_rejects_out_of_scope():
+    rng = _nptest.random.default_rng(23)
+    arr = rng.integers(0, 256, (8, 8), dtype=_nptest.uint8)
+    good = mm.jpeg_encode_baseline(arr, quant=1)
+    assert mm.numpy_jpeg_decode(good, "image") is not None
+    # progressive: flip the SOF0 marker byte (FFC0 -> FFC2)
+    sof_at = good.index(b"\xff\xc0")
+    prog = good[:sof_at + 1] + b"\xc2" + good[sof_at + 2:]
+    assert mm.numpy_jpeg_decode(prog, "image") is None
+    # 4:2:0 subsampling: sampling byte 0x11 -> 0x22 in SOF comp spec
+    sub = bytearray(good)
+    sub[sof_at + 2 + 2 + 6 + 1] = 0x22
+    assert mm.numpy_jpeg_decode(bytes(sub), "image") is None
+    # nonzero restart interval spliced in before SOS
+    sos_at = good.index(b"\xff\xda")
+    dri = b"\xff\xdd\x00\x04\x00\x08"
+    assert mm.numpy_jpeg_decode(good[:sos_at] + dri + good[sos_at:], "image") is None
+    # truncated entropy stream
+    assert mm.numpy_jpeg_decode(good[:-6], "image") is None
+    # wrong kind / not a JPEG
+    assert mm.numpy_jpeg_decode(good, "audio") is None
+    assert mm.numpy_jpeg_decode(b"\xff\xd8\xff\xee junk", "image") is None
+
+
+def test_jpeg_decoder_reads_foreign_huffman_tables():
+    """The decoder must build tables from DHT, not assume the encoder's:
+    re-encode with a shuffled-but-valid AC value ordering and confirm an
+    identical decode."""
+    rng = _nptest.random.default_rng(24)
+    arr = rng.integers(0, 256, (16, 16), dtype=_nptest.uint8)
+    good = mm.jpeg_encode_baseline(arr, quant=1)
+    ref = mm.numpy_jpeg_decode(good, "image")
+    # permute the encoder's AC symbol list (same canonical lengths) and
+    # rebuild the file via the module's own encode path
+    orig = mm._JPEG_AC_VALS[:]
+    try:
+        mm._JPEG_AC_VALS.reverse()
+        alt = mm.jpeg_encode_baseline(arr, quant=1)
+    finally:
+        mm._JPEG_AC_VALS[:] = orig
+    assert alt != good
+    rec = mm.numpy_jpeg_decode(alt, "image")
+    assert rec is not None and rec["features"] == ref["features"]
+
+
+def test_stdlib_decode_dispatches_jpeg():
+    rng = _nptest.random.default_rng(25)
+    arr = rng.integers(0, 256, (8, 8), dtype=_nptest.uint8)
+    jp = mm.jpeg_encode_baseline(arr, quant=1)
+    assert mm.stdlib_decode(jp, "image") is not None
+    samples = [
+        (jp, "image"),
+        (_make_ppm(2, 2, _RGB_2x2), "image"),
+        (_make_wav([100, -100, 5000]), "audio"),
+    ]
+    assert mm.check_decode_conformance(mm.stdlib_decode, samples)

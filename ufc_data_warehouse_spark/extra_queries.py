@@ -2100,6 +2100,70 @@ def q_bmp_codec_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def q_jpeg_codec_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full baseline-JPEG codec (r7: ``jpeg_encode_baseline`` →
+    ``numpy_jpeg_decode``, pure numpy Huffman + DCT) under the driver's
+    cross-engine gate — encode AND decode both run distributed inside
+    Arrow-batched UDFs; DuckDB never sees a JPEG byte.
+
+    JPEG is lossy, so the audit is built on the one exactly-recoverable
+    case: each sampled doc becomes a 32×32 grayscale image of sixteen
+    CONSTANT 8×8 blocks (one md5 byte each, Kronecker-expanded). A
+    constant block's DCT has only a DC coefficient; with quant=1 that
+    integer survives quantize→Huffman→dequantize→IDCT bit-exactly, so
+    gray_sum/min_byte/max_byte recovered from the decoded features are
+    EXACT integers the oracle recomputes from its own md5. The entropy
+    path does real work: 16 DC Huffman symbols + EOBs per image, byte
+    stuffing, canonical table reconstruction from DHT."""
+    from .operators import multimodal as mm
+
+    mm.register_codecs_by_value()  # closures capture the encoder fn
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 3)
+    seeds = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(F.md5(F.col("doc_id").cast("string"))).alias("seed"),
+        "source",
+    )
+    encode_fn = mm.jpeg_encode_baseline
+
+    def encode(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for seed in pdf["seed"]:
+                d = _np.frombuffer(bytes(seed), dtype=_np.uint8)
+                arr = _np.kron(
+                    d.reshape(4, 4), _np.ones((8, 8), dtype=_np.uint8)
+                ).astype(_np.uint8)
+                payloads.append(encode_fn(arr, quant=1))
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                    "source": pdf["source"],
+                }
+            )
+
+    media = seeds.mapInPandas(encode, schema=mm.MEDIA_SCHEMA)
+    decoded = mm.decode_media(media, decode_fn=mm.stdlib_decode)
+    f = F.col("features")
+    return decoded.select(
+        "media_id",
+        "width",
+        "height",
+        "n_frames",
+        F.round(f[0] * 1024 * 255).cast("bigint").alias("gray_sum"),
+        F.round(f[4] * 255).cast("bigint").alias("min_byte"),
+        F.round(f[5] * 255).cast("bigint").alias("max_byte"),
+    ).orderBy("media_id")
+
+
 _KIND_SQL = """CASE WHEN doc_id % 3 = 0 THEN 'image'
   WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"""
 
@@ -3333,6 +3397,21 @@ SELECT doc_id AS media_id, 4 AS width, 4 AS height, 1 AS n_frames,
   SUM(r0 + r1 + r2 + r3)::BIGINT AS pixel_sum
 FROM r GROUP BY doc_id ORDER BY media_id"""
 
+# The JPEG audit's 16 constant blocks are md5 bytes; the oracle never
+# builds a JPEG — the constant-block DC path is exact, so plain digest
+# arithmetic IS the decoded answer.
+EXTRA_ORACLES["jpeg_codec_decode_audit"] = f"""
+SELECT doc_id AS media_id, 32 AS width, 32 AS height, 1 AS n_frames,
+  (64 * SUM(b))::BIGINT AS gray_sum,
+  MIN(b)::BIGINT AS min_byte,
+  MAX(b)::BIGINT AS max_byte
+FROM (
+  SELECT doc_id, {_dbyte_sql("t.i")} AS b
+  FROM documents, range(16) t(i)
+  WHERE doc_id % 10 = 3
+)
+GROUP BY doc_id ORDER BY media_id"""
+
 # Rebuilds the 8 little-endian int16 samples (lo + 256·hi, two's
 # complement) from DuckDB's md5 — the WAV bytes never exist oracle-side.
 EXTRA_ORACLES["wav_codec_decode_audit"] = f"""
@@ -3972,3 +4051,4 @@ EXTRA_QUERIES["real_codec_decode_audit"] = q_real_codec_decode_audit
 EXTRA_QUERIES["png_codec_decode_audit"] = q_png_codec_decode_audit
 EXTRA_QUERIES["wav_codec_decode_audit"] = q_wav_codec_decode_audit
 EXTRA_QUERIES["bmp_codec_decode_audit"] = q_bmp_codec_decode_audit
+EXTRA_QUERIES["jpeg_codec_decode_audit"] = q_jpeg_codec_decode_audit

@@ -6,15 +6,24 @@ over ``mapInPandas`` — the real 100 TB shape: payload bytes never leave
 the executor, Python sees them as Arrow buffers (zero-copy), and the
 stages are embarrassingly parallel per partition.
 
-Codec status (r6): :func:`numpy_uncompressed_decode` is a REAL decoder
+Codec status: :func:`numpy_uncompressed_decode` (r6) is a REAL decoder
 for the uncompressed containers — binary PPM (P6), 24-bit BI_RGB BMP,
 PCM WAV — built on stdlib struct + numpy only, conformance-tested
-against synthesized real files. Compressed formats (PNG/JPEG/MP3/MP4)
-remain the documented seam: their decoders (PIL/pyav/ffmpeg/librosa)
-are NOT in this container, so ``decode_media`` without a ``decode_fn``
-raises ``NotImplementedError`` unless ``fake=True``, which substitutes
-a deterministic md5-derived stand-in so the plumbing (schema, batching,
-partitioning, UDF signatures) is fully exercised either way.
+against synthesized real files. :func:`numpy_png_decode` (r7) decodes
+real PNGs via stdlib zlib, and :func:`numpy_jpeg_decode` /
+:func:`jpeg_encode_baseline` (r7) implement baseline sequential JPEG
+(Huffman + DCT) in pure numpy. The remaining seam is formats whose
+decoders genuinely need external libraries (progressive/subsampled
+JPEG variants beyond baseline 4:4:4, MP3, MP4/video): ``decode_media``
+without a ``decode_fn`` raises ``NotImplementedError`` unless
+``fake=True``, which substitutes a deterministic md5-derived stand-in so
+the plumbing (schema, batching, partitioning, UDF signatures) is fully
+exercised either way.
+
+All real codecs live in THIS module on purpose: ``decode_media``
+registers the module for cloudpickle by-value pickling, so one module ==
+one self-contained unit shipped inside the task — executors need
+neither the wheel nor sys.path setup.
 """
 
 from __future__ import annotations
@@ -430,14 +439,457 @@ def numpy_png_decode(payload: bytes, kind: str) -> dict | None:
         return None
 
 
+# ---------------------------------------------------------------------------
+# Baseline sequential JPEG (r7) — Huffman + 8×8 DCT in pure numpy.
+#
+# Scope: 8-bit precision, SOF0 (baseline), grayscale or 3-component
+# 4:4:4 (no chroma subsampling), no restart markers, no arithmetic
+# coding. Everything outside decodes to None (progressive SOF2,
+# subsampled 4:2:0, DRI≠0 — the honest remaining seam, now per-FEATURE
+# rather than per-format). The decoder builds its Huffman tables from
+# the file's own DHT segments, so it reads any in-scope baseline JPEG,
+# not only ones this module wrote.
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_zigzag() -> list[tuple[int, int]]:
+    """The JPEG zigzag scan: diagonals d = r+c, odd diagonals walked with
+    increasing row, even ones decreasing — (0,0),(0,1),(1,0),(2,0),…"""
+    out: list[tuple[int, int]] = []
+    for d in range(15):
+        rows = range(max(0, d - 7), min(d, 7) + 1)
+        out.extend((r, d - r) for r in (rows if d % 2 else reversed(rows)))
+    return out
+
+
+def _jpeg_dct_matrix():
+    import math
+
+    import numpy as _np
+
+    c = _np.array(
+        [
+            [
+                math.cos((2 * x + 1) * u * math.pi / 16)
+                * (math.sqrt(1 / 8) if u == 0 else math.sqrt(2 / 8))
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    )
+    return c
+
+
+# Encoder Huffman specs: VALID canonical tables, deliberately NOT the
+# Annex-K defaults — the spec ships inside every file's DHT segment, so
+# table choice is a compression-ratio knob, not a correctness one
+# (12 DC size symbols at 4 bits: Kraft 12/16 ≤ 1, max code 11 ≠ all-ones;
+# 162 AC symbols at 8 bits: 162/256 ≤ 1, max code 161 ≠ all-ones).
+_JPEG_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0] * 7 + [162] + [0] * 8
+_JPEG_AC_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+
+
+def jpeg_encode_baseline(arr, quant=1) -> bytes:
+    """Encode a uint8 image array (h×w gray or h×w×3 RGB) as a baseline
+    sequential JFIF-style JPEG: level shift → 8×8 DCT → quantize →
+    zigzag → DC-difference + AC run-length → Huffman, with byte
+    stuffing. ``quant`` is a scalar or an 8×8 table (natural order);
+    the default 1 keeps every coefficient (near-lossless — constant
+    blocks round-trip EXACTLY, which the cross-engine audit exploits).
+    RGB converts to BT.601 YCbCr and encodes 4:4:4. Edge blocks pad by
+    replication; the decoder crops back to the SOF dimensions."""
+    import struct as _st
+
+    import numpy as _np
+
+    a = _np.asarray(arr, dtype=_np.uint8)
+    if a.ndim == 2:
+        planes = [a.astype(_np.float64)]
+    elif a.ndim == 3 and a.shape[2] == 3:
+        rf = a[:, :, 0].astype(_np.float64)
+        gf = a[:, :, 1].astype(_np.float64)
+        bf = a[:, :, 2].astype(_np.float64)
+        planes = [
+            0.299 * rf + 0.587 * gf + 0.114 * bf,
+            128.0 - 0.168736 * rf - 0.331264 * gf + 0.5 * bf,
+            128.0 + 0.5 * rf - 0.418688 * gf - 0.081312 * bf,
+        ]
+    else:
+        raise ValueError("expected h×w gray or h×w×3 RGB uint8 array")
+    h, w = a.shape[:2]
+    q = _np.full((8, 8), quant, dtype=_np.float64) if _np.isscalar(quant) else (
+        _np.asarray(quant, dtype=_np.float64).reshape(8, 8)
+    )
+    if not ((q >= 1) & (q <= 255)).all():
+        raise ValueError("quant entries must be in 1..255")
+    zz = _jpeg_zigzag()
+    dctm = _jpeg_dct_matrix()
+
+    enc_dc = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(_JPEG_DC_BITS[length - 1]):
+            enc_dc[_JPEG_DC_VALS[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    enc_ac = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(_JPEG_AC_BITS[length - 1]):
+            enc_ac[_JPEG_AC_VALS[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code_val: int, length: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << length) | (code_val & ((1 << length) - 1))
+        nbits += length
+        while nbits >= 8:
+            nbits -= 8
+            byte = (acc >> nbits) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)  # byte stuffing
+
+    def put_value(v: int) -> None:
+        """JPEG 'extend' representation: size bits, negatives offset."""
+        size = int(v).bit_length() if v > 0 else int(-v).bit_length()
+        if v < 0:
+            v += (1 << size) - 1
+        if size:
+            put(v, size)
+
+    def vsize(v: int) -> int:
+        return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+    # pad to multiples of 8 by edge replication
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    padded = []
+    for p in planes:
+        pp = _np.pad(
+            p, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge"
+        )
+        padded.append(pp - 128.0)
+
+    prev_dc = [0] * len(planes)
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, p in enumerate(padded):
+                block = p[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                coef = dctm @ block @ dctm.T
+                qc = _np.round(coef / q).astype(_np.int64)
+                seq = [int(qc[r, c]) for r, c in zz]
+                diff = seq[0] - prev_dc[ci]
+                prev_dc[ci] = seq[0]
+                s = vsize(diff)
+                put(*enc_dc[s])
+                put_value(diff)
+                run = 0
+                last_nz = 0
+                for i in range(1, 64):
+                    if seq[i]:
+                        last_nz = i
+                for i in range(1, last_nz + 1):
+                    v = seq[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        put(*enc_ac[0xF0])  # ZRL
+                        run -= 16
+                    s = vsize(v)
+                    put(*enc_ac[(run << 4) | s])
+                    put_value(v)
+                    run = 0
+                if last_nz < 63:
+                    put(*enc_ac[0x00])  # EOB
+    if nbits:
+        pad = 8 - nbits
+        put((1 << pad) - 1, pad)  # pad with 1s
+
+    ncomp = len(planes)
+    head = bytearray(b"\xff\xd8")  # SOI
+    qz = bytes(int(q[r, c]) for r, c in zz)
+    head += b"\xff\xdb" + _st.pack(">HB", 2 + 1 + 64, 0x00) + qz  # DQT id0
+    sof = _st.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes((ci + 1, 0x11, 0))  # 4:4:4, quant table 0
+    head += b"\xff\xc0" + _st.pack(">H", 2 + len(sof)) + sof  # SOF0
+    dht = bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+    dht += bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    head += b"\xff\xc4" + _st.pack(">H", 2 + len(dht)) + dht  # DHT
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes((ci + 1, 0x00))  # dc/ac table 0 for every component
+    sos += bytes((0, 63, 0))
+    head += b"\xff\xda" + _st.pack(">H", 2 + len(sos)) + sos  # SOS
+    return bytes(head) + bytes(out) + b"\xff\xd9"  # EOI
+
+
+def numpy_jpeg_decode(payload: bytes, kind: str) -> dict | None:
+    """A REAL baseline-JPEG decoder in pure numpy (r7): marker walk,
+    canonical Huffman tables built from the file's own DHT, byte-unstuffed
+    bit reading, DC-prediction + AC run-length, dezigzag, dequantize,
+    orthonormal 8×8 IDCT, BT.601 YCbCr→RGB. Returns the standard image
+    record (same 8-float features as the other image codecs) or None for
+    anything out of scope — progressive (SOF2), subsampled, restart
+    intervals, 12-bit, arithmetic coding — per contract point 3."""
+    import hashlib as _hl
+    import struct as _st
+
+    import numpy as _np
+
+    def _img_record(w: int, h: int, rgb: "_np.ndarray") -> dict:
+        gray = rgb.astype(_np.float64).mean(axis=2)
+        feats = [
+            float(rgb[:, :, 0].mean() / 255.0),
+            float(rgb[:, :, 1].mean() / 255.0),
+            float(rgb[:, :, 2].mean() / 255.0),
+            float(gray.std() / 255.0),
+            float(gray.min() / 255.0),
+            float(gray.max() / 255.0),
+            float(w / (w + h)),
+            float(h / (w + h)),
+        ]
+        return {
+            "digest": _hl.md5(payload).hexdigest(),
+            "width": int(w),
+            "height": int(h),
+            "n_frames": 1,
+            "features": feats,
+        }
+
+    try:
+        if kind != "image" or payload[:2] != b"\xff\xd8":
+            return None
+        pos = 2
+        qtables: dict[int, "_np.ndarray"] = {}
+        htables: dict[tuple[int, int], dict] = {}  # (class, id) -> {(len, code): sym}
+        sof = None
+        scan = None
+        zz = _jpeg_zigzag()
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            ln, = _st.unpack_from(">H", payload, pos + 2)
+            seg = payload[pos + 4:pos + 2 + ln]
+            if len(seg) != ln - 2:
+                return None
+            if marker == 0xDB:  # DQT
+                p = 0
+                while p < len(seg):
+                    pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                    if pq != 0 or p + 65 > len(seg):
+                        return None  # 16-bit tables out of scope
+                    t = _np.zeros((8, 8), dtype=_np.float64)
+                    for i, (r, c) in enumerate(zz):
+                        t[r, c] = seg[p + 1 + i]
+                    qtables[tq] = t
+                    p += 65
+            elif marker == 0xC4:  # DHT
+                p = 0
+                while p + 17 <= len(seg):
+                    tc, th = seg[p] >> 4, seg[p] & 0x0F
+                    bits = list(seg[p + 1:p + 17])
+                    nsym = sum(bits)
+                    vals = seg[p + 17:p + 17 + nsym]
+                    if len(vals) != nsym:
+                        return None
+                    table: dict = {}
+                    code = 0
+                    k = 0
+                    for length in range(1, 17):
+                        for _ in range(bits[length - 1]):
+                            table[(length, code)] = vals[k]
+                            k += 1
+                            code += 1
+                        code <<= 1
+                    htables[(tc, th)] = table
+                    p += 17 + nsym
+            elif marker == 0xC0:  # SOF0 baseline
+                prec, h, w, nc = _st.unpack_from(">BHHB", seg, 0)
+                if prec != 8 or not (1 <= w and 1 <= h) or nc not in (1, 3):
+                    return None
+                comps = []
+                for ci in range(nc):
+                    cid, samp, tq = seg[6 + 3 * ci:9 + 3 * ci]
+                    if samp != 0x11:
+                        return None  # subsampling out of scope
+                    comps.append((cid, tq))
+                sof = (w, h, comps)
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                            0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # non-baseline SOF (progressive etc.)
+            elif marker == 0xDD:  # DRI
+                if _st.unpack_from(">H", seg, 0)[0] != 0:
+                    return None  # restart intervals out of scope
+            elif marker == 0xDA:  # SOS
+                ns = seg[0]
+                if sof is None or ns != len(sof[2]):
+                    return None
+                tables = []
+                for ci in range(ns):
+                    td, ta = seg[2 + 2 * ci] >> 4, seg[2 + 2 * ci] & 0x0F
+                    tables.append((td, ta))
+                if seg[1 + 2 * ns:4 + 2 * ns] != b"\x00\x3f\x00":
+                    return None
+                scan = (tables, pos + 2 + ln)
+                break
+            pos += 2 + ln
+        if sof is None or scan is None:
+            return None
+        w, h, comps = sof
+        tables, data_start = scan
+
+        # entropy-coded bytes: unstuff FF00, stop at the next real marker
+        data = bytearray()
+        p = data_start
+        while p < len(payload):
+            b = payload[p]
+            if b == 0xFF:
+                nxt = payload[p + 1] if p + 1 < len(payload) else None
+                if nxt == 0x00:
+                    data.append(0xFF)
+                    p += 2
+                    continue
+                if nxt is not None and 0xD0 <= nxt <= 0xD7:
+                    return None  # restart markers out of scope
+                break
+            data.append(b)
+            p += 1
+
+        bitpos = 0
+        nbits_total = len(data) * 8
+
+        def read_bit() -> int:
+            nonlocal bitpos
+            if bitpos >= nbits_total:
+                raise EOFError
+            b = (data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
+            bitpos += 1
+            return b
+
+        def read_bits(n: int) -> int:
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | read_bit()
+            return v
+
+        def huff_decode(table: dict) -> int:
+            code = 0
+            for length in range(1, 17):
+                code = (code << 1) | read_bit()
+                sym = table.get((length, code))
+                if sym is not None:
+                    return sym
+            raise EOFError
+
+        def extend(v: int, size: int) -> int:
+            return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+        dctm = _jpeg_dct_matrix()
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        planes = [
+            _np.zeros((bh * 8, bw * 8), dtype=_np.float64) for _ in comps
+        ]
+        prev_dc = [0] * len(comps)
+        for ci, ((_, tq), (td, ta)) in enumerate(zip(comps, tables)):
+            if tq not in qtables or (0, td) not in htables or (
+                1, ta
+            ) not in htables:
+                return None
+        for by in range(bh):
+            for bx in range(bw):
+                for ci, ((_, tq), (td, ta)) in enumerate(zip(comps, tables)):
+                    dc_t, ac_t = htables[(0, td)], htables[(1, ta)]
+                    qtab = qtables[tq]
+                    seq = [0] * 64
+                    s = huff_decode(dc_t)
+                    diff = extend(read_bits(s), s) if s else 0
+                    prev_dc[ci] += diff
+                    seq[0] = prev_dc[ci]
+                    i = 1
+                    while i < 64:
+                        sym = huff_decode(ac_t)
+                        if sym == 0x00:  # EOB
+                            break
+                        if sym == 0xF0:  # ZRL
+                            i += 16
+                            continue
+                        run, size = sym >> 4, sym & 0x0F
+                        i += run
+                        if i > 63 or size == 0:
+                            return None
+                        seq[i] = extend(read_bits(size), size)
+                        i += 1
+                    coef = _np.zeros((8, 8), dtype=_np.float64)
+                    for i, (r, c) in enumerate(zz):
+                        coef[r, c] = seq[i]
+                    block = dctm.T @ (coef * qtab) @ dctm
+                    planes[ci][by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = block
+        cropped = [p[:h, :w] + 128.0 for p in planes]
+        if len(cropped) == 1:
+            g = _np.clip(_np.round(cropped[0]), 0, 255).astype(_np.uint8)
+            rgb = _np.repeat(g[:, :, None], 3, axis=2)
+        else:
+            y, cb, cr = cropped
+            r = y + 1.402 * (cr - 128.0)
+            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            b = y + 1.772 * (cb - 128.0)
+            rgb = _np.clip(
+                _np.round(_np.stack([r, g, b], axis=2)), 0, 255
+            ).astype(_np.uint8)
+        return _img_record(w, h, rgb)
+    except EOFError:
+        return None
+    except Exception:  # noqa: BLE001 — contract point 3: never raise
+        return None
+
+
 def stdlib_decode(payload: bytes, kind: str) -> dict | None:
-    """The full no-external-libs codec: PNG (compressed, zlib) plus the
-    uncompressed containers (PPM/BMP/WAV). The one-stop ``decode_fn`` for
-    corpora mixing all stdlib-decodable formats; JPEG/MP3/MP4 remain the
-    documented seam (their decoders genuinely aren't in the container)."""
+    """The full no-external-libs codec: PNG (zlib DEFLATE) and baseline
+    JPEG (Huffman + DCT) plus the uncompressed containers (PPM/BMP/WAV).
+    The one-stop ``decode_fn`` for corpora mixing all numpy-decodable
+    formats; MP3/MP4/progressive-JPEG remain the documented seam (their
+    decoders genuinely aren't in the container)."""
     if kind == "image" and payload[:8] == _PNG_SIG:
         return numpy_png_decode(payload, kind)
+    if kind == "image" and payload[:2] == b"\xff\xd8":
+        return numpy_jpeg_decode(payload, kind)
     return numpy_uncompressed_decode(payload, kind)
+
+
+def register_codecs_by_value(module: str | None = None) -> None:
+    """Register ``module`` (default: this one) for cloudpickle by-value
+    pickling, so UDF closures that capture its codec functions ship the
+    function bodies inside the task instead of an import-by-name that
+    wheel-less executors cannot resolve (r6 ADVICE 2). Idempotent; a
+    cloudpickle without the registry API degrades to the documented
+    "ship the wheel" fallback of contract point 6."""
+    try:
+        import sys as _sys
+
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[module or __name__])
+    except Exception:  # noqa: BLE001
+        pass
 
 
 def check_decode_conformance(decode_fn, samples=None) -> bool:
@@ -506,16 +958,7 @@ def decode_media(
         )
     mod = getattr(decode_fn, "__module__", "") or ""
     if mod.startswith("ufc_data_warehouse_spark"):
-        try:
-            import sys as _sys
-
-            from pyspark import cloudpickle as _cp
-
-            _cp.register_pickle_by_value(_sys.modules[mod])
-        except Exception:  # noqa: BLE001
-            # older cloudpickle without the registry: contract point 6
-            # falls back to "ship the wheel" for package-defined codecs
-            pass
+        register_codecs_by_value(mod)
 
     def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         import hashlib as _hl
