@@ -568,3 +568,129 @@ def test_stdlib_decode_dispatches_jpeg():
         (_make_wav([100, -100, 5000]), "audio"),
     ]
     assert mm.check_decode_conformance(mm.stdlib_decode, samples)
+
+
+# ---------------------------------------------------------------------------
+# GIF codec (r7): real LZW, container walk, interlace
+# ---------------------------------------------------------------------------
+
+
+def test_gif_roundtrips_exactly_and_stresses_lzw():
+    rng = _nptest.random.default_rng(41)
+    a = rng.integers(0, 256, (4, 4), dtype=_nptest.uint8)
+    rec = mm.numpy_gif_decode(mm.gif_encode_gray(a), "image")
+    assert rec is not None and (rec["width"], rec["height"], rec["n_frames"]) == (4, 4, 1)
+    assert rec["features"][0] == pytest.approx(float(a.mean() / 255.0), abs=0)
+    # big enough to cross every code-width boundary AND the 4096-entry cap
+    b = rng.integers(0, 256, (80, 90), dtype=_nptest.uint8)
+    rec = mm.numpy_gif_decode(mm.gif_encode_gray(b), "image")
+    assert rec is not None
+    assert rec["features"][0] == pytest.approx(float(b.mean() / 255.0), abs=0)
+    assert rec["features"][4] == pytest.approx(float(b.min() / 255.0), abs=0)
+    # long runs drive deep LZW chains incl. the KwKwK special case
+    c = (_nptest.repeat(_nptest.arange(60, dtype=_nptest.uint8) % 7, 137)
+         .reshape(60, 137) * 30).astype(_nptest.uint8)
+    rec = mm.numpy_gif_decode(mm.gif_encode_gray(c), "image")
+    assert rec is not None
+    assert rec["features"][0] == pytest.approx(float(c.mean() / 255.0), abs=0)
+
+
+def test_gif_lzw_property_roundtrip():
+    for seed in range(12):
+        rng = _nptest.random.default_rng(seed)
+        n = int(rng.integers(1, 9000))
+        alphabet = int(rng.integers(2, 256))
+        data = bytes(rng.integers(0, alphabet, n, dtype=_nptest.uint8))
+        assert mm._gif_lzw_decode(mm._gif_lzw_encode(data, 8), 8) == data
+
+
+def test_gif_interlaced_and_malformed():
+    import struct
+
+    rng = _nptest.random.default_rng(42)
+    a = rng.integers(0, 256, (16, 5), dtype=_nptest.uint8)
+    plain = mm.gif_encode_gray(a)
+    # hand-build the interlaced variant: rows stored in 4-pass order
+    rows = (list(range(0, 16, 8)) + list(range(4, 16, 8))
+            + list(range(2, 16, 4)) + list(range(1, 16, 2)))
+    inter_pixels = a[rows]
+    lzw = mm._gif_lzw_encode(inter_pixels.tobytes(), 8)
+    out = bytearray(b"GIF87a") + struct.pack("<HHBBB", 5, 16, 0xF7, 0, 0)
+    for i in range(256):
+        out += bytes((i, i, i))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 5, 16, 0x40)  # interlace
+    out.append(8)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    rec_i = mm.numpy_gif_decode(bytes(out), "image")
+    rec_p = mm.numpy_gif_decode(plain, "image")
+    assert rec_i is not None and rec_i["features"] == rec_p["features"]
+    # malformed inputs
+    assert mm.numpy_gif_decode(plain[:-4], "image") is None  # no trailer/terminator
+    assert mm.numpy_gif_decode(b"GIF87a" + b"\x00" * 5, "image") is None
+    assert mm.numpy_gif_decode(plain, "audio") is None
+    bad = bytearray(plain)
+    bad[13 + 768 + 10] = 3  # corrupt LZW min code size below range... 3 is valid
+    bad[13 + 768] = 0x99  # unknown block type instead of image descriptor
+    assert mm.numpy_gif_decode(bytes(bad), "image") is None
+    assert mm.stdlib_decode(plain, "image") is not None
+
+
+# ---------------------------------------------------------------------------
+# G.711 µ-law / A-law WAV (r7)
+# ---------------------------------------------------------------------------
+
+
+def _g711_ref_ulaw(b: int) -> int:
+    u = ~b & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+
+def _g711_ref_alaw(b: int) -> int:
+    a = b ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
+def _make_g711_wav(samples: bytes, fmt_code: int) -> bytes:
+    import struct
+
+    fmt = struct.pack("<HHIIHH", fmt_code, 1, 8000, 8000, 1, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(samples)) + samples
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_g711_companded_wav_decodes_per_reference():
+    payload = bytes(range(256))
+    for fmt_code, ref in ((7, _g711_ref_ulaw), (6, _g711_ref_alaw)):
+        rec = mm.numpy_uncompressed_decode(_make_g711_wav(payload, fmt_code), "audio")
+        assert rec is not None, f"fmt {fmt_code} failed"
+        assert rec["n_frames"] == 256 and rec["width"] == 1
+        lin = [ref(b) for b in payload]
+        assert rec["features"][0] == pytest.approx(
+            sum(lin) / 256 / 32768.0, abs=1e-12
+        )
+        assert rec["features"][2] == pytest.approx(min(lin) / 32768.0, abs=1e-12)
+        assert rec["features"][3] == pytest.approx(max(lin) / 32768.0, abs=1e-12)
+    # unsupported companded bit depths still reject
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 16000, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    assert mm.numpy_uncompressed_decode(
+        b"RIFF" + struct.pack("<I", len(body)) + body, "audio"
+    ) is None

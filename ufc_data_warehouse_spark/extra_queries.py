@@ -2164,6 +2164,106 @@ def q_jpeg_codec_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def q_gif_codec_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real GIF codec (r7: LZW in pure Python, ``gif_encode_gray`` →
+    ``numpy_gif_decode``) under the driver's cross-engine gate. Each
+    sampled doc's md5 becomes a 4×4 index image over the identity
+    grayscale palette, LZW-compressed into a genuine GIF87a in one Arrow
+    UDF and decoded by the full container walk (sub-block reassembly,
+    variable-width LSB-first codes, clear/KwKwK handling) in another.
+    GIF is lossless, so the decoded gray sums equal plain digest
+    arithmetic — which is exactly what the DuckDB oracle computes,
+    having never seen a GIF byte."""
+    from .operators import multimodal as mm
+
+    mm.register_codecs_by_value()
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 8)
+    seeds = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(F.md5(F.col("doc_id").cast("string"))).alias("seed"),
+        "source",
+    )
+    encode_fn = mm.gif_encode_gray
+
+    def encode(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = [
+                encode_fn(
+                    _np.frombuffer(bytes(seed), dtype=_np.uint8).reshape(4, 4)
+                )
+                for seed in pdf["seed"]
+            ]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                    "source": pdf["source"],
+                }
+            )
+
+    media = seeds.mapInPandas(encode, schema=mm.MEDIA_SCHEMA)
+    decoded = mm.decode_media(media, decode_fn=mm.stdlib_decode)
+    f = F.col("features")
+    return decoded.select(
+        "media_id",
+        "width",
+        "height",
+        "n_frames",
+        F.round(f[0] * 16 * 255).cast("bigint").alias("gray_sum"),
+        F.round(f[4] * 255).cast("bigint").alias("min_byte"),
+        F.round(f[5] * 255).cast("bigint").alias("max_byte"),
+    ).orderBy("media_id")
+
+
+def q_ulaw_codec_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 µ-law companded audio (r7: WAV fmt 7 in ``_wav``) under the
+    driver's cross-engine gate. The µ-law expansion is CLOSED-FORM
+    integer arithmetic — complement, mantissa·8 + 132 bias, shift by the
+    segment, re-bias, sign — so while Spark runs the real vectorized
+    decoder over genuine WAV bytes, DuckDB evaluates the same formula
+    symbolically per digest byte. Sixteen companded samples per doc;
+    sample_sum/min/max recovered exactly from the feature floats
+    (|linear| ≤ 8031 ≪ the float32 margin)."""
+    import struct as _st
+
+    from .operators import multimodal as mm
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 9)
+    digest = F.unhex(F.md5(F.col("doc_id").cast("string")))  # 16 µ-law bytes
+    fmt = _st.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    header = (
+        b"RIFF" + _st.pack("<I", 4 + 8 + len(fmt) + 8 + 16) + b"WAVE"
+        + b"fmt " + _st.pack("<I", len(fmt)) + fmt
+        + b"data" + _st.pack("<I", 16)
+    )
+    payload = F.concat(F.lit(header), digest)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        "source",
+    )
+    decoded = mm.decode_media(media, decode_fn=mm.stdlib_decode)
+    f = F.col("features")
+    return decoded.select(
+        "media_id",
+        F.col("width").alias("n_channels"),
+        F.col("height").alias("sample_rate"),
+        F.col("n_frames").alias("n_samples"),
+        F.round(f[0] * 16 * 32768).cast("bigint").alias("sample_sum"),
+        F.round(f[2] * 32768).cast("bigint").alias("min_sample"),
+        F.round(f[3] * 32768).cast("bigint").alias("max_sample"),
+    ).orderBy("media_id")
+
+
 _KIND_SQL = """CASE WHEN doc_id % 3 = 0 THEN 'image'
   WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"""
 
@@ -3412,6 +3512,43 @@ FROM (
 )
 GROUP BY doc_id ORDER BY media_id"""
 
+# GIF is lossless over an identity-gray palette: decoded gray sums ARE
+# digest sums. Same arithmetic shape as the JPEG audit, different sample.
+EXTRA_ORACLES["gif_codec_decode_audit"] = f"""
+SELECT doc_id AS media_id, 4 AS width, 4 AS height, 1 AS n_frames,
+  SUM(b)::BIGINT AS gray_sum,
+  MIN(b)::BIGINT AS min_byte,
+  MAX(b)::BIGINT AS max_byte
+FROM (
+  SELECT doc_id, {_dbyte_sql("t.i")} AS b
+  FROM documents, range(16) t(i)
+  WHERE doc_id % 10 = 8
+)
+GROUP BY doc_id ORDER BY media_id"""
+
+# The G.711 µ-law expansion evaluated symbolically: u = 255-b;
+# linear = ±(((u mod 16)·8 + 132) · 2^((u div 16) mod 8) − 132).
+EXTRA_ORACLES["ulaw_codec_decode_audit"] = f"""
+WITH s AS (
+  SELECT doc_id,
+    CASE WHEN u >= 128 THEN 132 - t ELSE t - 132 END AS smp
+  FROM (
+    SELECT doc_id, u,
+      ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) AS t
+    FROM (
+      SELECT doc_id, 255 - ({_dbyte_sql("t.i")}) AS u
+      FROM documents, range(16) t(i)
+      WHERE doc_id % 10 = 9
+    )
+  )
+)
+SELECT doc_id AS media_id, 1 AS n_channels, 8000 AS sample_rate,
+  16 AS n_samples,
+  SUM(smp)::BIGINT AS sample_sum,
+  MIN(smp)::BIGINT AS min_sample,
+  MAX(smp)::BIGINT AS max_sample
+FROM s GROUP BY doc_id ORDER BY media_id"""
+
 # Rebuilds the 8 little-endian int16 samples (lo + 256·hi, two's
 # complement) from DuckDB's md5 — the WAV bytes never exist oracle-side.
 EXTRA_ORACLES["wav_codec_decode_audit"] = f"""
@@ -4052,3 +4189,5 @@ EXTRA_QUERIES["png_codec_decode_audit"] = q_png_codec_decode_audit
 EXTRA_QUERIES["wav_codec_decode_audit"] = q_wav_codec_decode_audit
 EXTRA_QUERIES["bmp_codec_decode_audit"] = q_bmp_codec_decode_audit
 EXTRA_QUERIES["jpeg_codec_decode_audit"] = q_jpeg_codec_decode_audit
+EXTRA_QUERIES["gif_codec_decode_audit"] = q_gif_codec_decode_audit
+EXTRA_QUERIES["ulaw_codec_decode_audit"] = q_ulaw_codec_decode_audit

@@ -239,13 +239,38 @@ def numpy_uncompressed_decode(payload: bytes, kind: str) -> dict | None:
             return None
         audio_fmt, channels, rate = _st.unpack_from("<HHI", fmt, 0)
         bits, = _st.unpack_from("<H", fmt, 14)
-        if audio_fmt != 1 or channels < 1 or rate < 1 or bits not in (8, 16):
+        # fmt 1 = PCM (8/16-bit); fmt 6/7 = ITU-T G.711 A-law / µ-law
+        # companded 8-bit (r7): the expansion is closed-form arithmetic,
+        # vectorized below exactly per the reference C in the standard.
+        if (
+            channels < 1
+            or rate < 1
+            or (audio_fmt == 1 and bits not in (8, 16))
+            or (audio_fmt in (6, 7) and bits != 8)
+            or audio_fmt not in (1, 6, 7)
+        ):
             return None
         bytes_per = channels * bits // 8
         n_samples = len(data) // bytes_per if bytes_per else 0
         if n_samples < 1:
             return None
-        if bits == 16:
+        if audio_fmt == 7:  # µ-law: invert, rebuild mantissa+bias, shift
+            u = 255 - _np.frombuffer(
+                data, dtype=_np.uint8, count=n_samples * channels
+            ).astype(_np.int64)
+            t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+            lin = _np.where(u & 0x80, 0x84 - t, t - 0x84)
+            x = lin.astype(_np.float64) / 32768.0
+        elif audio_fmt == 6:  # A-law: XOR 0x55, segment-wise expansion
+            a = _np.frombuffer(
+                data, dtype=_np.uint8, count=n_samples * channels
+            ).astype(_np.int64) ^ 0x55
+            seg = (a & 0x70) >> 4
+            t = (a & 0x0F) << 4
+            t = _np.where(seg == 0, t + 8, (t + 0x108) << _np.maximum(seg - 1, 0))
+            lin = _np.where(a & 0x80, t, -t)
+            x = lin.astype(_np.float64) / 32768.0
+        elif bits == 16:
             x = _np.frombuffer(
                 data, dtype="<i2", count=n_samples * channels
             ).astype(_np.float64) / 32768.0
@@ -862,16 +887,274 @@ def numpy_jpeg_decode(payload: bytes, kind: str) -> dict | None:
         return None
 
 
+# ---------------------------------------------------------------------------
+# GIF (r7) — real LZW in pure Python. GIF's variable-width LZW is
+# "not-early-change": the decoder widens when its dictionary hits
+# 2^width AFTER an add; the encoder therefore tracks the DECODER's add
+# schedule (one code behind its own) so flush-time codes stay aligned —
+# the classic GIF off-by-one, made explicit instead of folkloric.
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_encode(data: bytes, min_code: int) -> bytes:
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    first_free = end + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits  # LSB-first packing
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code + 1
+    emitted = 0  # data/end codes since the last clear
+    dec_next = first_free  # the decoder's dictionary size, simulated
+
+    def emit(code: int) -> None:
+        nonlocal emitted, dec_next, width
+        if emitted >= 2:  # decoder adds an entry after its 2nd+ code
+            if dec_next < 4096:
+                dec_next += 1
+            if dec_next == (1 << width) and width < 12:
+                width += 1
+        put(code, width)
+        emitted += 1
+
+    table = {bytes([i]): i for i in range(1 << min_code)}
+    next_code = first_free
+    put(clear, width)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+        else:  # dictionary full: clear and start over
+            emit(clear)
+            table = {bytes([i]): i for i in range(1 << min_code)}
+            next_code = first_free
+            width = min_code + 1
+            emitted = 0
+            dec_next = first_free
+        w = bytes([ch])
+    if w:
+        emit(table[w])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_code: int) -> bytes | None:
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    first_free = end + 1
+    pos = 0
+    total = len(data) * 8
+    width = min_code + 1
+    table: dict[int, bytes] = {}
+    next_code = first_free
+    prev: bytes | None = None
+    out = bytearray()
+    while True:
+        if pos + width > total:
+            return None  # ran out before the END code
+        code = 0
+        for i in range(width):
+            byte = data[(pos + i) >> 3]
+            code |= ((byte >> ((pos + i) & 7)) & 1) << i
+        pos += width
+        if code == clear:
+            table = {i: bytes([i]) for i in range(1 << min_code)}
+            next_code = first_free
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if not table:
+            return None  # data before the initial clear code
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                return None
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                return None
+            if next_code < 4096:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+        out += entry
+        prev = entry
+
+
+def gif_encode_gray(indices) -> bytes:
+    """Encode an h×w uint8 index array as a single-frame GIF87a with a
+    256-entry identity grayscale palette — a REAL LZW-compressed GIF any
+    viewer opens; the ground-truth producer for the GIF audit/tests."""
+    import numpy as _np
+    import struct as _st
+
+    a = _np.asarray(indices, dtype=_np.uint8)
+    h, w = a.shape
+    out = bytearray(b"GIF87a")
+    out += _st.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT: 256 entries
+    for i in range(256):
+        out += bytes((i, i, i))
+    out += b"\x2c" + _st.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(8)  # LZW minimum code size
+    lzw = _gif_lzw_encode(a.tobytes(), 8)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def numpy_gif_decode(payload: bytes, kind: str) -> dict | None:
+    """A REAL GIF decoder (r7): 87a/89a container walk, global/local
+    color tables, sub-block reassembly, variable-width LSB-first LZW
+    with clear/KwKwK/dictionary-cap handling, Adam-less GIF interlace
+    deinterlacing. Decodes the FIRST frame to the standard image record
+    (n_frames is 1 by the image contract; animation frames beyond the
+    first are parsed past, not decoded). Returns None out of scope per
+    contract point 3."""
+    import hashlib as _hl
+    import struct as _st
+
+    import numpy as _np
+
+    try:
+        if kind != "image" or payload[:6] not in (b"GIF87a", b"GIF89a"):
+            return None
+        if len(payload) < 13:
+            return None
+        sw, sh, packed, _bg, _ar = _st.unpack_from("<HHBBB", payload, 6)
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            gct = _np.frombuffer(
+                payload, dtype=_np.uint8, count=3 * n, offset=pos
+            ).reshape(n, 3)
+            if len(gct) * 3 != 3 * n:
+                return None
+            pos += 3 * n
+        rgb = None
+        w = h = 0
+        while pos < len(payload):
+            b = payload[pos]
+            if b == 0x3B:  # trailer
+                break
+            if b == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while pos < len(payload) and payload[pos]:
+                    pos += 1 + payload[pos]
+                pos += 1
+                continue
+            if b != 0x2C:
+                return None
+            left, top, iw, ih, ipack = _st.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            pal = gct
+            if ipack & 0x80:
+                n = 2 << (ipack & 0x07)
+                pal = _np.frombuffer(
+                    payload, dtype=_np.uint8, count=3 * n, offset=pos
+                ).reshape(n, 3)
+                pos += 3 * n
+            if pal is None or not (1 <= iw and 1 <= ih):
+                return None
+            min_code = payload[pos]
+            pos += 1
+            if not (2 <= min_code <= 8):
+                return None
+            blocks = bytearray()
+            while pos < len(payload) and payload[pos]:
+                ln = payload[pos]
+                chunk = payload[pos + 1:pos + 1 + ln]
+                if len(chunk) != ln:
+                    return None
+                blocks += chunk
+                pos += 1 + ln
+            if pos >= len(payload):
+                return None
+            pos += 1  # block terminator
+            if rgb is not None:
+                continue  # later frames: parsed past, not decoded
+            idx_bytes = _gif_lzw_decode(bytes(blocks), min_code)
+            if idx_bytes is None or len(idx_bytes) < iw * ih:
+                return None
+            idx = _np.frombuffer(
+                idx_bytes[: iw * ih], dtype=_np.uint8
+            ).reshape(ih, iw)
+            if ipack & 0x40:  # interlaced: 4-pass row shuffle
+                rows = (
+                    list(range(0, ih, 8))
+                    + list(range(4, ih, 8))
+                    + list(range(2, ih, 4))
+                    + list(range(1, ih, 2))
+                )
+                deinter = _np.empty_like(idx)
+                deinter[rows] = idx
+                idx = deinter
+            if int(idx.max(initial=0)) >= len(pal):
+                return None
+            rgb = pal[idx]
+            w, h = iw, ih
+        if rgb is None:
+            return None
+        gray = rgb.astype(_np.float64).mean(axis=2)
+        feats = [
+            float(rgb[:, :, 0].mean() / 255.0),
+            float(rgb[:, :, 1].mean() / 255.0),
+            float(rgb[:, :, 2].mean() / 255.0),
+            float(gray.std() / 255.0),
+            float(gray.min() / 255.0),
+            float(gray.max() / 255.0),
+            float(w / (w + h)),
+            float(h / (w + h)),
+        ]
+        return {
+            "digest": _hl.md5(payload).hexdigest(),
+            "width": int(w),
+            "height": int(h),
+            "n_frames": 1,
+            "features": feats,
+        }
+    except Exception:  # noqa: BLE001 — contract point 3: never raise
+        return None
+
+
 def stdlib_decode(payload: bytes, kind: str) -> dict | None:
-    """The full no-external-libs codec: PNG (zlib DEFLATE) and baseline
-    JPEG (Huffman + DCT) plus the uncompressed containers (PPM/BMP/WAV).
-    The one-stop ``decode_fn`` for corpora mixing all numpy-decodable
-    formats; MP3/MP4/progressive-JPEG remain the documented seam (their
-    decoders genuinely aren't in the container)."""
+    """The full no-external-libs codec: PNG (zlib DEFLATE), baseline
+    JPEG (Huffman + DCT), GIF (LZW) plus the uncompressed containers
+    (PPM/BMP/WAV, G.711 µ-law/A-law WAV). The one-stop ``decode_fn`` for
+    corpora mixing all numpy-decodable formats; MP3/MP4/progressive-JPEG
+    remain the documented seam (their decoders genuinely aren't in the
+    container)."""
     if kind == "image" and payload[:8] == _PNG_SIG:
         return numpy_png_decode(payload, kind)
     if kind == "image" and payload[:2] == b"\xff\xd8":
         return numpy_jpeg_decode(payload, kind)
+    if kind == "image" and payload[:6] in (b"GIF87a", b"GIF89a"):
+        return numpy_gif_decode(payload, kind)
     return numpy_uncompressed_decode(payload, kind)
 
 
