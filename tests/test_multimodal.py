@@ -525,10 +525,14 @@ def test_jpeg_rejects_out_of_scope():
     sub = bytearray(good)
     sub[sof_at + 2 + 2 + 6 + 1] = 0x22
     assert mm.numpy_jpeg_decode(bytes(sub), "image") is None
-    # nonzero restart interval spliced in before SOS
-    sos_at = good.index(b"\xff\xda")
-    dri = b"\xff\xdd\x00\x04\x00\x08"
-    assert mm.numpy_jpeg_decode(good[:sos_at] + dri + good[sos_at:], "image") is None
+    # a DRI promising restarts the entropy stream doesn't contain: the
+    # decoder runs out of restart segments and must reject, not misparse
+    big = mm.jpeg_encode_baseline(
+        _nptest.zeros((16, 16), dtype=_nptest.uint8), quant=1
+    )
+    sos_big = big.index(b"\xff\xda")
+    dri = b"\xff\xdd\x00\x04\x00\x01"
+    assert mm.numpy_jpeg_decode(big[:sos_big] + dri + big[sos_big:], "image") is None
     # truncated entropy stream
     assert mm.numpy_jpeg_decode(good[:-6], "image") is None
     # wrong kind / not a JPEG
@@ -694,3 +698,53 @@ def test_g711_companded_wav_decodes_per_reference():
     assert mm.numpy_uncompressed_decode(
         b"RIFF" + struct.pack("<I", len(body)) + body, "audio"
     ) is None
+
+
+def test_jpeg_restart_interval_roundtrip():
+    """DRI/RSTn support (r7): byte-aligned restart segments with DC
+    predictor resets, encoder and decoder."""
+    rng = _nptest.random.default_rng(55)
+    c = rng.integers(0, 256, (40, 33, 3), dtype=_nptest.uint8)
+    jp = mm.jpeg_encode_baseline(c, quant=1, restart_interval=3)
+    assert b"\xff\xdd" in jp and b"\xff\xd0" in jp
+    rec = mm.numpy_jpeg_decode(jp, "image")
+    assert rec is not None
+    for ch in range(3):
+        assert rec["features"][ch] == pytest.approx(
+            float(c[:, :, ch].mean() / 255.0), abs=3e-3
+        )
+    # constant blocks + restarts stay exact
+    d = rng.integers(0, 256, 16, dtype=_nptest.uint8)
+    arr = _nptest.kron(
+        d.reshape(4, 4), _nptest.ones((8, 8), dtype=_nptest.uint8)
+    ).astype(_nptest.uint8)
+    rec = mm.numpy_jpeg_decode(
+        mm.jpeg_encode_baseline(arr, quant=1, restart_interval=5), "image"
+    )
+    assert rec is not None
+    assert rec["features"][0] == pytest.approx(float(arr.mean() / 255.0), abs=0)
+
+
+_REAL_WORLD_MEDIA = [
+    # third-party files shipped by unrelated OS packages — produced by
+    # real encoders this module has never seen (interop, not roundtrip)
+    "/usr/share/gitweb/static/git-logo.png",
+    "/usr/share/doc/python3/_static/file.png",
+    "/usr/share/doc/libxslt1-dev/html/smallfootonly.gif",
+    "/usr/share/doc/libxslt1-dev/html/processing.gif",
+    "/usr/lib/google-cloud-sdk/platform/gsutil/third_party/requests/ext/flower-of-life.jpg",
+]
+
+
+def test_codecs_decode_real_world_files():
+    import os
+
+    present = [p for p in _REAL_WORLD_MEDIA if os.path.exists(p)]
+    if not present:
+        pytest.skip("no third-party media in this environment")
+    for p in present:
+        with open(p, "rb") as fh:
+            rec = mm.stdlib_decode(fh.read(), "image")
+        assert rec is not None, f"failed to decode {p}"
+        assert rec["width"] >= 1 and rec["height"] >= 1
+        assert all(0.0 <= rec["features"][i] <= 1.0 for i in range(6)), p

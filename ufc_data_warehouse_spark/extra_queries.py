@@ -3804,6 +3804,12 @@ BENCH_EXTRA = [
     # cross-doc verbatim-span coverage: one gram-keyed exchange + per-doc
     # window — the substring-dedup audit, linear in corpus size
     "dedup_repeated_spans",
+    # r7 real-codec paths: PNG (zlib inflate + unfilter per payload) and
+    # baseline JPEG (the heaviest — real Huffman+DCT encode AND decode
+    # per row, both inside Arrow UDFs); per-payload CPU cost is the
+    # design point, the bench pins the per-row constant
+    "png_codec_decode_audit",
+    "jpeg_codec_decode_audit",
 ]
 # NOT benchmarked: dedup_prefix_filter / graph_triangle_census — on this
 # synthetic corpus (5000 near-identical docs; a 91%-dense co-purchase

@@ -518,7 +518,7 @@ _JPEG_AC_VALS = [0x00, 0xF0] + [
 ]
 
 
-def jpeg_encode_baseline(arr, quant=1) -> bytes:
+def jpeg_encode_baseline(arr, quant=1, restart_interval=0) -> bytes:
     """Encode a uint8 image array (h×w gray or h×w×3 RGB) as a baseline
     sequential JFIF-style JPEG: level shift → 8×8 DCT → quantize →
     zigzag → DC-difference + AC run-length → Huffman, with byte
@@ -526,7 +526,10 @@ def jpeg_encode_baseline(arr, quant=1) -> bytes:
     the default 1 keeps every coefficient (near-lossless — constant
     blocks round-trip EXACTLY, which the cross-engine audit exploits).
     RGB converts to BT.601 YCbCr and encodes 4:4:4. Edge blocks pad by
-    replication; the decoder crops back to the SOF dimensions."""
+    replication; the decoder crops back to the SOF dimensions.
+    ``restart_interval`` > 0 writes a DRI segment and emits byte-aligned
+    RSTn markers (DC predictors reset) every N MCUs — the real-world
+    error-resilience feature most camera JPEGs carry."""
     import struct as _st
 
     import numpy as _np
@@ -609,8 +612,18 @@ def jpeg_encode_baseline(arr, quant=1) -> bytes:
         padded.append(pp - 128.0)
 
     prev_dc = [0] * len(planes)
+    mcu = 0
+    rst = 0
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                if nbits:  # byte-align: pad with 1s (stuffing-safe)
+                    pad = 8 - nbits
+                    put((1 << pad) - 1, pad)
+                out += bytes((0xFF, 0xD0 + rst % 8))
+                rst += 1
+                prev_dc = [0] * len(planes)
+            mcu += 1
             for ci, p in enumerate(padded):
                 block = p[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
                 coef = dctm @ block @ dctm.T
@@ -655,6 +668,8 @@ def jpeg_encode_baseline(arr, quant=1) -> bytes:
     dht = bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
     dht += bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
     head += b"\xff\xc4" + _st.pack(">H", 2 + len(dht)) + dht  # DHT
+    if restart_interval:
+        head += b"\xff\xdd" + _st.pack(">HH", 4, restart_interval)  # DRI
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes((ci + 1, 0x00))  # dc/ac table 0 for every component
@@ -667,10 +682,11 @@ def numpy_jpeg_decode(payload: bytes, kind: str) -> dict | None:
     """A REAL baseline-JPEG decoder in pure numpy (r7): marker walk,
     canonical Huffman tables built from the file's own DHT, byte-unstuffed
     bit reading, DC-prediction + AC run-length, dezigzag, dequantize,
-    orthonormal 8×8 IDCT, BT.601 YCbCr→RGB. Returns the standard image
-    record (same 8-float features as the other image codecs) or None for
-    anything out of scope — progressive (SOF2), subsampled, restart
-    intervals, 12-bit, arithmetic coding — per contract point 3."""
+    orthonormal 8×8 IDCT, BT.601 YCbCr→RGB, restart-interval (DRI/RSTn)
+    segment handling with DC-predictor resets. Returns the standard
+    image record (same 8-float features as the other image codecs) or
+    None for anything out of scope — progressive (SOF2), subsampled
+    4:2:0/4:2:2, 12-bit, arithmetic coding — per contract point 3."""
     import hashlib as _hl
     import struct as _st
 
@@ -704,6 +720,7 @@ def numpy_jpeg_decode(payload: bytes, kind: str) -> dict | None:
         htables: dict[tuple[int, int], dict] = {}  # (class, id) -> {(len, code): sym}
         sof = None
         scan = None
+        interval = 0
         zz = _jpeg_zigzag()
         while pos + 4 <= len(payload):
             if payload[pos] != 0xFF:
@@ -761,9 +778,8 @@ def numpy_jpeg_decode(payload: bytes, kind: str) -> dict | None:
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
                             0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 return None  # non-baseline SOF (progressive etc.)
-            elif marker == 0xDD:  # DRI
-                if _st.unpack_from(">H", seg, 0)[0] != 0:
-                    return None  # restart intervals out of scope
+            elif marker == 0xDD:  # DRI: restart every N MCUs (r7)
+                interval = _st.unpack_from(">H", seg, 0)[0]
             elif marker == 0xDA:  # SOS
                 ns = seg[0]
                 if sof is None or ns != len(sof[2]):
@@ -782,25 +798,43 @@ def numpy_jpeg_decode(payload: bytes, kind: str) -> dict | None:
         w, h, comps = sof
         tables, data_start = scan
 
-        # entropy-coded bytes: unstuff FF00, stop at the next real marker
-        data = bytearray()
+        # entropy-coded bytes: unstuff FF00; RSTn markers split the
+        # stream into byte-aligned restart segments (r7)
+        segments: list[bytes] = []
+        cur = bytearray()
         p = data_start
         while p < len(payload):
             b = payload[p]
             if b == 0xFF:
                 nxt = payload[p + 1] if p + 1 < len(payload) else None
                 if nxt == 0x00:
-                    data.append(0xFF)
+                    cur.append(0xFF)
                     p += 2
                     continue
                 if nxt is not None and 0xD0 <= nxt <= 0xD7:
-                    return None  # restart markers out of scope
+                    segments.append(bytes(cur))
+                    cur = bytearray()
+                    p += 2
+                    continue
                 break
-            data.append(b)
+            cur.append(b)
             p += 1
+        segments.append(bytes(cur))
 
+        seg_idx = 0
+        data = segments[0]
         bitpos = 0
         nbits_total = len(data) * 8
+
+        def next_segment() -> bool:
+            nonlocal seg_idx, data, bitpos, nbits_total
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                return False
+            data = segments[seg_idx]
+            bitpos = 0
+            nbits_total = len(data) * 8
+            return True
 
         def read_bit() -> int:
             nonlocal bitpos
@@ -839,8 +873,15 @@ def numpy_jpeg_decode(payload: bytes, kind: str) -> dict | None:
                 1, ta
             ) not in htables:
                 return None
+        mcu = 0
         for by in range(bh):
             for bx in range(bw):
+                if interval and mcu and mcu % interval == 0:
+                    # restart: byte-aligned segment switch + DC reset
+                    if not next_segment():
+                        return None
+                    prev_dc = [0] * len(comps)
+                mcu += 1
                 for ci, ((_, tq), (td, ta)) in enumerate(zip(comps, tables)):
                     dc_t, ac_t = htables[(0, td)], htables[(1, ta)]
                     qtab = qtables[tq]
