@@ -521,9 +521,9 @@ def test_jpeg_rejects_out_of_scope():
     sof_at = good.index(b"\xff\xc0")
     prog = good[:sof_at + 1] + b"\xc2" + good[sof_at + 2:]
     assert mm.numpy_jpeg_decode(prog, "image") is None
-    # 4:2:0 subsampling: sampling byte 0x11 -> 0x22 in SOF comp spec
+    # sampling factors beyond 2 (e.g. 3:1) stay out of scope
     sub = bytearray(good)
-    sub[sof_at + 2 + 2 + 6 + 1] = 0x22
+    sub[sof_at + 2 + 2 + 6 + 1] = 0x31
     assert mm.numpy_jpeg_decode(bytes(sub), "image") is None
     # a DRI promising restarts the entropy stream doesn't contain: the
     # decoder runs out of restart segments and must reject, not misparse
@@ -748,3 +748,34 @@ def test_codecs_decode_real_world_files():
         assert rec is not None, f"failed to decode {p}"
         assert rec["width"] >= 1 and rec["height"] >= 1
         assert all(0.0 <= rec["features"][i] <= 1.0 for i in range(6)), p
+
+
+def test_jpeg_chroma_subsampling_modes():
+    """4:2:0 / 4:2:2 (r7): gray-content RGB has constant chroma, so
+    subsampling loses nothing and every mode must agree with the source;
+    DRI on top must not change a single decoded value."""
+    rng = _nptest.random.default_rng(66)
+    g = rng.integers(0, 256, (21, 30), dtype=_nptest.uint8)
+    rgb = _nptest.repeat(g[:, :, None], 3, axis=2)
+    for sub in ("420", "422", "444"):
+        rec = mm.numpy_jpeg_decode(
+            mm.jpeg_encode_baseline(rgb, quant=1, subsampling=sub), "image"
+        )
+        assert rec is not None, sub
+        assert rec["features"][0] == pytest.approx(
+            float(g.mean() / 255.0), abs=2e-3
+        ), sub
+    c = rng.integers(0, 256, (24, 16, 3), dtype=_nptest.uint8)
+    plain = mm.numpy_jpeg_decode(
+        mm.jpeg_encode_baseline(c, quant=1, subsampling="420"), "image"
+    )
+    with_dri = mm.numpy_jpeg_decode(
+        mm.jpeg_encode_baseline(
+            c, quant=1, subsampling="420", restart_interval=2
+        ),
+        "image",
+    )
+    assert plain is not None and with_dri is not None
+    assert plain["features"] == with_dri["features"]
+    with pytest.raises(ValueError):
+        mm.jpeg_encode_baseline(c, subsampling="411")

@@ -468,12 +468,12 @@ def numpy_png_decode(payload: bytes, kind: str) -> dict | None:
 # Baseline sequential JPEG (r7) — Huffman + 8×8 DCT in pure numpy.
 #
 # Scope: 8-bit precision, SOF0 (baseline), grayscale or 3-component
-# 4:4:4 (no chroma subsampling), no restart markers, no arithmetic
-# coding. Everything outside decodes to None (progressive SOF2,
-# subsampled 4:2:0, DRI≠0 — the honest remaining seam, now per-FEATURE
-# rather than per-format). The decoder builds its Huffman tables from
-# the file's own DHT segments, so it reads any in-scope baseline JPEG,
-# not only ones this module wrote.
+# YCbCr at 4:4:4/4:2:2/4:2:0 sampling, restart intervals (DRI/RSTn).
+# Everything outside decodes to None (progressive SOF2, 12-bit,
+# arithmetic coding — the honest remaining seam, now per-FEATURE rather
+# than per-format). The decoder builds its Huffman tables from the
+# file's own DHT segments, so it reads any in-scope baseline JPEG, not
+# only ones this module wrote.
 # ---------------------------------------------------------------------------
 
 
@@ -518,15 +518,19 @@ _JPEG_AC_VALS = [0x00, 0xF0] + [
 ]
 
 
-def jpeg_encode_baseline(arr, quant=1, restart_interval=0) -> bytes:
+def jpeg_encode_baseline(
+    arr, quant=1, restart_interval=0, subsampling="444"
+) -> bytes:
     """Encode a uint8 image array (h×w gray or h×w×3 RGB) as a baseline
     sequential JFIF-style JPEG: level shift → 8×8 DCT → quantize →
     zigzag → DC-difference + AC run-length → Huffman, with byte
     stuffing. ``quant`` is a scalar or an 8×8 table (natural order);
     the default 1 keeps every coefficient (near-lossless — constant
     blocks round-trip EXACTLY, which the cross-engine audit exploits).
-    RGB converts to BT.601 YCbCr and encodes 4:4:4. Edge blocks pad by
-    replication; the decoder crops back to the SOF dimensions.
+    RGB converts to BT.601 YCbCr; ``subsampling`` picks 444 (default,
+    exact chroma), 422, or 420 (2×2 box-averaged chroma — the common
+    camera layout). Edge blocks pad by replication; the decoder crops
+    back to the SOF dimensions.
     ``restart_interval`` > 0 writes a DRI segment and emits byte-aligned
     RSTn markers (DC predictors reset) every N MCUs — the real-world
     error-resilience feature most camera JPEGs carry."""
@@ -602,20 +606,43 @@ def jpeg_encode_baseline(arr, quant=1, restart_interval=0) -> bytes:
     def vsize(v: int) -> int:
         return int(v).bit_length() if v >= 0 else int(-v).bit_length()
 
-    # pad to multiples of 8 by edge replication
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    padded = []
-    for p in planes:
-        pp = _np.pad(
-            p, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge"
+    # per-component sampling factors (h_i, v_i); chroma is box-averaged
+    # down and edge-padded to MCU multiples
+    if len(planes) == 1:
+        samps = [(1, 1)]
+    elif subsampling == "420":
+        samps = [(2, 2), (1, 1), (1, 1)]
+    elif subsampling == "422":
+        samps = [(2, 1), (1, 1), (1, 1)]
+    elif subsampling == "444":
+        samps = [(1, 1)] * 3
+    else:
+        raise ValueError("subsampling must be one of 444/422/420")
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    prepped = []
+    for (hi, vi), p in zip(samps, planes):
+        fy, fx = vmax // vi, hmax // hi
+        if fy > 1 or fx > 1:
+            ph = (p.shape[0] + fy - 1) // fy * fy
+            pw = (p.shape[1] + fx - 1) // fx * fx
+            p = _np.pad(
+                p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge"
+            )
+            p = p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        th, tw = mcuy * 8 * vi, mcux * 8 * hi
+        p = _np.pad(
+            p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
         )
-        padded.append(pp - 128.0)
+        prepped.append(p - 128.0)
 
     prev_dc = [0] * len(planes)
     mcu = 0
     rst = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 if nbits:  # byte-align: pad with 1s (stuffing-safe)
                     pad = 8 - nbits
@@ -624,35 +651,39 @@ def jpeg_encode_baseline(arr, quant=1, restart_interval=0) -> bytes:
                 rst += 1
                 prev_dc = [0] * len(planes)
             mcu += 1
-            for ci, p in enumerate(padded):
-                block = p[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
-                coef = dctm @ block @ dctm.T
-                qc = _np.round(coef / q).astype(_np.int64)
-                seq = [int(qc[r, c]) for r, c in zz]
-                diff = seq[0] - prev_dc[ci]
-                prev_dc[ci] = seq[0]
-                s = vsize(diff)
-                put(*enc_dc[s])
-                put_value(diff)
-                run = 0
-                last_nz = 0
-                for i in range(1, 64):
-                    if seq[i]:
-                        last_nz = i
-                for i in range(1, last_nz + 1):
-                    v = seq[i]
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        put(*enc_ac[0xF0])  # ZRL
-                        run -= 16
-                    s = vsize(v)
-                    put(*enc_ac[(run << 4) | s])
-                    put_value(v)
-                    run = 0
-                if last_nz < 63:
-                    put(*enc_ac[0x00])  # EOB
+            for ci, ((hi, vi), p) in enumerate(zip(samps, prepped)):
+                for byi in range(vi):  # vi×hi blocks per MCU, raster
+                    for bxi in range(hi):
+                        r0 = (my * vi + byi) * 8
+                        c0 = (mx * hi + bxi) * 8
+                        block = p[r0:r0 + 8, c0:c0 + 8]
+                        coef = dctm @ block @ dctm.T
+                        qc = _np.round(coef / q).astype(_np.int64)
+                        seq = [int(qc[r, c]) for r, c in zz]
+                        diff = seq[0] - prev_dc[ci]
+                        prev_dc[ci] = seq[0]
+                        s = vsize(diff)
+                        put(*enc_dc[s])
+                        put_value(diff)
+                        run = 0
+                        last_nz = 0
+                        for i in range(1, 64):
+                            if seq[i]:
+                                last_nz = i
+                        for i in range(1, last_nz + 1):
+                            v = seq[i]
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                put(*enc_ac[0xF0])  # ZRL
+                                run -= 16
+                            s = vsize(v)
+                            put(*enc_ac[(run << 4) | s])
+                            put_value(v)
+                            run = 0
+                        if last_nz < 63:
+                            put(*enc_ac[0x00])  # EOB
     if nbits:
         pad = 8 - nbits
         put((1 << pad) - 1, pad)  # pad with 1s
@@ -663,7 +694,8 @@ def jpeg_encode_baseline(arr, quant=1, restart_interval=0) -> bytes:
     head += b"\xff\xdb" + _st.pack(">HB", 2 + 1 + 64, 0x00) + qz  # DQT id0
     sof = _st.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += bytes((ci + 1, 0x11, 0))  # 4:4:4, quant table 0
+        hi, vi = samps[ci]
+        sof += bytes((ci + 1, (hi << 4) | vi, 0))  # quant table 0
     head += b"\xff\xc0" + _st.pack(">H", 2 + len(sof)) + sof  # SOF0
     dht = bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
     dht += bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
@@ -683,10 +715,13 @@ def numpy_jpeg_decode(payload: bytes, kind: str) -> dict | None:
     canonical Huffman tables built from the file's own DHT, byte-unstuffed
     bit reading, DC-prediction + AC run-length, dezigzag, dequantize,
     orthonormal 8×8 IDCT, BT.601 YCbCr→RGB, restart-interval (DRI/RSTn)
-    segment handling with DC-predictor resets. Returns the standard
-    image record (same 8-float features as the other image codecs) or
-    None for anything out of scope — progressive (SOF2), subsampled
-    4:2:0/4:2:2, 12-bit, arithmetic coding — per contract point 3."""
+    segment handling with DC-predictor resets, and chroma subsampling
+    (sampling factors 1-2 per axis: 4:4:4, 4:2:2, 4:4:0, 4:2:0 — MCUs
+    carry v_i×h_i blocks per component, chroma planes upsampled by
+    replication). Returns the standard image record (same 8-float
+    features as the other image codecs) or None for anything out of
+    scope — progressive (SOF2), 12-bit, arithmetic coding — per
+    contract point 3."""
     import hashlib as _hl
     import struct as _st
 
@@ -771,9 +806,12 @@ def numpy_jpeg_decode(payload: bytes, kind: str) -> dict | None:
                 comps = []
                 for ci in range(nc):
                     cid, samp, tq = seg[6 + 3 * ci:9 + 3 * ci]
-                    if samp != 0x11:
-                        return None  # subsampling out of scope
-                    comps.append((cid, tq))
+                    hi, vi = samp >> 4, samp & 0x0F
+                    if hi not in (1, 2) or vi not in (1, 2):
+                        return None  # only 1-2 sampling (4:4:4/2:2/2:0/4:0)
+                    comps.append((cid, hi, vi, tq))
+                if nc == 1:  # sampling is meaningless with one component
+                    comps = [(comps[0][0], 1, 1, comps[0][3])]
                 sof = (w, h, comps)
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
                             0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -863,53 +901,70 @@ def numpy_jpeg_decode(payload: bytes, kind: str) -> dict | None:
             return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
         dctm = _jpeg_dct_matrix()
-        bw, bh = (w + 7) // 8, (h + 7) // 8
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
         planes = [
-            _np.zeros((bh * 8, bw * 8), dtype=_np.float64) for _ in comps
+            _np.zeros((mcuy * 8 * vi, mcux * 8 * hi), dtype=_np.float64)
+            for (_, hi, vi, _) in comps
         ]
         prev_dc = [0] * len(comps)
-        for ci, ((_, tq), (td, ta)) in enumerate(zip(comps, tables)):
+        for ci, ((_, hi, vi, tq), (td, ta)) in enumerate(zip(comps, tables)):
             if tq not in qtables or (0, td) not in htables or (
                 1, ta
             ) not in htables:
                 return None
         mcu = 0
-        for by in range(bh):
-            for bx in range(bw):
+        for my in range(mcuy):
+            for mx in range(mcux):
                 if interval and mcu and mcu % interval == 0:
                     # restart: byte-aligned segment switch + DC reset
                     if not next_segment():
                         return None
                     prev_dc = [0] * len(comps)
                 mcu += 1
-                for ci, ((_, tq), (td, ta)) in enumerate(zip(comps, tables)):
+                for ci, ((_, hi, vi, tq), (td, ta)) in enumerate(
+                    zip(comps, tables)
+                ):
                     dc_t, ac_t = htables[(0, td)], htables[(1, ta)]
                     qtab = qtables[tq]
-                    seq = [0] * 64
-                    s = huff_decode(dc_t)
-                    diff = extend(read_bits(s), s) if s else 0
-                    prev_dc[ci] += diff
-                    seq[0] = prev_dc[ci]
-                    i = 1
-                    while i < 64:
-                        sym = huff_decode(ac_t)
-                        if sym == 0x00:  # EOB
-                            break
-                        if sym == 0xF0:  # ZRL
-                            i += 16
-                            continue
-                        run, size = sym >> 4, sym & 0x0F
-                        i += run
-                        if i > 63 or size == 0:
-                            return None
-                        seq[i] = extend(read_bits(size), size)
-                        i += 1
-                    coef = _np.zeros((8, 8), dtype=_np.float64)
-                    for i, (r, c) in enumerate(zz):
-                        coef[r, c] = seq[i]
-                    block = dctm.T @ (coef * qtab) @ dctm
-                    planes[ci][by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = block
-        cropped = [p[:h, :w] + 128.0 for p in planes]
+                    for byi in range(vi):  # vi×hi blocks per MCU, raster
+                        for bxi in range(hi):
+                            seq = [0] * 64
+                            s = huff_decode(dc_t)
+                            diff = extend(read_bits(s), s) if s else 0
+                            prev_dc[ci] += diff
+                            seq[0] = prev_dc[ci]
+                            i = 1
+                            while i < 64:
+                                sym = huff_decode(ac_t)
+                                if sym == 0x00:  # EOB
+                                    break
+                                if sym == 0xF0:  # ZRL
+                                    i += 16
+                                    continue
+                                run, size = sym >> 4, sym & 0x0F
+                                i += run
+                                if i > 63 or size == 0:
+                                    return None
+                                seq[i] = extend(read_bits(size), size)
+                                i += 1
+                            coef = _np.zeros((8, 8), dtype=_np.float64)
+                            for i, (r, c) in enumerate(zz):
+                                coef[r, c] = seq[i]
+                            block = dctm.T @ (coef * qtab) @ dctm
+                            r0 = (my * vi + byi) * 8
+                            c0 = (mx * hi + bxi) * 8
+                            planes[ci][r0:r0 + 8, c0:c0 + 8] = block
+        # upsample subsampled components to full resolution, then crop
+        cropped = []
+        for (_, hi, vi, _), p in zip(comps, planes):
+            if hi < hmax:
+                p = _np.repeat(p, hmax // hi, axis=1)
+            if vi < vmax:
+                p = _np.repeat(p, vmax // vi, axis=0)
+            cropped.append(p[:h, :w] + 128.0)
         if len(cropped) == 1:
             g = _np.clip(_np.round(cropped[0]), 0, 255).astype(_np.uint8)
             rgb = _np.repeat(g[:, :, None], 3, axis=2)
