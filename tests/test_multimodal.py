@@ -732,7 +732,11 @@ _REAL_WORLD_MEDIA = [
     "/usr/share/doc/python3/_static/file.png",
     "/usr/share/doc/libxslt1-dev/html/smallfootonly.gif",
     "/usr/share/doc/libxslt1-dev/html/processing.gif",
+    # baseline 4:4:4 with DRI=21 restart markers
     "/usr/lib/google-cloud-sdk/platform/gsutil/third_party/requests/ext/flower-of-life.jpg",
+    # real camera baseline JPEGs, 4:2:0 subsampled (Spark's mllib data)
+    "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/kittens/DP802813.jpg",
+    "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/multi-channel/chr30.4.184.jpg",
 ]
 
 
