@@ -12,9 +12,10 @@ PCM WAV — built on stdlib struct + numpy only, conformance-tested
 against synthesized real files. :func:`numpy_png_decode` (r7) decodes
 real PNGs via stdlib zlib, and :func:`numpy_jpeg_decode` /
 :func:`jpeg_encode_baseline` (r7) implement baseline sequential JPEG
-(Huffman + DCT) in pure numpy. The remaining seam is formats whose
-decoders genuinely need external libraries (progressive/subsampled
-JPEG variants beyond baseline 4:4:4, MP3, MP4/video): ``decode_media``
+(Huffman + DCT, 4:4:4/4:2:2/4:2:0, restart intervals) in pure numpy,
+and :func:`numpy_gif_decode` (r7) decodes GIF via real LZW. The
+remaining seam is formats whose decoders genuinely need external
+libraries (progressive JPEG, MP3, MP4/video): ``decode_media``
 without a ``decode_fn`` raises ``NotImplementedError`` unless
 ``fake=True``, which substitutes a deterministic md5-derived stand-in so
 the plumbing (schema, batching, partitioning, UDF signatures) is fully
