@@ -783,3 +783,15 @@ def test_jpeg_chroma_subsampling_modes():
     assert plain["features"] == with_dri["features"]
     with pytest.raises(ValueError):
         mm.jpeg_encode_baseline(c, subsampling="411")
+
+
+def test_pgm_p5_grayscale_decodes():
+    """P5 binary PGM (r7): one byte per pixel, gray replicated to RGB."""
+    g = bytes(range(12))
+    rec = mm.numpy_uncompressed_decode(b"P5\n4 3\n255\n" + g, "image")
+    assert rec is not None and (rec["width"], rec["height"]) == (4, 3)
+    assert rec["features"][0] == rec["features"][1] == rec["features"][2]
+    assert rec["features"][0] == pytest.approx(sum(g) / 12 / 255.0)
+    assert rec["features"][5] == pytest.approx(11 / 255.0)
+    # truncated pixel array still rejects
+    assert mm.numpy_uncompressed_decode(b"P5\n4 3\n255\n" + g[:-1], "image") is None

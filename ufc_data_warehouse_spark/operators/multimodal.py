@@ -169,8 +169,10 @@ def numpy_uncompressed_decode(payload: bytes, kind: str) -> dict | None:
         }
 
     def _ppm() -> dict | None:
-        # header: "P6" <ws> width <ws> height <ws> maxval <single ws> raw
-        # with '#' comments allowed between tokens
+        # header: "P6"/"P5" <ws> width <ws> height <ws> maxval <single
+        # ws> raw, with '#' comments allowed between tokens; P5 (binary
+        # PGM grayscale, one byte per pixel — r7) expands to 3 channels
+        nch = 3 if payload[:2] == b"P6" else 1
         pos, tokens = 2, []
         while len(tokens) < 3 and pos < len(payload):
             c = payload[pos:pos + 1]
@@ -193,10 +195,11 @@ def numpy_uncompressed_decode(payload: bytes, kind: str) -> dict | None:
         if not (1 <= w and 1 <= h and 0 < maxval < 256):
             return None
         pos += 1  # the single whitespace after maxval
-        data = payload[pos:pos + w * h * 3]
-        if len(data) != w * h * 3:
+        data = payload[pos:pos + w * h * nch]
+        if len(data) != w * h * nch:
             return None
-        rgb = _np.frombuffer(data, dtype=_np.uint8).reshape(h, w, 3)
+        px = _np.frombuffer(data, dtype=_np.uint8).reshape(h, w, nch)
+        rgb = px if nch == 3 else _np.repeat(px, 3, axis=2)
         return _img_record(w, h, rgb)
 
     def _bmp() -> dict | None:
@@ -300,7 +303,7 @@ def numpy_uncompressed_decode(payload: bytes, kind: str) -> dict | None:
 
     try:
         if kind == "image":
-            if payload[:2] == b"P6":
+            if payload[:2] in (b"P6", b"P5"):
                 return _ppm()
             if payload[:2] == b"BM":
                 return _bmp()
