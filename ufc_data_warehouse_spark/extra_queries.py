@@ -31,7 +31,7 @@ _shingle_cache: dict[tuple[str, str], DataFrame] = {}
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _shingle_cache:
-        docs = _read(spark, sf_dir, "documents")
+        docs = _spread(_read(spark, sf_dir, "documents"))
         _shingle_cache[key] = dedup.word_shingles(docs, n=3).persist()
     return _shingle_cache[key]
 
@@ -50,6 +50,26 @@ def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             sigs, bands=4, rows_per_band=4
         ).persist()
     return _cand_cache[key]
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Guide §2.5 (input skew): the testdata tables are single small
+    parquet files with one row group, so every scan is ONE input split —
+    a CPU-heavy narrow stage (per-token md5, per-vector dot products,
+    per-payload codec decode) runs on 1 core of the whole box, at the
+    sf0.1 tier AND the 10× scale tier. Round-robin repartition right
+    after the read spreads that stage; applied ONLY where the downstream
+    per-row work dwarfs one extra exchange of the input rows. On a real
+    100 TB table the scan already yields thousands of splits and this is
+    a no-op (partitions ≥ cores ⇒ returned unchanged); results are
+    unaffected — every consumer is an aggregation/join keyed on ids, and
+    Spark's sort-before-repartition keeps the assignment deterministic
+    under retries."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -118,12 +138,12 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     return dedup.simhash(docs).orderBy("id")
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     return dedup.simhash_near_pairs(dedup.simhash(docs), max_hamming=6).orderBy(
         "id_a", "id_b"
     )
@@ -189,7 +209,7 @@ def q_dedup_simhash48_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the selectivity regime the banded join is built for (the 24-bit
     demo config has 3-4-bit bands); wider signature + tighter threshold
     is exactly how a pretraining-dedup deployment runs SimHash."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     sigs = dedup.simhash(docs, bits=48)
     return dedup.simhash_near_pairs(sigs, max_hamming=3, bits=48).orderBy(
         "id_a", "id_b"
@@ -212,7 +232,7 @@ def q_dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-quadratic at corpus scale (benched at 10× in bench.py's scale
     tier). Signature bits 60–63 come from a second md5 word so every band
     carries real hash entropy."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     sigs = dedup.simhash(docs, bits=64)
     return dedup.simhash_near_pairs(sigs, max_hamming=3, bits=64).orderBy(
         "id_a", "id_b"

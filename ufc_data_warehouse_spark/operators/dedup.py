@@ -351,31 +351,45 @@ def simhash(
         )
     toks = tokens(F.col(text_col))
     tok_hash = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
-    tok_hash2 = F.conv(
-        F.substring(F.md5(F.concat(F.col("tok"), F.lit("#2"))), 1, 15), 16, 10
-    ).cast("long")
-    hash_bit = (
-        F.when(F.col("bit") < 60, F.expr("shiftright(h, bit)"))
-        .otherwise(F.expr("shiftright(h2, bit - 60)"))
-        .bitwiseAND(1)
-    )
-    exploded = (
+    per_tok = (
         df.select(F.col(id_col).alias("id"), toks.alias("toks"))
         .select("id", F.explode("toks").alias("tok"))
-        .select("id", tok_hash.alias("h"), tok_hash2.alias("h2"))
-        .select(
-            "id",
-            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-            "h",
-            "h2",
+    )
+    # r7: signatures ≤ 60 bits never read the second md5 word, but the old
+    # projection materialized it per token anyway (the Generate boundary
+    # forces the column; CollapseProject won't inline a non-cheap md5 into
+    # the dead CASE branch) — HALF the md5 work for the 24/48-bit configs.
+    # An r7 A/B also tried replacing the bit-explode + two aggs with one
+    # 64-sum groupBy(id): fewer exchanges on paper, but the 65-wide
+    # aggregation buffer measured consistently SLOWER at sf0.1 AND at 10×
+    # (best-of-5 isolated: 2.15 s vs 1.24 s, 4.06 s vs 2.87 s) — the
+    # narrow (id, bit) two-phase agg partial-aggregates map-side to
+    # bits rows/id either way, and codegen handles one running sum far
+    # better than 65 buffer slots. Kept the narrow shape; evidence in
+    # OPTIMIZATION_r07.md.
+    if bits > 60:
+        tok_hash2 = F.conv(
+            F.substring(F.md5(F.concat(F.col("tok"), F.lit("#2"))), 1, 15), 16, 10
+        ).cast("long")
+        per_tok = per_tok.select("id", tok_hash.alias("h"), tok_hash2.alias("h2"))
+        hash_bit = (
+            F.when(F.col("bit") < 60, F.expr("shiftright(h, bit)"))
+            .otherwise(F.expr("shiftright(h2, bit - 60)"))
+            .bitwiseAND(1)
         )
-        .select(
-            "id",
-            "bit",
-            # shiftright() only takes a literal bit count in the Python API;
-            # the SQL form accepts a column
-            F.when(hash_bit == 1, 1).otherwise(-1).alias("delta"),
-        )
+    else:
+        per_tok = per_tok.select("id", tok_hash.alias("h"))
+        # shiftright() only takes a literal bit count in the Python API;
+        # the SQL form accepts a column
+        hash_bit = F.expr("shiftright(h, bit)").bitwiseAND(1)
+    exploded = per_tok.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        *per_tok.columns[1:],
+    ).select(
+        "id",
+        "bit",
+        F.when(hash_bit == 1, 1).otherwise(-1).alias("delta"),
     )
     bit_sums = exploded.groupBy("id", "bit").agg(F.sum("delta").alias("s"))
     return bit_sums.groupBy("id").agg(
