@@ -31,6 +31,12 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read(spark, sf_dir, name)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    from .extra_queries import _spread as spread
+
+    return spread(df)
+
+
 # ---------------------------------------------------------------------------
 # time-series / statistical family (events table)
 # ---------------------------------------------------------------------------
@@ -725,7 +731,7 @@ def q_text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.scale import global_order_rank
     from .operators.text import tokens
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     toks = docs.select(
         F.col("doc_id").alias("id"),
         F.explode(tokens(F.col("text"))).alias("term"),
@@ -4930,6 +4936,10 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one token explode (narrow), two hash aggs keyed on
     doc_id/term, a broadcast of the ≤|terms| df rows and the 1-row
     corpus stats — no global window anywhere."""
+    # r7: _spread() A/B'd here and REVERTED — the single-regex tokenize is
+    # cheap enough that shuffling the raw text first measured slower at
+    # sf0.1 (1.48->2.20s) AND at 10x (3.43->3.96s); evidence in
+    # OPTIMIZATION_r07.md
     docs = _read(spark, sf_dir, "documents").select(
         "doc_id",
         # single-pass whitespace-run split (r5): one regex pass instead of

@@ -393,7 +393,7 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _spread(_read(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return (
         simsearch.cosine_topk(emb, queries, k=10)
@@ -461,7 +461,7 @@ def _embedding_lsh_near_dup(
     band_bits: int,
     threshold: float,
 ) -> DataFrame:
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _spread(_read(spark, sf_dir, "embeddings"))
     # arithmetic shift + mask extracts the band bits correctly even when
     # plane 63 set the sign bit (the fill bits are masked away)
     bands = _embedding_band_keys(emb, n_bands, band_bits)
@@ -1962,7 +1962,9 @@ def q_png_codec_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators import multimodal as mm
 
-    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 5)
+    docs = _spread(
+        _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 5)
+    )
     hexstr = F.md5(F.col("doc_id").cast("string"))
     digest = F.unhex(hexstr)
     tiled = F.concat(digest, digest, digest)  # 48 pixel/delta bytes
@@ -2138,7 +2140,9 @@ def q_jpeg_codec_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import multimodal as mm
 
     mm.register_codecs_by_value()  # closures capture the encoder fn
-    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 3)
+    docs = _spread(
+        _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 3)
+    )
     seeds = docs.select(
         F.col("doc_id").alias("media_id"),
         F.unhex(F.md5(F.col("doc_id").cast("string"))).alias("seed"),

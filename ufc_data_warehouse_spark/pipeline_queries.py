@@ -34,6 +34,12 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read(spark, sf_dir, name)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    from .extra_queries import _spread as spread
+
+    return spread(df)
+
+
 # ---------------------------------------------------------------------------
 # late-interaction (ColBERT-style) MaxSim over int8-quantized subvectors
 # ---------------------------------------------------------------------------
@@ -5379,7 +5385,7 @@ def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector's 4 codes and a driver-inlined 4×4 distance table
     (simsearch.pq_adc_topk). The scan is map-only element_at lookups —
     the 256×-less-IO shape PQ exists for; top-10 via TakeOrdered."""
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _spread(_read(spark, sf_dir, "embeddings"))
     codes, books = simsearch.pq_encode(emb, m=_PQ_M, k=4, n_assign=2)
     probe = emb.filter(F.col("vec_id") == 0).select("embedding").head()
     # empty corpus / missing probe id: empty result, stable schema
@@ -5449,7 +5455,7 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Probe = vec_id 0 (one bounded driver fetch)."""
     import math
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _spread(_read(spark, sf_dir, "embeddings"))
     codes, books = simsearch.pq_encode(emb, m=_PQ_M, k=4, n_assign=2)
     probe_row = emb.filter(F.col("vec_id") == 0).select("embedding").head()
     if probe_row is None:
