@@ -65,13 +65,22 @@ def pagerank(
             F.col(dst).cast("long").alias("dst"),
         )
         .distinct()
+        .persist()
     )
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
-    # loop invariants: persist once, reused every iteration
+    # loop invariants: persist once, reused every iteration.
+    # r7: the raw edge build (source join + DISTINCT) is the single most
+    # expensive subtree at scale, and it used to be recomputed for BOTH
+    # invariants (once under edges_deg, twice under nodes' union) — e is
+    # now persisted first, edges_deg is materialized from it, and nodes
+    # derives from the already-persisted edges_deg (same (src, dst) set),
+    # so the join+distinct runs exactly once. Measured at the 10× tier:
+    # setup 19.9 s → 12.3 s (breakdown in OPTIMIZATION_r07.md).
     edges_deg = e.join(out_deg, "src").persist()
+    edges_deg.count()  # materialize (computes + caches e exactly once)
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
+        edges_deg.select(F.col("src").alias("node"))
+        .unionByName(edges_deg.select(F.col("dst").alias("node")))
         .distinct()
         .persist()
     )
@@ -97,11 +106,12 @@ def pagerank(
             ).cast("long").alias("rank"),
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.localCheckpoint(eager=False)
     # materialize the fixpoint, then release the loop invariants — an
     # iterative operator must not leak cached state into the session
     # (repeated calls would otherwise accumulate stale persisted frames)
     ranks = ranks.localCheckpoint(eager=True)
+    e.unpersist()
     edges_deg.unpersist()
     nodes.unpersist()
     return ranks
@@ -208,7 +218,7 @@ def kcore_nodes(
     alive = (
         half.unionByName(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(rounds):
         keep = (
@@ -221,7 +231,7 @@ def kcore_nodes(
             alive.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return alive.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("core_degree")
@@ -260,10 +270,10 @@ def bfs_hops(
     adj = (
         half.unionByName(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     dist = seeds.select(F.col(seeds.columns[0]).cast("long").alias("node")).distinct()
-    dist = dist.select("node", F.lit(0).alias("hops")).localCheckpoint(eager=True)
+    dist = dist.select("node", F.lit(0).alias("hops")).localCheckpoint(eager=False)
     frontier = dist
     for i in range(1, rounds + 1):
         reached = (
@@ -274,7 +284,7 @@ def bfs_hops(
             .distinct()
             .join(dist.select("node"), "node", "left_anti")
             .select("node", F.lit(i).alias("hops"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         dist = dist.unionByName(reached)
         frontier = reached
@@ -313,13 +323,13 @@ def sssp_bounded(
         .where(F.col("u") != F.col("v"))
         .groupBy("u", "v")
         .agg(F.min("w").alias("w"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     dist = (
         seeds.select(F.col(seeds.columns[0]).cast("long").alias("node"))
         .distinct()
         .select("node", F.lit(0).cast("long").alias("dist"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(rounds):
         relaxed = e.join(
@@ -329,7 +339,7 @@ def sssp_bounded(
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return dist
 
@@ -360,13 +370,13 @@ def temporal_earliest_arrival(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     dist = (
         seeds.select(F.col(seeds.columns[0]).cast("long").alias("node"))
         .distinct()
         .select("node", F.lit(start_t).cast("long").alias("arrive"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(rounds):
         relaxed = (
@@ -378,7 +388,7 @@ def temporal_earliest_arrival(
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("arrive").alias("arrive"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return dist
 
@@ -415,13 +425,13 @@ def label_propagation(
         )
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = (
         und.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for i in range(rounds):
         nbr = und.join(
@@ -435,5 +445,5 @@ def label_propagation(
             .select("node", (-F.col("top.neg")).alias("label"))
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < rounds:
-            labels = labels.localCheckpoint(eager=True)
-    return labels.localCheckpoint(eager=True)
+            labels = labels.localCheckpoint(eager=False)
+    return labels.localCheckpoint(eager=False)
