@@ -1962,9 +1962,11 @@ def q_png_codec_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators import multimodal as mm
 
-    docs = _spread(
-        _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 5)
-    )
+    # r7: _spread() A/B'd and REVERTED here — the 4×4 PNG decode is so
+    # cheap that 32 Python decode workers cost more than they save
+    # (interleaved A/B in OPTIMIZATION_r07.md); the 32×32 JPEG audit keeps
+    # its spread (real Huffman+DCT work per row)
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 5)
     hexstr = F.md5(F.col("doc_id").cast("string"))
     digest = F.unhex(hexstr)
     tiled = F.concat(digest, digest, digest)  # 48 pixel/delta bytes

@@ -111,10 +111,26 @@ def _fmt_date(date_col: Column, sel: Column, blank_when: Column, blank_val: str)
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Guide §2.5 (input skew): the testdata tables are single small
+    parquet files (one row group ⇒ one input split), so the whole raw-
+    layer derivation — DISTINCT over lineitem plus per-row name/date
+    string building — ran on 1-2 cores of the box. Round-robin
+    repartition after the read spreads it; a no-op (returned unchanged)
+    once the scan already yields ≥ cores splits, as any real table
+    does. Row-wise deterministic derivation ⇒ results are partitioning-
+    independent."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def ufc_raw_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Derive the reference's raw-layer tables from the testdata parquet."""
-    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = _spread(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+    orders = _spread(spark.read.parquet(f"{sf_dir}/orders.parquet"))
 
     # ---- dim_ufc_event_details (FIXTURES.md table 1) ----
     ev = F.col("ev")
