@@ -36,6 +36,9 @@ def main() -> None:
     do_noop = "--noop" in args
     if do_noop:
         args.remove("--noop")
+    plans_only = "--plans-only" in args
+    if plans_only:
+        args.remove("--plans-only")
 
     import __spark_entry__ as entry_mod
     from ufc_data_warehouse_spark.extra_queries import BENCH_EXTRA
@@ -82,6 +85,10 @@ def main() -> None:
             with open(os.path.join(plans_dir, f"{name}_{tag}.txt"), "w") as f:
                 f.write(plan)
             n_exchanges = plan.count("Exchange")
+            if plans_only:
+                rec["queries"][name] = {"exchanges_in_plan": n_exchanges}
+                print(f"# {name}: plan captured exch={n_exchanges}", file=sys.stderr)
+                continue
             spark.sparkContext._jvm.System.gc()
             best = None
             rows = 0
