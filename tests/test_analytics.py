@@ -362,3 +362,74 @@ def test_streaming_progress_listener_captures_batches(spark):
     assert sum(cap.rows_per_batch) > 0
     assert cap.started and cap.terminated
     assert all(clean for _, clean in cap.terminated)
+
+
+def test_graph_reliable_checkpoint_flag(spark, tmp_path):
+    """r8: the graph family's lineage truncation honors
+    ``spark.ufc.graph.reliableCheckpoint`` — with the flag on (and a
+    checkpoint dir set) every loop runs on directory-backed reliable
+    checkpoints and produces BIT-identical results to the default
+    localCheckpoint path; checkpoint files actually land in the dir."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ufc_data_warehouse_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(1, 30) for b in (a % 7 + 30, a % 5 + 40)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(1,), (2,)], "node long")
+    base_pr = sorted(
+        (r["node"], r["rank"]) for r in graph.pagerank(edges, iterations=6).collect()
+    )
+    base_bfs = sorted(
+        (r["node"], r["hops"])
+        for r in graph.bfs_hops(edges, seeds, rounds=3).collect()
+    )
+    ckpt_dir = str(tmp_path / "ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt_dir)
+    spark.conf.set(graph.RELIABLE_CHECKPOINT_CONF, "true")
+    try:
+        flag_pr = sorted(
+            (r["node"], r["rank"])
+            for r in graph.pagerank(edges, iterations=6).collect()
+        )
+        flag_bfs = sorted(
+            (r["node"], r["hops"])
+            for r in graph.bfs_hops(edges, seeds, rounds=3).collect()
+        )
+    finally:
+        spark.conf.unset(graph.RELIABLE_CHECKPOINT_CONF)
+    assert flag_pr == base_pr
+    assert flag_bfs == base_bfs
+    # reliable checkpoints must have been written to the configured dir
+    walked = [f for _, _, files in os.walk(ckpt_dir) for f in files]
+    assert walked, "no reliable checkpoint files written under the dir"
+
+
+def test_graph_adjacency_loops_release_their_caches(spark):
+    """r8: the adjacency-list graph loops persist their loop invariant and
+    must unpersist it before returning — a second call must not see (or
+    time against) a cached frame from the first (no cross-run caching)."""
+    from pyspark.sql import functions as F
+
+    from ufc_data_warehouse_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(a, (a * 3) % 11 + 20) for a in range(1, 40)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    before = {t.name() for t in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+    graph.pagerank(edges, iterations=3).count()
+    graph.bfs_hops(edges, seeds, rounds=2).count()
+    graph.sssp_bounded(
+        edges.withColumn("w", F.lit(1).cast("long")), seeds, rounds=2
+    ).count()
+    graph.label_propagation(edges, rounds=2).count()
+    after = {t.name() for t in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+    leaked = {
+        n for n in (after - before) if "localCheckpoint" not in str(n)
+    }
+    assert not leaked, f"graph loop leaked persisted frames: {leaked}"

@@ -34,6 +34,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Session conf that swaps executor-local lineage truncation for reliable,
+# directory-backed checkpoints (r7 VERDICT "what's wrong" item 2).
+RELIABLE_CHECKPOINT_CONF = "spark.ufc.graph.reliableCheckpoint"
+
+
+def _truncate(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Truncate lineage inside an iterative loop.
+
+    Default: ``localCheckpoint`` — blocks live on executor storage only,
+    which is exactly right on ``local[N]`` (no executor can be lost
+    without losing the driver too) and cheapest everywhere. On a real
+    cluster an executor loss AFTER truncation is unrecoverable, so at
+    100 TB scale set the session conf
+    ``spark.ufc.graph.reliableCheckpoint=true`` AND a checkpoint
+    directory (``spark.sparkContext.setCheckpointDir(...)`` on reliable
+    storage): every graph-loop truncation then uses directory-backed
+    ``checkpoint()`` instead. Both forms cut the plan identically; only
+    the storage/recovery story differs, so results are unchanged.
+    """
+    flag = "false"
+    try:
+        flag = df.sparkSession.conf.get(RELIABLE_CHECKPOINT_CONF, "false")
+    except Exception:  # noqa: BLE001 — conf service unavailable: local default
+        pass
+    if str(flag).lower() == "true":
+        # reliable checkpoints write a job per call; keep them eager so the
+        # write happens at a deterministic point (lazy reliable checkpoints
+        # only materialize on first action, same result either way)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
 
 def pagerank(
     edges: DataFrame,
@@ -52,35 +83,37 @@ def pagerank(
         rank'(v) = (100-damping_pct)*scale DIV 100
                  + damping_pct * SUM_{u→v}(rank(u) DIV out_degree(u)) DIV 100
 
-    Scale shape per iteration: join edges⋈ranks hashes on ``src``; the
-    contribution groupBy hashes on ``dst``; node count never amplifies.
-    Edges + degrees are computed once and persisted — they are loop
-    invariants. Lineage is truncated with ``localCheckpoint`` every
-    ``checkpoint_every`` iterations: without it the plan doubles per
-    round and Catalyst analysis time dominates past ~10 iterations.
+    r8 shape (guide §2.4 remove shuffles / §3.3 explode after the join):
+    the edge list is held as an ADJACENCY LIST — one row per source with
+    its distinct-neighbor array (``collect_set`` dedups per key, so the
+    old DISTINCT + groupBy-degree + re-join collapse into ONE exchange
+    on ``src``). Each iteration then joins RANKS against n_src adjacency
+    ROWS (not n_edges edge rows), computes the per-source contribution
+    once, and only explodes to per-edge rows INSIDE the map stage feeding
+    the contribution aggregation — the explode fan-out lands directly in
+    the partial (map-side) sum, so no shuffle ever carries per-edge rows
+    with ranks attached. The persisted adjacency keeps its hash(src)
+    partitioning, so the per-iteration join never re-exchanges the
+    invariant side (§2.4 exchange reuse).
+
+    Skew note (§2.5): one array per source bounds task memory by the max
+    out-degree; a celebrity source (10⁸ out-edges) would need its row
+    split into hash-bucketed sub-arrays — not done here, documented.
     """
-    e = (
+    adj = (
         edges.select(
             F.col(src).cast("long").alias("src"),
             F.col(dst).cast("long").alias("dst"),
         )
-        .distinct()
+        .groupBy("src")
+        .agg(F.collect_set("dst").alias("dsts"))
+        .select("src", "dsts", F.size("dsts").cast("long").alias("out_degree"))
         .persist()
     )
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
-    # loop invariants: persist once, reused every iteration.
-    # r7: the raw edge build (source join + DISTINCT) is the single most
-    # expensive subtree at scale, and it used to be recomputed for BOTH
-    # invariants (once under edges_deg, twice under nodes' union) — e is
-    # now persisted first, edges_deg is materialized from it, and nodes
-    # derives from the already-persisted edges_deg (same (src, dst) set),
-    # so the join+distinct runs exactly once. Measured at the 10× tier:
-    # setup 19.9 s → 12.3 s (breakdown in OPTIMIZATION_r07.md).
-    edges_deg = e.join(out_deg, "src").persist()
-    edges_deg.count()  # materialize (computes + caches e exactly once)
+    adj.count()  # materialize the single loop invariant once
     nodes = (
-        edges_deg.select(F.col("src").alias("node"))
-        .unionByName(edges_deg.select(F.col("dst").alias("node")))
+        adj.select(F.col("src").alias("node"))
+        .unionByName(adj.select(F.explode("dsts").alias("node")))
         .distinct()
         .persist()
     )
@@ -89,10 +122,10 @@ def pagerank(
         "node", F.lit(scale).cast("long").alias("rank")
     )
     for i in range(iterations):
-        contrib = edges_deg.join(
+        contrib = adj.join(
             ranks.withColumnRenamed("node", "src"), "src"
         ).select(
-            F.col("dst").alias("node"),
+            F.explode("dsts").alias("node"),
             F.expr("rank DIV out_degree").alias("contrib"),
         )
         incoming = contrib.groupBy("node").agg(
@@ -106,13 +139,12 @@ def pagerank(
             ).cast("long").alias("rank"),
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
-            ranks = ranks.localCheckpoint(eager=False)
+            ranks = _truncate(ranks)
     # materialize the fixpoint, then release the loop invariants — an
     # iterative operator must not leak cached state into the session
     # (repeated calls would otherwise accumulate stale persisted frames)
-    ranks = ranks.localCheckpoint(eager=True)
-    e.unpersist()
-    edges_deg.unpersist()
+    ranks = _truncate(ranks, eager=True)
+    adj.unpersist()
     nodes.unpersist()
     return ranks
 
@@ -218,7 +250,7 @@ def kcore_nodes(
     alive = (
         half.unionByName(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(_truncate)
     )
     for _ in range(rounds):
         keep = (
@@ -231,7 +263,7 @@ def kcore_nodes(
             alive.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint(eager=False)
+            .transform(_truncate)
         )
     return alive.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("core_degree")
@@ -257,37 +289,51 @@ def bfs_hops(
     keeps BFS feasible when the visited set grows to 10⁸ nodes.
     Fixed round count ⇒ deterministic and SQL-replayable (unrolled
     CTEs); min() is order-free so results are partitioning-invariant.
-    Only the FRONTIER is eagerly checkpointed each round (it is consumed
+    Only the FRONTIER is checkpointed each round (it is consumed
     twice — by the visited-set union and by the next expansion); the
     visited set itself is a union chain over those checkpointed leaves,
     so its lineage grows linearly and needs no per-round job of its own
     (unlike ``sssp_bounded``, whose carried frame references itself twice
     per round and must be truncated). Edges are symmetrized (undirected
     reachability).
+
+    r8 (guide §2.4/§3.3): the symmetrized adjacency is an ADJACENCY LIST
+    (``collect_set`` per node — the per-key dedup that replaces the old
+    edge-level DISTINCT, one exchange instead of two subplans), persisted
+    so its hash(u) partitioning survives the loop: each round's frontier
+    join probes n_nodes adjacency rows instead of shuffling 2·n_edges
+    edge rows, and the neighbor explode feeds the DISTINCT's map-side
+    partial aggregation directly.
     """
     u, v = F.col(src).cast("long"), F.col(dst).cast("long")
     half = edges.select(u.alias("u"), v.alias("v")).where(F.col("u") != F.col("v"))
     adj = (
         half.unionByName(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .localCheckpoint(eager=False)
+        .groupBy("u")
+        .agg(F.collect_set("v").alias("vs"))
+        .persist()
     )
     dist = seeds.select(F.col(seeds.columns[0]).cast("long").alias("node")).distinct()
-    dist = dist.select("node", F.lit(0).alias("hops")).localCheckpoint(eager=False)
+    dist = dist.select("node", F.lit(0).alias("hops")).transform(_truncate)
     frontier = dist
     for i in range(1, rounds + 1):
         reached = (
             adj.join(
                 frontier.select(F.col("node").alias("u")), "u"
             )
-            .select(F.col("v").alias("node"))
+            .select(F.explode("vs").alias("node"))
             .distinct()
             .join(dist.select("node"), "node", "left_anti")
             .select("node", F.lit(i).alias("hops"))
-            .localCheckpoint(eager=False)
+            .transform(_truncate)
         )
         dist = dist.unionByName(reached)
         frontier = reached
+    # materialize before releasing the persisted adjacency (pagerank's
+    # pattern): the returned frame must not depend on unpersisted cache,
+    # and a fresh call must never hit a stale cached adjacency
+    dist = _truncate(dist, eager=True)
+    adj.unpersist()
     return dist
 
 
@@ -312,8 +358,14 @@ def sssp_bounded(
     also bounds the join fan-out. Fixed round count keeps the plan
     finite; at true scale the same loop runs delta-stepping style
     (relax only nodes improved last round — the frontier optimization
-    ``bfs_hops`` uses) with ``localCheckpoint`` per round truncating
-    lineage, done here too. Integer weights ⇒ exact."""
+    ``bfs_hops`` uses) with per-round lineage truncation, done here too.
+    Integer weights ⇒ exact.
+
+    r8 (guide §2.4/§3.3): the min-weight edge set is grouped once more
+    into a persisted ADJACENCY LIST of ``(v, w)`` structs per source —
+    each round's join then probes n_nodes rows (hash(u) partitioning
+    reused from the persist) instead of shuffling the full edge list,
+    and the neighbor explode feeds the min-agg's map-side partials."""
     e = (
         edges.select(
             F.col(src).cast("long").alias("u"),
@@ -323,24 +375,34 @@ def sssp_bounded(
         .where(F.col("u") != F.col("v"))
         .groupBy("u", "v")
         .agg(F.min("w").alias("w"))
-        .localCheckpoint(eager=False)
+    )
+    adj = (
+        e.groupBy("u")
+        .agg(F.collect_list(F.struct("v", "w")).alias("nbrs"))
+        .persist()
     )
     dist = (
         seeds.select(F.col(seeds.columns[0]).cast("long").alias("node"))
         .distinct()
         .select("node", F.lit(0).cast("long").alias("dist"))
-        .localCheckpoint(eager=False)
+        .transform(_truncate)
     )
     for _ in range(rounds):
-        relaxed = e.join(
-            dist.withColumnRenamed("node", "u"), "u"
-        ).select(F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
-        dist = (
+        relaxed = (
+            adj.join(dist.withColumnRenamed("node", "u"), "u")
+            .select(F.explode("nbrs").alias("nb"), "dist")
+            .select(
+                F.col("nb.v").alias("node"),
+                (F.col("dist") + F.col("nb.w")).alias("dist"),
+            )
+        )
+        dist = _truncate(
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=False)
         )
+    dist = _truncate(dist, eager=True)
+    adj.unpersist()
     return dist
 
 
@@ -361,35 +423,44 @@ def temporal_earliest_arrival(
     temporal constraint is the join residual ``edge.t >= arrive``, which
     Catalyst evaluates post-hash-probe — still an equi-join on the node
     key. min() is order-free ⇒ partitioning-invariant and replayable as
-    unrolled CTEs. Integer times ⇒ exact."""
-    e = (
+    unrolled CTEs. Integer times ⇒ exact.
+
+    r8 (guide §2.4/§3.3): adjacency-list form like :func:`sssp_bounded` —
+    ``collect_set`` of ``(v, t)`` structs per source subsumes the old
+    edge-level DISTINCT (one exchange), the persisted hash(u)
+    partitioning is reused by every round's join, and the time residual
+    is applied after the in-stage explode."""
+    adj = (
         edges.select(
             F.col(src).cast("long").alias("u"),
             F.col(dst).cast("long").alias("v"),
             F.col(time_col).cast("long").alias("t"),
         )
         .where(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=False)
+        .groupBy("u")
+        .agg(F.collect_set(F.struct("v", "t")).alias("nbrs"))
+        .persist()
     )
     dist = (
         seeds.select(F.col(seeds.columns[0]).cast("long").alias("node"))
         .distinct()
         .select("node", F.lit(start_t).cast("long").alias("arrive"))
-        .localCheckpoint(eager=False)
+        .transform(_truncate)
     )
     for _ in range(rounds):
         relaxed = (
-            e.join(dist.withColumnRenamed("node", "u"), "u")
-            .where(F.col("t") >= F.col("arrive"))
-            .select(F.col("v").alias("node"), F.col("t").alias("arrive"))
+            adj.join(dist.withColumnRenamed("node", "u"), "u")
+            .select(F.explode("nbrs").alias("nb"), "arrive")
+            .where(F.col("nb.t") >= F.col("arrive"))
+            .select(F.col("nb.v").alias("node"), F.col("nb.t").alias("arrive"))
         )
-        dist = (
+        dist = _truncate(
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("arrive").alias("arrive"))
-            .localCheckpoint(eager=False)
         )
+    dist = _truncate(dist, eager=True)
+    adj.unpersist()
     return dist
 
 
@@ -414,29 +485,31 @@ def label_propagation(
     small fixed round counts. Communities stabilize in a few rounds on
     short-diameter graphs; a real deployment loops until the label-change
     count hits zero (one extra count per round).
+
+    r8 (guide §2.4/§3.3): the symmetrized neighbor set is held as a
+    persisted ADJACENCY LIST keyed on the label-lookup side (``dst``):
+    ``collect_set`` per dst subsumes the old edge-level DISTINCT, each
+    round's join probes n_nodes rows with the persisted hash(dst)
+    partitioning reused, and the neighbor explode feeds the
+    (node, label) count's map-side partials.
     """
     e0 = edges.select(
         F.col(edges.columns[0]).cast("long").alias("src"),
         F.col(edges.columns[1]).cast("long").alias("dst"),
     )
-    und = (
-        e0.unionByName(
-            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    und = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).where(F.col("src") != F.col("dst"))
+    adj = und.groupBy("dst").agg(F.collect_set("src").alias("srcs")).persist()
     labels = (
-        und.select(F.col("src").alias("node"))
-        .distinct()
+        adj.select(F.col("dst").alias("node"))
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=False)
+        .transform(_truncate)
     )
     for i in range(rounds):
-        nbr = und.join(
+        nbr = adj.join(
             labels.withColumnRenamed("node", "dst"), "dst"
-        ).select(F.col("src").alias("node"), "label")
+        ).select(F.explode("srcs").alias("node"), "label")
         labels = (
             nbr.groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -445,5 +518,7 @@ def label_propagation(
             .select("node", (-F.col("top.neg")).alias("label"))
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < rounds:
-            labels = labels.localCheckpoint(eager=False)
-    return labels.localCheckpoint(eager=False)
+            labels = _truncate(labels)
+    labels = _truncate(labels, eager=True)
+    adj.unpersist()
+    return labels
