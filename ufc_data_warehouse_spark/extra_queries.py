@@ -32,7 +32,18 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _shingle_cache:
         docs = _spread(_read(spark, sf_dir, "documents"))
-        _shingle_cache[key] = dedup.word_shingles(docs, n=3).persist()
+        # r8 (VERDICT r7 item 2): the r7 _spread left the CACHED frame at
+        # 32 tiny partitions, taxing every downstream read of the cache
+        # with 32-task stages (dedup_minhash_lsh 0.54 -> 0.69 s). The
+        # shingling itself still computes 32-way (the spread above);
+        # REBALANCE then lets AQE size the cached partitions to the
+        # advisory bytes — ~5 partitions at sf0.1, thousands at real
+        # scale — so read-side task count tracks data, not core count
+        # (§2.2 fewer/larger partitions; interleaved A/B: 32-way cache
+        # 2.7-5.9 s vs compacted 2.0-3.1 s on the lsh pipeline).
+        _shingle_cache[key] = (
+            dedup.word_shingles(docs, n=3).hint("rebalance").persist()
+        )
     return _shingle_cache[key]
 
 
@@ -138,7 +149,13 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    # r8 (VERDICT r7 item 2): NO _spread here — the 24-bit signature pass
+    # is cheap enough that the extra exchange costs more than the
+    # parallelism buys on the benched count() action (interleaved A/B at
+    # sf0.1: 0.66-0.79 s without vs 1.0-1.3 s with). The heavy 48/64-bit
+    # pair queries below keep their spread (their per-token md5 work
+    # dwarfs one exchange; 10x tier evidence in OPTIMIZATION_r07.md).
+    docs = _read(spark, sf_dir, "documents")
     return dedup.simhash(docs).orderBy("id")
 
 
