@@ -87,7 +87,13 @@ def slim_stdout_line(result: dict, limit: int = 1900) -> str:
     record). Works on a COPY — the caller's dict is not mutated."""
     slim = dict(result)
     line = json.dumps(slim, separators=(",", ":"))
-    for victim in ("slowest", "metric", "loadavg"):
+    # r8 (VERDICT r7 item 3): the full per-query dict (2dp) now rides the
+    # stdout line so the driver's PERF per-query comparison is fed again
+    # — at 47 queries it fits the window with room to spare. It is shed
+    # LAST: the per-query timings are the contract's most valuable
+    # payload after the total ("slowest" is redundant once "queries" is
+    # present, so it sheds first).
+    for victim in ("slowest", "metric", "loadavg", "queries"):
         if len(line) < limit:
             break
         slim.pop(victim, None)
@@ -382,6 +388,11 @@ def main() -> None:
             "loadavg": full["loadavg_end"],
             "canary_sec": canary_sec,
             "slowest": slowest,
+            # r8 (VERDICT r7 item 3): per-query seconds at 2dp — compact
+            # enough for the driver's 2,000-char stdout tail (full 4dp
+            # record stays in BENCH.local.json); additions-only vs the
+            # r1-r7 line shape (same metric/value/methodology)
+            "queries": {k: round(v, 2) for k, v in timed_only.items()},
         }
         if scale10:
             slim10 = {

@@ -171,6 +171,20 @@ def test_bench_stdout_line_fits_driver_capture():
     parsed3 = json.loads(line3)
     assert parsed3["value"] == worst["value"]
     assert parsed3["unit"] == "sec" and "note" in parsed3
+    # r8: a realistic per-query dict RIDES the line (driver PERF contract);
+    # an oversized one is shed (last) rather than overflowing
+    sized = dict(worst)
+    sized["metric"] = "m" * 200
+    sized["queries"] = {f"dedup_simhash_pairs_{i:02d}": 12.34 for i in range(47)}
+    line4 = bench.slim_stdout_line(sized)
+    assert len(line4) < 1900
+    assert len(json.loads(line4)["queries"]) == 47
+    flooded = dict(sized)
+    flooded["queries"] = {f"q{i:04d}_{'n' * 40}": 12.34 for i in range(200)}
+    line5 = bench.slim_stdout_line(flooded)
+    assert len(line5) < 1900
+    parsed5 = json.loads(line5)
+    assert "queries" not in parsed5 and parsed5["value"] == worst["value"]
 
 
 def test_smoke_script_importable_and_consistent():
