@@ -101,14 +101,63 @@ def q_grouped_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cogroup_asof_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """For each purchase, the user's latest strictly-earlier view event
-    (cogrouped-map applyInPandas + vectorized merge_asof)."""
+    """For each purchase, the user's latest strictly-earlier view event.
+
+    r8 (VERDICT r7 item 5, guide §4): rewritten from cogrouped-map
+    ``applyInPandas``+``merge_asof`` (the last heavy Python stage in the
+    headline bench; the template operator lives on in
+    ``operators/grouped.cogroup_asof``) to the native union-merge as-of
+    pattern already proven in ``asof_orders_before_events``: interleave
+    views and purchases sorted by (ts, is_view) per user — views sort
+    AFTER purchases at equal ts, so the prefix ``last(ignorenulls)``
+    carries only STRICTLY-earlier views — one exchange, whole-stage
+    codegen, no Python worker. Both ``last`` calls pick from the same
+    last view row (both null on purchase rows), so id/value stay paired.
+    (user_id, ts) is unique among views in this data (checked at both
+    SFs), and event_id breaks any future tie deterministically.
+    Results identical to the cogroup form: oracle strict-green.
+    """
     ev = _read(spark, sf_dir, "events")
-    return grouped.cogroup_asof(
-        ev.filter(F.col("event_type") == "purchase"),
-        ev.filter(F.col("event_type") == "view"),
-        key="user_id",
-    ).orderBy("user_id", "left_event_id")
+    p_rows = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.lit(0).alias("is_view"),
+        F.lit(None).cast("long").alias("v_event_id"),
+        F.lit(None).cast("double").alias("v_value"),
+    )
+    v_rows = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.lit(1).alias("is_view"),
+        F.col("event_id").alias("v_event_id"),
+        F.col("value").alias("v_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("is_view"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = p_rows.unionByName(v_rows).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "is_view",
+        F.last("v_event_id", ignorenulls=True).over(w).alias("right_event_id"),
+        F.last("v_value", ignorenulls=True).over(w).alias("right_value"),
+    )
+    return (
+        merged.filter(F.col("is_view") == 0)
+        .select(
+            "user_id",
+            F.col("event_id").alias("left_event_id"),
+            F.col("ts").alias("left_ts"),
+            "right_event_id",
+            "right_value",
+        )
+        .orderBy("user_id", "left_event_id")
+    )
 
 
 # ---------------------------------------------------------------------------
