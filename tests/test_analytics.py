@@ -43,9 +43,33 @@ def test_grouped_map_uses_arrow_grouped_map(spark):
     assert "FlatMapGroupsInPandas" in plan
 
 
-def test_cogroup_asof_uses_arrow_cogroup(spark):
-    plan = _plan(q_cogroup_asof_view_purchase(spark, SF_DIR))
-    assert "FlatMapCoGroupsInPandas" in plan
+def test_cogroup_asof_query_is_native_and_matches_operator(spark):
+    """r8: the benched query is the native union-merge as-of (no Python
+    eval anywhere in its plan), while the cogrouped-map TEMPLATE operator
+    (grouped.cogroup_asof) still plans through pandas cogroup — and both
+    produce identical rows, pinning the rewrite's equivalence."""
+    from pyspark.sql import functions as F
+
+    from ufc_data_warehouse_spark.operators import grouped
+
+    df = q_cogroup_asof_view_purchase(spark, SF_DIR)
+    plan = _plan(df)
+    for node in ("FlatMapCoGroupsInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert node not in plan, f"native as-of query still has {node}"
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    op = grouped.cogroup_asof(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "view"),
+        key="user_id",
+    )
+    assert "FlatMapCoGroupsInPandas" in _plan(op)
+    def key(rows):
+        return sorted(tuple(r) for r in rows)
+    assert key(df.collect()) == key(
+        op.select(
+            "user_id", "left_event_id", "left_ts", "right_event_id", "right_value"
+        ).collect()
+    )
 
 
 def test_fuzzy_blocking_is_hash_join_not_product(spark):
