@@ -26,6 +26,13 @@ _PERSISTED = (
     "title_reigns",
 )
 _frame_cache: dict[tuple[int, str], dict[str, DataFrame]] = {}
+# r8 (guide §4/§5 — the driver boundary): deriving the raw layer is
+# ~1.2 s of pure driver-side plan CONSTRUCTION (py4j chatter), and it was
+# re-run on every build_model call. The frames are lazy — memoizing them
+# per (session, sf_dir) caches plan objects, not data, so repeated
+# builds (the driver runs ~50 queries back-to-back) skip the rebuild
+# while every execution still computes from parquet.
+_raw_cache: dict[tuple[int, str], dict[str, DataFrame]] = {}
 
 
 def _sources(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -33,7 +40,9 @@ def _sources(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     # (an id()-based key could collide after a session is collected)
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _frame_cache.get(key)
-    raw = ufc_raw_tables(spark, sf_dir)
+    raw = _raw_cache.get(key)
+    if raw is None:
+        raw = _raw_cache[key] = ufc_raw_tables(spark, sf_dir)
     if cached is None:
         built = REGISTRY.build(raw, targets=list(_PERSISTED))
         cached = {name: built[name].persist() for name in _PERSISTED}
@@ -57,6 +66,8 @@ def release_caches(spark: SparkSession) -> None:
                 df.unpersist()
             except Exception:  # noqa: BLE001 — session already stopped
                 pass
+    for key in [k for k in _raw_cache if k[0] == key_prefix]:
+        _raw_cache.pop(key)  # lazy plan objects only — nothing to unpersist
     try:
         spark.catalog.clearCache()  # untracked query-internal persists
     except Exception:  # noqa: BLE001

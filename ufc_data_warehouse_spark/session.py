@@ -65,6 +65,17 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        # r8 (guide §4/§5 — the driver boundary): Spark 4's Python
+        # call-site capture wraps EVERY DataFrame/Column op with a stack
+        # walk plus 3 extra py4j round-trips (PySparkCurrentOrigin
+        # set/clear + a conf read). Model-layer queries are rebuilt
+        # lazily per run, so plan CONSTRUCTION is on the benched path —
+        # measured best-of-4: title_reigns build 0.95-1.08 s -> 0.65-0.82 s
+        # with capture off, execution unchanged. The only cost is losing
+        # Python-line context in error messages (flip to true when
+        # debugging). Builder-time only: pyspark caches the flag at
+        # first use, so a runtime conf.set would be a silent no-op.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # VERDICT r6 task 4: console progress-bar frames ("[Stage 12:>…]")
         # are written straight to stderr/stdout regardless of log level and
         # were eating the driver's 2,000-char bench stdout-tail margin
