@@ -533,7 +533,7 @@ def test_kmeans_deterministic_and_improves_sse(spark):
         total = 0.0
         for j, c in enumerate(cents):
             part = joined.filter(F.col("cluster") == j).select(
-                simsearch._sq_dist_to(F.col("q"), c).alias("d")
+                simsearch._sq_dist_to("q", c).alias("d")
             )
             total += part.agg(F.sum("d")).first()[0] or 0.0
         return total

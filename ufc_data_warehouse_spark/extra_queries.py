@@ -64,23 +64,11 @@ def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Guide §2.5 (input skew): the testdata tables are single small
-    parquet files with one row group, so every scan is ONE input split —
-    a CPU-heavy narrow stage (per-token md5, per-vector dot products,
-    per-payload codec decode) runs on 1 core of the whole box, at the
-    sf0.1 tier AND the 10× scale tier. Round-robin repartition right
-    after the read spreads that stage; applied ONLY where the downstream
-    per-row work dwarfs one extra exchange of the input rows. On a real
-    100 TB table the scan already yields thousands of splits and this is
-    a no-op (partitions ≥ cores ⇒ returned unchanged); results are
-    unaffected — every consumer is an aggregation/join keyed on ids, and
-    Spark's sort-before-repartition keeps the assignment deterministic
-    under retries."""
-    sc = df.sparkSession.sparkContext
-    n = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
-        return df.repartition(n)
-    return df
+    """Single shared implementation since r8 (r7 ADVICE: this helper was
+    duplicated in synth.py while two other modules delegated here —
+    partitioning policy now lives in one place with a per-session probe
+    memo). See :func:`operators.scale.spread_single_split`."""
+    return scale.spread_single_split(df)
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -25,6 +25,59 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+# spread_single_split decision memo per (applicationId, cores, plan hash):
+# the partition-count probe (df.rdd.getNumPartitions()) forces a full
+# physical-plan/RDD conversion on the driver EVERY call, which the r7
+# ADVICE flagged — identical plans get one probe per session now.
+_spread_cache: dict[tuple[str, int, int], bool] = {}
+
+
+def spread_single_split(df: DataFrame) -> DataFrame:
+    """Guide §2.5 (input skew): the testdata tables are single small
+    parquet files with one row group, so every scan is ONE input split —
+    a CPU-heavy narrow stage (per-token md5, per-vector dot products,
+    per-payload codec decode, the raw-layer string derivation) runs on 1
+    core of the whole box, at the sf0.1 tier AND the 10× scale tier.
+    Round-robin repartition right after the read spreads that stage;
+    applied ONLY where the downstream per-row work dwarfs one extra
+    exchange of the input rows. On a real 100 TB table the scan already
+    yields thousands of splits and this is a no-op (partitions ≥ cores ⇒
+    returned unchanged); results are unaffected — every consumer is an
+    aggregation/join keyed on ids, and Spark's sort-before-repartition
+    keeps the assignment deterministic under retries. That determinism
+    guarantee assumes SORTABLE row types: Spark silently skips the
+    pre-repartition sort for non-orderable columns (e.g. MapType), so
+    the helper asserts none are present rather than spreading anyway
+    (r7 ADVICE — all current call sites are map-free).
+
+    r8: the single-split probe result is memoized per (session, cores,
+    canonicalized plan), so repeated builds of the same query pay the
+    RDD-conversion probe once instead of per invocation.
+    """
+    from pyspark.sql.types import MapType
+
+    assert not any(
+        isinstance(f.dataType, MapType) for f in df.schema.fields
+    ), "spread_single_split: MapType columns break deterministic round-robin"
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    try:
+        key = (
+            sc.applicationId,
+            n,
+            df._jdf.queryExecution().analyzed().semanticHash(),
+        )
+    except Exception:  # noqa: BLE001 — probe uncached rather than fail
+        key = None
+    if key is not None and key in _spread_cache:
+        needs = _spread_cache[key]
+    else:
+        needs = df.rdd.getNumPartitions() < n
+        if key is not None:
+            _spread_cache[key] = needs
+    return df.repartition(n) if needs else df
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

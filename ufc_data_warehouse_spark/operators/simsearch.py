@@ -376,7 +376,10 @@ def _quantized(vec_col: F.Column) -> F.Column:
     )
 
 
-def _sq_dist_to(q_col: F.Column | str, centroid: list[float]) -> F.Column:
+_IDENT = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _sq_dist_to(q_col: str, centroid: list[float]) -> F.Column:
     """Squared L2 distance from the quantized vector to a literal centroid.
     Row-local sequential fold in index order — deterministic IEEE doubles,
     reproducible by any engine that evaluates lists in order.
@@ -389,9 +392,17 @@ def _sq_dist_to(q_col: F.Column | str, centroid: list[float]) -> F.Column:
     tree is the identical aggregate(zip_with(...)) — same IEEE evaluation
     order, same results bit-for-bit (``repr`` of a Python float is
     shortest-round-trip, and Spark's double literal parser recovers the
-    exact same IEEE value). ``q_col`` must be a plain column name when a
-    string is passed."""
-    name = q_col if isinstance(q_col, str) else "q"
+    exact same IEEE value).
+
+    r8 (r7 ADVICE): ``q_col`` is a PLAIN COLUMN NAME only — it is
+    interpolated into a SQL string, so a Column object or non-identifier
+    (which the old ``Column | str`` signature silently collapsed to a
+    column literally named "q") is rejected loudly instead."""
+    if not isinstance(q_col, str) or not _IDENT.match(q_col):
+        raise ValueError(
+            f"_sq_dist_to needs a bare column-name identifier, got {q_col!r}"
+        )
+    name = q_col
     arr = ", ".join(f"CAST({float(v)!r} AS DOUBLE)" for v in centroid)
     return F.expr(
         f"aggregate(zip_with({name}, array({arr}), "
@@ -440,7 +451,7 @@ def kmeans(
         return q.select("id", F.lit(0).cast("int").alias("cluster")), []
 
     def assign(frame: DataFrame) -> DataFrame:
-        dists = [_sq_dist_to(F.col("q"), c) for c in centroids]
+        dists = [_sq_dist_to("q", c) for c in centroids]
         best_d, best_j = dists[0], F.lit(0)
         for j in range(1, k):
             cond = dists[j] < best_d
@@ -543,7 +554,7 @@ def pq_encode(
     def assign(frame: DataFrame) -> DataFrame:
         per_sub = []
         for mm in range(m):
-            dists = [_sq_dist_to(F.col("q"), c) for c in books[mm]]
+            dists = [_sq_dist_to("q", c) for c in books[mm]]
             best_d, best_j = dists[0], F.lit(0)
             for j in range(1, k):
                 cond = dists[j] < best_d

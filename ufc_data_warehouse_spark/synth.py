@@ -112,19 +112,13 @@ def _fmt_date(date_col: Column, sel: Column, blank_when: Column, blank_val: str)
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Guide §2.5 (input skew): the testdata tables are single small
-    parquet files (one row group ⇒ one input split), so the whole raw-
-    layer derivation — DISTINCT over lineitem plus per-row name/date
-    string building — ran on 1-2 cores of the box. Round-robin
-    repartition after the read spreads it; a no-op (returned unchanged)
-    once the scan already yields ≥ cores splits, as any real table
-    does. Row-wise deterministic derivation ⇒ results are partitioning-
-    independent."""
-    sc = df.sparkSession.sparkContext
-    n = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
-        return df.repartition(n)
-    return df
+    """Guide §2.5 (input skew): spread the single-split testdata scans so
+    the raw-layer derivation (DISTINCT over lineitem + per-row string
+    building) uses the whole box. One shared implementation since r8
+    (r7 ADVICE): operators/scale.py::spread_single_split."""
+    from .operators.scale import spread_single_split
+
+    return spread_single_split(df)
 
 
 def ufc_raw_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
