@@ -245,13 +245,15 @@ def q_graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    half = (
-        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
-        .groupBy(
-            F.col("o_custkey").alias("src"),
-            (F.col("l_suppkey") + F.lit(_SUPP_OFFSET)).alias("dst"),
-        )
-        .agg(F.min(F.col("l_quantity").cast("long")).alias("w"))
+    # r8 (guide §2.4): RAW weighted edge rows go in — the operator's own
+    # groupBy(u, v).min(w) collapses parallel edges, so the old
+    # query-side pre-min (a groupBy+exchange computed once PER union
+    # branch) was a redundant shuffle; min(min over half) == min over
+    # the raw union, rows identical.
+    half = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + F.lit(_SUPP_OFFSET)).alias("dst"),
+        F.col("l_quantity").cast("long").alias("w"),
     )
     edges = half.unionByName(
         half.select(

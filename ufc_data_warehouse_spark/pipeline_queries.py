@@ -711,10 +711,15 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import graph
 
     li = _read(spark, sf_dir, "lineitem")
+    # r8 (guide §2.4): no query-side .distinct() — the operator's
+    # adjacency build (collect_set per node) dedups edges itself, so the
+    # pre-distinct was a redundant exchange+agg; results identical.
+    # (q_graph_modularity_score keeps its distinct: there the frame also
+    # feeds the degree counts, where dedup is load-bearing.)
     edges = li.select(
         F.col("l_partkey").alias("src"),
         (F.col("l_suppkey") + F.lit(_LPA_SUPP_OFFSET)).alias("dst"),
-    ).distinct()
+    )
     labels = graph.label_propagation(edges, rounds=2)
     return (
         labels.groupBy("label")
